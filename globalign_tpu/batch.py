@@ -1,0 +1,192 @@
+"""Batched many-pair alignment engine (length bucketing + vmap).
+
+The reference aligns exactly one pair per process run
+(src/globalign/globaligner.py:132-314).  On TPU the economic unit is a
+*batch*: thousands of independent pairs are padded into length buckets,
+tokenized into dense int32 arrays, and filled by a single vmapped wavefront
+scan per bucket, so every diagonal step is a ``(B, M+1)`` vector op that
+saturates the VPU.  This module is the host-side front end for that engine:
+
+  * bucketing policy (round lengths up to a quantum -> few recompiles,
+    bounded pad waste; SURVEY.md §7 step 4),
+  * scheme resolution over the union alphabet of the whole batch,
+  * optional deterministic traceback per pair from the batched move codes,
+  * optional data-parallel sharding over a device mesh
+    (:mod:`globalign_tpu.parallel.mesh`).
+
+Results come back in input order, each with the same cost/score semantics as
+the single-pair API (bit-identical to the reference's values).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ResolvedScheme, resolve_scheme
+from .models.gotoh import GotohAlignment
+from .ops import fill_scan
+from .ops.traceback import traceback_moves
+from .ops.transforms import final_cost_to_score
+from .utils.tokenize import GAP, encode_padded
+
+DEFAULT_BUCKET_QUANTUM = 32
+
+
+@dataclass(frozen=True)
+class PairResult:
+    """Result for one pair in a batch (traceback fields None in cost-only mode)."""
+
+    cost: int
+    score: int
+    seq_1_aligned: str | None = None
+    middle_part: str | None = None
+    seq_2_aligned: str | None = None
+
+
+def bucket_length(length: int, quantum: int = DEFAULT_BUCKET_QUANTUM) -> int:
+    """Round a sequence length up to the bucket grid (next multiple of quantum)."""
+    return max(quantum, quantum * math.ceil(length / quantum))
+
+
+def _validate_pairs(pairs: Sequence[tuple[str, str]]) -> list[tuple[str, str]]:
+    out = []
+    for idx, (s1, s2) in enumerate(pairs):
+        if len(s1) == 0 or len(s2) == 0:
+            raise RuntimeError(f"Pair {idx}: detected a sequence of length 0.")
+        if GAP in s1 or GAP in s2:
+            raise RuntimeError(
+                f"Pair {idx}: sequences may not contain the '-' character."
+            )
+        out.append((s1.upper(), s2.upper()))
+    return out
+
+
+def align_pairs(
+    pairs: Sequence[tuple[str, str]],
+    *,
+    scheme: ResolvedScheme | None = None,
+    scoring_mat_name: str | None = None,
+    scoring_mat_path=None,
+    match_score=None,
+    mismatch_score=None,
+    mismatch_cost=None,
+    gap_open_score=None,
+    gap_open_cost=None,
+    gap_extension_score=None,
+    gap_extension_cost=None,
+    with_traceback: bool = True,
+    bucket_quantum: int = DEFAULT_BUCKET_QUANTUM,
+    mesh=None,
+) -> list[PairResult]:
+    """Align many independent pairs on device, in input order.
+
+    Scheme options mirror :func:`globalign_tpu.find_global_alignment`; a
+    pre-resolved ``scheme`` may be passed instead.  With ``mesh`` set (a 1-D
+    ``jax.sharding.Mesh``), each bucket's batch axis is sharded data-parallel
+    across the mesh devices (cost-only mode).
+    """
+    pairs = _validate_pairs(pairs)
+    if not pairs:
+        return []
+
+    if scheme is None:
+        # Union alphabet across the batch: for simple schemes the matrix
+        # entries depend only on char-class (match/mismatch/gap), so a wider
+        # alphabet leaves every pair's cost and score unchanged relative to
+        # the reference's per-pair alphabet (start.py:355-358).
+        all_1 = "".join(s1 for s1, _ in pairs)
+        all_2 = "".join(s2 for _, s2 in pairs)
+        scheme = resolve_scheme(
+            all_1,
+            all_2,
+            scoring_mat_name=scoring_mat_name,
+            scoring_mat_path=scoring_mat_path,
+            match_score=match_score,
+            mismatch_score=mismatch_score,
+            mismatch_cost=mismatch_cost,
+            gap_open_score=gap_open_score,
+            gap_open_cost=gap_open_cost,
+            gap_extension_score=gap_extension_score,
+            gap_extension_cost=gap_extension_cost,
+        )
+
+    cost_mat = jnp.asarray(scheme.costing.values, jnp.int32)
+    gap_id = jnp.int32(scheme.alphabet.gap_id)
+    gap_open = jnp.int32(scheme.gap_open_cost)
+
+    # Bucket by padded (M, N).
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for idx, (s1, s2) in enumerate(pairs):
+        key = (
+            bucket_length(len(s1), bucket_quantum),
+            bucket_length(len(s2), bucket_quantum),
+        )
+        buckets.setdefault(key, []).append(idx)
+
+    results: list[PairResult | None] = [None] * len(pairs)
+    for (M, N), indices in buckets.items():
+        tok_a = np.stack(
+            [encode_padded(scheme.alphabet, pairs[i][0], M) for i in indices]
+        )
+        tok_b = np.stack(
+            [encode_padded(scheme.alphabet, pairs[i][1], N) for i in indices]
+        )
+        m_true = np.array([len(pairs[i][0]) for i in indices], np.int32)
+        n_true = np.array([len(pairs[i][1]) for i in indices], np.int32)
+
+        if mesh is not None and not with_traceback:
+            from .parallel.mesh import sharded_fill_costs
+
+            final3 = sharded_fill_costs(
+                mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+            )
+            moves = None
+        else:
+            res = fill_scan.wavefront_fill_batch(
+                jnp.asarray(tok_a),
+                jnp.asarray(tok_b),
+                cost_mat,
+                gap_id,
+                gap_open,
+                jnp.asarray(m_true),
+                jnp.asarray(n_true),
+                want_moves=with_traceback,
+            )
+            final3 = np.asarray(res.final3)
+            moves = np.asarray(res.moves) if with_traceback else None
+
+        for row, idx in enumerate(indices):
+            s1, s2 = pairs[idx]
+            cost = int(final3[row].min())
+            score = final_cost_to_score(
+                cost=cost, m=len(s1), n=len(s2), max_score=scheme.max_score
+            )
+            if with_traceback:
+                tb = traceback_moves(moves[row], s1, s2, final3[row])
+                assert tb.cost == cost
+                results[idx] = PairResult(
+                    cost=cost,
+                    score=score,
+                    seq_1_aligned=tb.seq_1_aligned,
+                    middle_part=tb.middle_part,
+                    seq_2_aligned=tb.seq_2_aligned,
+                )
+            else:
+                results[idx] = PairResult(cost=cost, score=score)
+
+    return results  # type: ignore[return-value]
+
+
+def alignment_to_pair_result(a: GotohAlignment) -> PairResult:
+    return PairResult(
+        cost=a.cost,
+        score=a.score,
+        seq_1_aligned=a.seq_1_aligned,
+        middle_part=a.middle_part,
+        seq_2_aligned=a.seq_2_aligned,
+    )

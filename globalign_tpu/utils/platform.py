@@ -1,0 +1,41 @@
+"""Platform/runtime knobs for the device engine.
+
+The single-pair CLI is a fresh process per invocation; without a persistent
+compilation cache every run pays the full XLA compile (minutes on a remote
+TPU tunnel).  Enabling JAX's on-disk cache makes repeat CLI invocations with
+the same shapes near-instant after the first.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+_CACHE_ENABLED = False
+
+
+def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> None:
+    """Turn on JAX's persistent compilation cache (idempotent).
+
+    Honors ``GLOBALIGN_TPU_CACHE_DIR``; defaults to
+    ``~/.cache/globalign_tpu/xla``.  Set ``GLOBALIGN_TPU_NO_CACHE=1`` to skip.
+    """
+    global _CACHE_ENABLED
+    if _CACHE_ENABLED or os.environ.get("GLOBALIGN_TPU_NO_CACHE"):
+        return
+    import jax
+
+    path = Path(
+        cache_dir
+        or os.environ.get("GLOBALIGN_TPU_CACHE_DIR")
+        or Path.home() / ".cache" / "globalign_tpu" / "xla"
+    )
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        # Cache is an optimization only — never fail an alignment over it.
+        return
+    _CACHE_ENABLED = True

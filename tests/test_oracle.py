@@ -1,0 +1,107 @@
+"""Property tests against an independent numpy Gotoh oracle.
+
+Covers what the reference never tested (SURVEY.md §4): agreement of the
+wavefront fill with a textbook dense fill on random pairs, traced-path cost
+== fill cost, and the score/cost invariant, across simple and BLOSUM schemes.
+"""
+
+import numpy as np
+import pytest
+
+from globalign_tpu import draw_two_random_seqs, resolve_scheme
+from globalign_tpu.models.gotoh import GotohAligner
+from globalign_tpu.ops.traceback import alignment_cost
+from globalign_tpu.ops.transforms import split_deltas
+
+from .oracle import oracle_cost, oracle_fill
+
+DNA = ["A", "C", "G", "T"]
+AA = list("ARNDCQEGHILKMFPSTWYV")
+
+
+def random_cases():
+    cases = []
+    for seed in range(6):
+        div = [0.0, 0.15, 0.35, 0.6, 0.9, 1.0][seed]
+        s1, s2 = draw_two_random_seqs(
+            alphabet=DNA,
+            min_len_seq_1=3,
+            max_len_seq_1=40,
+            min_len_seq_2=2,
+            max_len_seq_2=50,
+            divergence=div,
+            seed_1=seed * 11 + 1,
+            seed_2=seed * 7 + 3,
+        )
+        cases.append((s1, s2))
+    return cases
+
+
+@pytest.mark.parametrize("seq_1,seq_2", random_cases())
+def test_fill_matches_oracle_simple_scheme(seq_1, seq_2):
+    scheme = resolve_scheme(seq_1, seq_2, match_score=2, mismatch_score=-3)
+    aligner = GotohAligner(scheme)
+
+    got_planes = aligner.dp_planes(seq_1, seq_2)
+    exp_planes = oracle_fill(seq_1, seq_2, scheme.costing, scheme.gap_open_cost)
+
+    m, n = len(seq_1), len(seq_2)
+    # Compare everywhere both are finite; the sentinel values differ (BIG vs
+    # INF) but every reachable cell must agree exactly.
+    finite = exp_planes < 10**8
+    got = got_planes.astype(np.int64)
+    assert (got[finite] == exp_planes[finite]).all()
+    assert aligner.cost(seq_1, seq_2) == int(exp_planes[:, m, n].min())
+
+
+@pytest.mark.parametrize("seq_1,seq_2", random_cases())
+def test_traceback_cost_equals_fill_cost(seq_1, seq_2):
+    scheme = resolve_scheme(seq_1, seq_2, mismatch_cost=5, gap_open_cost=4)
+    aligner = GotohAligner(scheme)
+    a = aligner.align(seq_1, seq_2)
+    repriced = alignment_cost(
+        a.seq_1_aligned, a.seq_2_aligned, scheme.costing, scheme.gap_open_cost
+    )
+    assert repriced == a.cost
+    assert a.seq_1_aligned.replace("-", "") == seq_1
+    assert a.seq_2_aligned.replace("-", "") == seq_2
+    dd, di = split_deltas(scheme.max_score)
+    assert a.score + a.cost == len(seq_2) * dd + len(seq_1) * di
+
+
+def test_blosum62_protein_oracle():
+    s1, s2 = draw_two_random_seqs(
+        alphabet=AA,
+        min_len_seq_1=10,
+        max_len_seq_1=30,
+        min_len_seq_2=10,
+        max_len_seq_2=30,
+        divergence=0.4,
+        seed_1=5,
+        seed_2=9,
+    )
+    scheme = resolve_scheme(s1, s2, scoring_mat_name="BLOSUM62")
+    aligner = GotohAligner(scheme)
+    assert aligner.cost(s1, s2) == oracle_cost(
+        s1, s2, scheme.costing, scheme.gap_open_cost
+    )
+    a = aligner.align(s1, s2)
+    assert (
+        alignment_cost(
+            a.seq_1_aligned, a.seq_2_aligned, scheme.costing, scheme.gap_open_cost
+        )
+        == a.cost
+    )
+
+
+def test_extreme_shapes():
+    """Degenerate shapes: single characters, very asymmetric lengths."""
+    for s1, s2 in [("A", "A"), ("A", "T"), ("A", "TTTTTTTT"), ("ACGTACGT", "C")]:
+        scheme = resolve_scheme(s1, s2)
+        aligner = GotohAligner(scheme)
+        assert aligner.cost(s1, s2) == oracle_cost(
+            s1, s2, scheme.costing, scheme.gap_open_cost
+        )
+        a = aligner.align(s1, s2)
+        assert a.seq_1_aligned.replace("-", "") == s1
+        assert a.seq_2_aligned.replace("-", "") == s2
