@@ -7,10 +7,16 @@ hard-caps m*n < 2e7 (start.py:213), so 10kb x 10kb cannot even run there.  The
 measured throughput of its interpreted fill is ~1e-3 GCUPS on one CPU core
 (BASELINE.md); vs_baseline is computed against that.
 
-Usage: python bench.py [--m 10000 --n 10000] [--repeats 3] [--backend auto]
+Timing protocol: the per-call wall clock through the remote-TPU tunnel is
+dominated by a ~35 ms host<->device round trip, so the kernel is timed by
+slope — K chained fills (distinct inputs, summed outputs) inside one jit vs
+one fill, fetched once:  t_kernel = (t_K - t_1) / (K - 1).
+
+Usage: python bench.py [--m 10000 --n 10000] [--repeats 4] [--backend auto]
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -22,9 +28,10 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--m", type=int, default=10_000)
     parser.add_argument("--n", type=int, default=10_000)
-    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--repeats", type=int, default=4)
+    parser.add_argument("--chain", type=int, default=8)
     parser.add_argument(
-        "--backend", choices=["auto", "scan", "pallas"], default="auto"
+        "--backend", choices=["auto", "scan", "rows", "pallas"], default="auto"
     )
     args = parser.parse_args()
 
@@ -32,69 +39,79 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
-    from globalign_tpu.ops import fill_scan
-
     platform = jax.devices()[0].platform
 
+    backend = args.backend
+    if backend == "auto":
+        backend = "pallas" if platform != "cpu" else "rows"
+
     # Tokenized random DNA pair at the target lengths, default simple scheme.
+    from globalign_tpu.ops.transforms import scoring_mat_to_costing_mat
+    from globalign_tpu.utils.matrices import create_scoring_mat
+    from globalign_tpu.utils.tokenize import Alphabet
+
     rng = np.random.default_rng(0)
     tok_a = np.zeros((args.m + 1,), np.int32)
     tok_b = np.zeros((args.n + 1,), np.int32)
     tok_a[1:] = rng.integers(0, 4, size=args.m, dtype=np.int32)
     tok_b[1:] = rng.integers(0, 4, size=args.n, dtype=np.int32)
 
-    from globalign_tpu.ops.transforms import scoring_mat_to_costing_mat
-    from globalign_tpu.utils.matrices import create_scoring_mat
-    from globalign_tpu.utils.tokenize import Alphabet
-
     alphabet = Alphabet.from_letters(("A", "C", "G", "T", "-"))
     costing = scoring_mat_to_costing_mat(
         create_scoring_mat(alphabet, 2, -3, -2), max_score=2
     )
 
-    backend = args.backend
-    if backend == "auto":
-        try:
-            from globalign_tpu.ops import fill_pallas  # noqa: F401
-
-            backend = "pallas" if platform != "cpu" else "scan"
-        except ImportError:
-            backend = "scan"
-
     cost_mat = jnp.asarray(costing.values)
     gap_id = jnp.int32(alphabet.gap_id)
     gap_open = jnp.int32(4)
-    ta = jnp.asarray(tok_a)
     tb = jnp.asarray(tok_b)
 
     if backend == "pallas":
         from globalign_tpu.ops import fill_pallas
 
-        def run():
-            return fill_pallas.wavefront_fill_cost(
-                ta, tb, cost_mat, gap_id, gap_open
+        def one(ta):
+            last = fill_pallas.row_fill_last_rows(
+                ta, tb, cost_mat, gap_id, gap_open, args.m, args.n
             )
+            return last[0, args.n]
+
+    elif backend == "rows":
+        from globalign_tpu.ops import fill_rows
+
+        def one(ta):
+            return fill_rows.row_fill_impl(
+                ta, tb, cost_mat, gap_id, gap_open, want_moves=False
+            ).final3[0]
 
     else:
+        from globalign_tpu.ops import fill_scan
 
-        def run():
-            return fill_scan.wavefront_fill(
+        def one(ta):
+            return fill_scan.wavefront_fill_impl(
                 ta, tb, cost_mat, gap_id, gap_open, want_moves=False
-            ).final3
+            ).final3[0]
 
-    # Warm up / compile.
-    out = jax.block_until_ready(run())
-    cost = int(np.asarray(out).min())
-    assert 0 <= cost < (1 << 30), f"implausible cost {cost}"
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(tas, k):
+        return sum(one(tas[i]) for i in range(k))
 
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run())
-        times.append(time.perf_counter() - t0)
+    def measure(k):
+        tas = jnp.asarray(
+            np.stack([np.roll(tok_a, i) for i in range(k)])
+        )
+        val = np.asarray(run_k(tas, k))  # compile + sanity
+        assert 0 <= int(val) < (1 << 31), f"implausible total {val}"
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            np.asarray(run_k(tas, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    best = min(times)
-    gcups = args.m * args.n / best / 1e9
+    t1 = measure(1)
+    tk = measure(args.chain)
+    per = max((tk - t1) / (args.chain - 1), 1e-9)
+    gcups = args.m * args.n / per / 1e9
 
     print(
         json.dumps(

@@ -29,7 +29,7 @@ import numpy as np
 
 from .config import ResolvedScheme, resolve_scheme
 from .models.gotoh import GotohAlignment
-from .ops import fill_scan
+from .ops import fill_rows
 from .ops.traceback import traceback_moves
 from .ops.transforms import final_cost_to_score
 from .utils.tokenize import GAP, encode_padded
@@ -147,7 +147,7 @@ def align_pairs(
             )
             moves = None
         else:
-            res = fill_scan.wavefront_fill_batch(
+            res = fill_rows.row_fill_batch(
                 jnp.asarray(tok_a),
                 jnp.asarray(tok_b),
                 cost_mat,
@@ -167,7 +167,9 @@ def align_pairs(
                 cost=cost, m=len(s1), n=len(s2), max_score=scheme.max_score
             )
             if with_traceback:
-                tb = traceback_moves(moves[row], s1, s2, final3[row])
+                tb = traceback_moves(
+                    moves[row], s1, s2, final3[row], layout="row"
+                )
                 assert tb.cost == cost
                 results[idx] = PairResult(
                     cost=cost,

@@ -3,26 +3,42 @@
 Orchestrates the TPU pipeline for one pair (the role of the reference's
 ``find_global_alignment`` core, src/globalign/globaligner.py:132-314):
 
-    tokenize -> device wavefront fill (ops.fill_scan / ops.fill_pallas)
-             -> host traceback over move codes (ops.traceback)
+    tokenize -> device fill (ops.fill_pallas on TPU / ops.fill_rows in JAX)
+             -> host traceback over move codes (ops.traceback), switching to
+                the checkpointed linear-space replay (ops.linear_tb) past a
+                memory threshold
              -> final cost->score transform (ops.transforms)
 
 plus cost-only and planes-debug entry points used by the batch engine, the
 benchmarks, and the tests.
+
+Backend policy:
+  * cost-only: the Pallas row kernel on TPU (~10 GCUPS at 10k, see
+    ops/fill_pallas.py), the JAX row scan elsewhere;
+  * full alignment: row scan with move emission while the O(m*n) move
+    matrix is small (< ``moves_budget_bytes``), blocked checkpoint+replay
+    beyond it — this is what removes the reference's m*n < 2e7 input cap
+    (reference start.py:213).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import ResolvedScheme
-from ..ops import fill_scan
+from ..ops import fill_rows
+from ..ops.linear_tb import align_blocked
 from ..ops.traceback import Traceback, traceback_moves
 from ..ops.transforms import final_cost_to_score
 from ..utils.tokenize import encode_padded
+
+# Above this many bytes of move codes, align() switches to the blocked
+# linear-space traceback (64 MB ~ 8k x 8k pairs).
+DEFAULT_MOVES_BUDGET_BYTES = 64 * 1024 * 1024
 
 
 @dataclass(frozen=True)
@@ -41,11 +57,21 @@ class GotohAligner:
     ``align`` calls over same-shaped inputs reuse the jitted fill.
     """
 
-    def __init__(self, scheme: ResolvedScheme):
+    def __init__(
+        self,
+        scheme: ResolvedScheme,
+        *,
+        moves_budget_bytes: int = DEFAULT_MOVES_BUDGET_BYTES,
+        use_pallas: bool | None = None,
+    ):
         from ..utils.platform import enable_compilation_cache
 
         enable_compilation_cache()
         self.scheme = scheme
+        self.moves_budget_bytes = moves_budget_bytes
+        if use_pallas is None:
+            use_pallas = jax.devices()[0].platform not in ("cpu",)
+        self.use_pallas = use_pallas
         self._cost_mat = jnp.asarray(scheme.costing.values, jnp.int32)
         self._gap_id = jnp.int32(scheme.alphabet.gap_id)
         self._gap_open = jnp.int32(scheme.gap_open_cost)
@@ -60,7 +86,7 @@ class GotohAligner:
 
     def fill(self, seq_1: str, seq_2: str, *, want_moves=True, want_planes=False):
         tok_a, tok_b = self._encode(seq_1, seq_2)
-        return fill_scan.wavefront_fill(
+        return fill_rows.row_fill(
             tok_a,
             tok_b,
             self._cost_mat,
@@ -72,19 +98,45 @@ class GotohAligner:
 
     def cost(self, seq_1: str, seq_2: str) -> int:
         """Optimal alignment cost only (O(m+n) device memory)."""
-        res = self.fill(seq_1, seq_2, want_moves=False)
-        return int(np.min(np.asarray(res.final3)))
+        tok_a, tok_b = self._encode(seq_1, seq_2)
+        if self.use_pallas:
+            from ..ops.fill_pallas import wavefront_fill_cost
+
+            final3 = wavefront_fill_cost(
+                tok_a, tok_b, self._cost_mat, self._gap_id, self._gap_open
+            )
+        else:
+            final3 = self.fill(seq_1, seq_2, want_moves=False).final3
+        return int(np.min(np.asarray(final3)))
 
     def align(self, seq_1: str, seq_2: str) -> GotohAlignment:
         """Full alignment with deterministic traceback."""
-        res = self.fill(seq_1, seq_2, want_moves=True)
-        tb: Traceback = traceback_moves(
-            np.asarray(res.moves), seq_1, seq_2, np.asarray(res.final3)
-        )
+        m, n = len(seq_1), len(seq_2)
+        if (m + 1) * (n + 1) > self.moves_budget_bytes:
+            tok_a, tok_b = self._encode(seq_1, seq_2)
+            tb: Traceback = align_blocked(
+                np.asarray(tok_a),
+                tok_b,
+                self._cost_mat,
+                self._gap_id,
+                self._gap_open,
+                seq_1,
+                seq_2,
+                use_pallas=self.use_pallas,
+            )
+        else:
+            res = self.fill(seq_1, seq_2, want_moves=True)
+            tb = traceback_moves(
+                np.asarray(res.moves),
+                seq_1,
+                seq_2,
+                np.asarray(res.final3),
+                layout="row",
+            )
         score = final_cost_to_score(
             cost=tb.cost,
-            m=len(seq_1),
-            n=len(seq_2),
+            m=m,
+            n=n,
             max_score=self.scheme.max_score,
         )
         return GotohAlignment(
@@ -98,6 +150,4 @@ class GotohAligner:
     def dp_planes(self, seq_1: str, seq_2: str) -> np.ndarray:
         """Dense (3, m+1, n+1) DP cost planes — test/debug oracle view."""
         res = self.fill(seq_1, seq_2, want_moves=False, want_planes=True)
-        return fill_scan.planes_to_dense(
-            np.asarray(res.planes), len(seq_1), len(seq_2)
-        )
+        return np.asarray(res.planes)

@@ -1,3 +1,3 @@
-from . import fill_scan, traceback, transforms
+from . import fill_rows, fill_scan, linear_tb, traceback, transforms
 
-__all__ = ["fill_scan", "traceback", "transforms"]
+__all__ = ["fill_rows", "fill_scan", "linear_tb", "traceback", "transforms"]

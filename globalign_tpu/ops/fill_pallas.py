@@ -1,0 +1,310 @@
+"""Pallas TPU kernel for the row-parallel Gotoh fill (cost path).
+
+Same math as :mod:`globalign_tpu.ops.fill_rows` (see its docstring for the
+min-plus prefix identity), hand-scheduled for the TPU VPU:
+
+* Row state (M, Ix, Iy) lives in VMEM scratch in a **chunked 2-D layout**
+  ``(R, 128)`` with ``j = r * 128 + l``, so every elementwise op runs at full
+  vector-register width (a flat ``(n,)`` row would occupy one sublane out of
+  eight per vreg — an 8x waste).
+* The whole fill is ONE ``pallas_call``: a statically-bounded, unrolled
+  ``fori_loop`` over rows with no XLA while-loop per-step overhead and no HBM
+  traffic in the loop body (everything the loop touches — substitution rows,
+  gap prefix sums, boundaries, DP state — is resident in VMEM/SMEM).
+* The horizontal Ix recurrence is an exclusive prefix-min computed by
+  lane-doubling (7 ``pltpu.roll`` + mask + min steps within each 128-lane
+  chunk) followed by a log2(R) sublane-doubling pass for the cross-chunk
+  carries — O(log n) vector ops per row instead of an O(n) serial chain.
+* Substitution costs are pre-gathered OUTSIDE the kernel into a
+  ``(A, R, 128)`` table ``subc[c, r, l] = cost(c, b_{r*128+l})``; the per-row
+  lookup is a dynamic slice on the leading axis at the row character — zero
+  gathers inside the loop (SURVEY.md §7 hard part 1: pre-gather substitution
+  costs per diagonal/row).
+
+The kernel replaces the reference's interpreted double loop
+(src/globalign/globaligner.py:366-392).  It computes costs and final DP rows;
+the traceback path uses :mod:`fill_rows` (moves emission needs O(m*n) output
+bandwidth, which the cost/Hirschberg path deliberately avoids).
+
+Outputs: the three DP lanes of row ``m_true`` in chunked layout (3, R, 128).
+``final3`` is read from column ``n_true`` on the host side; the full last row
+feeds the Hirschberg divide-and-conquer splitter.
+
+Measured on TPU v5e (single chip, 10k x 10k DNA, amortized over chained
+calls): ~10 ms per fill ≈ 10 GCUPS — vs ~1e-3 GCUPS for the reference's
+interpreted fill (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fill_scan import BIG, default_boundary
+
+LANES = 128
+
+
+def _chunk(x: jax.Array, r: int) -> jax.Array:
+    """Pad a (..., L) array to (..., r, 128) chunked layout (BIG-filled)."""
+    L = x.shape[-1]
+    pad = r * LANES - L
+    x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)], constant_values=BIG)
+    return x.reshape(x.shape[:-1] + (r, LANES))
+
+
+def _make_row_kernel(m_static: int, unroll: int):
+    """Kernel factory; the row loop runs ``m_static`` iterations unrolled.
+
+    Rows past ``m_true`` are computed and discarded (the output write is
+    predicated on ``i == m_true``) — wasted work is bounded by the bucket
+    padding, and a static trip count lets Mosaic software-pipeline the
+    unrolled body.
+    """
+
+    def _row_kernel(
+        # SMEM scalars / tables
+        params_ref,  # (1, 4) int32: m_true, n_true (unused), gap_open, _
+        tok_a_ref,  # (1, Mpad) int32
+        col0y_ref,  # (1, Mpad) int32
+        gapcol_ref,  # (1, A) int32: cost(c, '-')
+        # VMEM inputs
+        subc_ref,  # (A, R, 128) int32
+        dpref_ref,  # (R, 128) int32 prefix sums of dcost
+        row0_ref,  # (3, R, 128) int32 boundary row 0
+        # VMEM output
+        out_ref,  # (3, R, 128) int32 row m_true
+        # VMEM scratch
+        m_ref,
+        x_ref,
+        y_ref,
+    ):
+        R = dpref_ref.shape[0]
+        m_true = params_ref[0, 0]
+        gap_open = params_ref[0, 2]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        mask0 = (lane == 0) & (row == 0)  # global j == 0
+        big = jnp.full((R, LANES), BIG, jnp.int32)
+
+        def shift1(x):
+            """out[j] = x[j-1] in global order, out[0] = BIG."""
+            sh = pltpu.roll(x, 1, axis=1)
+            carry = pltpu.roll(x[:, LANES - 1 :], 1, axis=0)  # (R, 1)
+            carry = jnp.where(row[:, :1] >= 1, carry, BIG)
+            return jnp.where(lane == 0, carry, sh)
+
+        def prefix_min_exclusive(p):
+            """out[j] = min_{j' < j} p[j'], out[0] = BIG (exact int scan)."""
+            x = p
+            s = 1
+            while s < LANES:  # inclusive cummin within each 128-lane chunk
+                sh = pltpu.roll(x, s, axis=1)
+                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
+                s *= 2
+            # Exclusive prefix-min of chunk minima across chunks (sublanes).
+            last = x[:, LANES - 1 :]  # (R, 1) inclusive chunk minima
+            rcol = row[:, :1]
+            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=0), BIG)
+            s = 1
+            while s < R:
+                sh = pltpu.roll(c, s, axis=0)
+                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
+                s *= 2
+            # Combine: within-chunk exclusive + cross-chunk carry.
+            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), big)
+            return jnp.minimum(xs, c)
+
+        dpref = dpref_ref[:, :]
+
+        # Row 0 boundary into the state.
+        m_ref[:, :] = row0_ref[0]
+        x_ref[:, :] = row0_ref[1]
+        y_ref[:, :] = row0_ref[2]
+
+        @pl.when(m_true == 0)
+        def _():
+            out_ref[0] = row0_ref[0]
+            out_ref[1] = row0_ref[1]
+            out_ref[2] = row0_ref[2]
+
+        def one_row(i, state):
+            mp, xp, yp = state
+            ai = tok_a_ref[0, i]
+            ic = gapcol_ref[0, ai]
+            c0y = col0y_ref[0, i]
+
+            sub = subc_ref[ai]  # (R, 128) dynamic slice on leading axis
+
+            # min and shift commute, so one fused shift replaces three.
+            best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
+            mc = jnp.minimum(best + sub, BIG)
+            vy = jnp.minimum(jnp.minimum(mp, xp) + gap_open, yp)
+            yc = jnp.minimum(vy + ic, BIG)
+
+            mc = jnp.where(mask0, BIG, mc)
+            yc = jnp.where(mask0, c0y, yc)
+
+            h = jnp.minimum(mc, yc) + gap_open
+            ep = prefix_min_exclusive(h - dpref)
+            xc = jnp.where(mask0, BIG, jnp.minimum(dpref + ep, BIG))
+
+            @pl.when(i == m_true)
+            def _():
+                out_ref[0] = mc
+                out_ref[1] = xc
+                out_ref[2] = yc
+
+            return mc, xc, yc
+
+        # Manual unroll (Mosaic's fori_loop supports only unroll=1/full):
+        # each trip computes ``unroll`` rows with state in registers; the
+        # per-row tables are padded so the tail trip's extra rows compute
+        # discarded garbage.  The trip count stays dynamic — a static count
+        # sends Mosaic compile time through the roof at 10k+ rows for zero
+        # measured run-time gain.
+        def body(k, _):
+            state = (m_ref[:, :], x_ref[:, :], y_ref[:, :])
+            for u in range(unroll):
+                state = one_row(k * unroll + 1 + u, state)
+            m_ref[:, :], x_ref[:, :], y_ref[:, :] = state
+            return 0
+
+        ntrips = jax.lax.div(m_true + (unroll - 1), jnp.int32(unroll))
+        jax.lax.fori_loop(0, ntrips, body, 0)
+
+    return _row_kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def row_fill_last_rows(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true=None,
+    n_true=None,
+    row0: jax.Array | None = None,
+    col0y: jax.Array | None = None,
+    *,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> jax.Array:
+    """Pallas fill returning the (3, Npad) DP lanes of row ``m_true``.
+
+    Args mirror :func:`globalign_tpu.ops.fill_rows.row_fill_impl`; ``row0``
+    optionally overrides the standard row-0 boundary and ``col0y`` (length
+    m+1, the level-Iy column-0 values) the standard accumulating column
+    boundary — both used by the checkpointed linear-space traceback to seed
+    row-block sub-problems with global boundary state.
+
+    Returns (3, R*128) int32 where R = ceil((n+1)/128); entries beyond n are
+    garbage (>= BIG-ish).
+    """
+    m = tok_a_ext.shape[0] - 1
+    n = tok_b_ext.shape[0] - 1
+    A = cost_mat.shape[0]
+    R = max(1, -(-(n + 1) // LANES))
+
+    if m_true is None:
+        m_true = m
+    if n_true is None:
+        n_true = n
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+    gap_open_i = jnp.asarray(gap_open, jnp.int32)
+    cost_mat = jnp.asarray(cost_mat, jnp.int32)
+
+    def_row0, def_col0 = default_boundary(
+        tok_a_ext, tok_b_ext, cost_mat, gap_id, gap_open_i
+    )
+    if row0 is None:
+        row0 = def_row0
+    row0 = row0.astype(jnp.int32)
+
+    subrows = cost_mat[:, tok_b_ext]  # (A, n+1)
+    dsteps = cost_mat[gap_id, tok_b_ext].at[0].set(0)
+    dpref = jnp.cumsum(dsteps, dtype=jnp.int32)
+
+    subc = _chunk(subrows, R)
+    dprefc = _chunk(dpref, R)
+    row0c = _chunk(row0, R)
+
+    params = jnp.stack(
+        [m_true, n_true, gap_open_i, jnp.int32(0)]
+    ).reshape(1, 4)
+    # Pad the per-row scalar tables past m to a multiple of ``unroll`` so the
+    # manually-unrolled loop's tail reads stay in bounds (extra rows compute
+    # discarded garbage).
+    mpad_u = -(-max(m, 1) // unroll) * unroll
+    tok_a_s = jnp.pad(
+        tok_a_ext.astype(jnp.int32), (0, mpad_u - m), mode="edge"
+    ).reshape(1, -1)
+    if col0y is None:
+        col0y = def_col0[2]
+    col0y_s = jnp.pad(
+        col0y.astype(jnp.int32), (0, mpad_u - m), mode="edge"
+    ).reshape(1, -1)
+    gapcol_s = cost_mat[:, gap_id].reshape(1, A)
+
+    out = pl.pallas_call(
+        _make_row_kernel(m, unroll),
+        out_shape=jax.ShapeDtypeStruct((3, R, LANES), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, tok_a_s, col0y_s, gapcol_s, subc, dprefc, row0c)
+
+    return out.reshape(3, R * LANES)
+
+
+def wavefront_fill_cost(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true=None,
+    n_true=None,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Cost-only fill: (3,) int32 final DP lanes at (m_true, n_true).
+
+    Drop-in for ``fill_scan.wavefront_fill(...).final3`` on the fast path
+    (min of the result is the optimal alignment cost,
+    reference globaligner.py:425).
+    """
+    n = tok_b_ext.shape[0] - 1
+    if n_true is None:
+        n_true = n
+    last = row_fill_last_rows(
+        tok_a_ext,
+        tok_b_ext,
+        cost_mat,
+        gap_id,
+        gap_open,
+        m_true,
+        n_true,
+        interpret=interpret,
+    )
+    return last[:, jnp.asarray(n_true, jnp.int32)]

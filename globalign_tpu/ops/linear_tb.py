@@ -1,0 +1,207 @@
+"""Linear-space traceback: row checkpoints + block replay.
+
+The reference keeps the full O(m*n) DP array alive for its traceback
+(src/globalign/globaligner.py:756-821, :395-593), which is exactly why it
+caps inputs at m*n < 2e7 (start.py:213).  This module removes the cap
+(SURVEY.md §7 step 5, the "block-checkpoint + on-chip tile replay" variant):
+
+1. **Checkpoint pass** — fill the DP in row blocks of ``block_rows`` rows,
+   keeping only each block-boundary row's three lanes (3, n+1).  Device
+   memory: O((m / K) * n) for checkpoints, O(n) working state.
+2. **Replay pass** — walk the optimal path from (m, n) upward; for each
+   block (visited last-to-first) re-fill just that block *with move codes*
+   seeded from its checkpoint row and the global column-0 boundary, then
+   continue the deterministic predecessor walk through it.  Device memory:
+   O(K * n) for one block's moves at a time.
+
+With K ~ sqrt(m) total memory is O(n * sqrt(m)) and total fill work is 2x
+the plain fill — the standard checkpointing trade.  The traced path is
+bit-identical to the full-matrix traceback (same move codes, same
+deterministic tie priority M > Ix > Iy), which the test-suite asserts on
+random pairs.
+
+Backends: the checkpoint pass runs on the Pallas kernel
+(:mod:`.fill_pallas`) where available, else the JAX row scan
+(:mod:`.fill_rows`); block replays always use the row scan since they need
+move emission.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .fill_rows import row_fill
+from .fill_scan import BIG, default_boundary
+from .traceback import (
+    GAP_CHAR,
+    GAP_GLYPH,
+    LEVEL_IX,
+    LEVEL_IY,
+    LEVEL_M,
+    MATCH_GLYPH,
+    MISMATCH_GLYPH,
+    Traceback,
+)
+
+DEFAULT_BLOCK_ROWS = 512
+
+
+def _block_tokens(tok_a_ext: np.ndarray, i0: int, i1: int) -> jnp.ndarray:
+    """1-origin token buffer for global rows i0+1..i1 (dummy entry 0)."""
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.asarray(tok_a_ext[i0 + 1 : i1 + 1])]
+    )
+
+
+def align_blocked(
+    tok_a_ext,
+    tok_b_ext,
+    cost_mat,
+    gap_id,
+    gap_open,
+    seq_1: str,
+    seq_2: str,
+    *,
+    block_rows: int = DEFAULT_BLOCK_ROWS,
+    use_pallas: bool | None = None,
+) -> Traceback:
+    """Full alignment with O(n * (m/K + K)) memory (see module docstring).
+
+    Args:
+        tok_a_ext / tok_b_ext: (m+1,) / (n+1,) int32 1-origin tokens.
+        cost_mat / gap_id / gap_open: the costing scheme.
+        seq_1 / seq_2: the original strings (for emitting aligned text).
+        block_rows: checkpoint interval K.
+        use_pallas: force the checkpoint-pass backend; default auto
+            (Pallas on TPU, row scan elsewhere).
+    """
+    tok_a_np = np.asarray(tok_a_ext)
+    m = tok_a_np.shape[0] - 1
+    n = tok_b_ext.shape[0] - 1
+    K = max(1, block_rows)
+
+    cost_mat = jnp.asarray(cost_mat, jnp.int32)
+    gap_id = jnp.asarray(gap_id, jnp.int32)
+    gap_open = jnp.asarray(gap_open, jnp.int32)
+    tok_b = jnp.asarray(tok_b_ext)
+
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+
+    row0_g, col0_g = default_boundary(
+        jnp.asarray(tok_a_np), tok_b, cost_mat, gap_id, gap_open
+    )
+    col0_np = np.asarray(col0_g)
+
+    # ---- checkpoint pass -------------------------------------------------
+    bounds = list(range(0, m, K)) + [m]  # block b covers rows bounds[b]..[b+1]
+    nblocks = len(bounds) - 1
+    checkpoints: list[jnp.ndarray] = [row0_g]  # (3, n+1) at each bounds[b]
+    state = row0_g
+    for b in range(nblocks):
+        i0, i1 = bounds[b], bounds[b + 1]
+        ta_blk = _block_tokens(tok_a_np, i0, i1)
+        col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
+        if use_pallas:
+            from .fill_pallas import row_fill_last_rows
+
+            last = row_fill_last_rows(
+                ta_blk,
+                tok_b,
+                cost_mat,
+                gap_id,
+                gap_open,
+                row0=state,
+                col0y=col0y_blk,
+            )[:, : n + 1]
+        else:
+            col0_blk = jnp.stack([col0y_blk, col0y_blk, col0y_blk])
+            last = row_fill(
+                ta_blk,
+                tok_b,
+                cost_mat,
+                gap_id,
+                gap_open,
+                row0=state,
+                col0=col0_blk,
+                want_moves=False,
+            ).last3
+        state = last
+        checkpoints.append(state)
+
+    final3 = np.asarray(state[:, n])
+    cost = int(final3.min())
+
+    # ---- replay pass -----------------------------------------------------
+    out_1: list[str] = []
+    mid: list[str] = []
+    out_2: list[str] = []
+
+    i, j = m, n
+    level = int(final3.argmin())
+
+    for b in range(nblocks - 1, -1, -1):
+        i0, i1 = bounds[b], bounds[b + 1]
+        if i <= i0:
+            continue
+        ta_blk = _block_tokens(tok_a_np, i0, i1)
+        col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
+        col0_blk = jnp.stack([col0y_blk, col0y_blk, col0y_blk])
+        moves = np.asarray(
+            row_fill(
+                ta_blk,
+                tok_b,
+                cost_mat,
+                gap_id,
+                gap_open,
+                row0=checkpoints[b],
+                col0=col0_blk,
+                want_moves=True,
+            ).moves
+        )
+
+        while i > i0:
+            if j == 0:
+                # Column 0: only vertical boundary moves remain
+                # (reference globaligner.py:562-581).
+                out_1.append(seq_1[i - 1])
+                mid.append(GAP_GLYPH)
+                out_2.append(GAP_CHAR)
+                i -= 1
+                continue
+            code = int(moves[i - i0, j])
+            if level == LEVEL_M:
+                a, bch = seq_1[i - 1], seq_2[j - 1]
+                out_1.append(a)
+                mid.append(MATCH_GLYPH if a == bch else MISMATCH_GLYPH)
+                out_2.append(bch)
+                level = code & 3
+                i -= 1
+                j -= 1
+            elif level == LEVEL_IX:
+                out_1.append(GAP_CHAR)
+                mid.append(GAP_GLYPH)
+                out_2.append(seq_2[j - 1])
+                level = (code >> 2) & 3
+                j -= 1
+            else:
+                out_1.append(seq_1[i - 1])
+                mid.append(GAP_GLYPH)
+                out_2.append(GAP_CHAR)
+                level = (code >> 4) & 3
+                i -= 1
+
+    # Row 0: only horizontal moves remain (globaligner.py:542-561).
+    while j > 0:
+        out_1.append(GAP_CHAR)
+        mid.append(GAP_GLYPH)
+        out_2.append(seq_2[j - 1])
+        j -= 1
+
+    out_1.reverse()
+    mid.reverse()
+    out_2.reverse()
+    return Traceback("".join(out_1), "".join(mid), "".join(out_2), cost)

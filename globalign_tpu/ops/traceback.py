@@ -45,17 +45,23 @@ def traceback_moves(
     seq_1: str,
     seq_2: str,
     final3: np.ndarray,
+    layout: str = "diag",
 ) -> Traceback:
-    """Walk diagonal-major move codes from (m, n) back to (0, 0).
+    """Walk packed move codes from (m, n) back to (0, 0).
 
     Args:
-        moves: (m+n+1, m+1) uint8 — ``moves[i+j, i]`` is the packed code of
-            cell (i, j): bits 0-1 level-M predecessor, 2-3 level-Ix, 4-5
-            level-Iy (values 0=M, 1=Ix, 2=Iy).
+        moves: packed codes — bits 0-1 level-M predecessor, 2-3 level-Ix,
+            4-5 level-Iy (values 0=M, 1=Ix, 2=Iy).  With ``layout="diag"``
+            (the fill_scan layout) the array is (m+n+1, m+1) uint8 and
+            ``moves[i+j, i]`` is the code of cell (i, j); with
+            ``layout="row"`` (the fill_rows layout) it is (m+1, n+1) and
+            ``moves[i, j]`` is the code of cell (i, j).
         final3: (3,) costs (M, Ix, Iy) at (m, n); the walk starts at the
             argmin level (ties prefer M, then Ix — the engine's documented
             deterministic tie order).
     """
+    if layout not in ("diag", "row"):
+        raise ValueError(f"unknown moves layout {layout!r}")
     moves = np.asarray(moves)
     final3 = np.asarray(final3)
     m, n = len(seq_1), len(seq_2)
@@ -86,7 +92,7 @@ def traceback_moves(
             i -= 1
             continue
 
-        code = int(moves[i + j, i])
+        code = int(moves[i + j, i] if layout == "diag" else moves[i, j])
         if level == LEVEL_M:
             a, b = seq_1[i - 1], seq_2[j - 1]
             out_1.append(a)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import fill_scan
+from ..ops import fill_rows
 
 BATCH_AXIS = "pairs"
 
@@ -57,7 +57,7 @@ def _sharded_costs_jit(
     spec_b = P(BATCH_AXIS)
 
     def shard_fn(ta, tb, cm, gi, go, mt, nt):
-        res = fill_scan.wavefront_fill_batch(
+        res = fill_rows.row_fill_batch(
             ta, tb, cm, gi, go, mt, nt, want_moves=False
         )
         # Exercise the collective path: every shard learns the global count

@@ -1,0 +1,81 @@
+"""Pallas kernel correctness in interpreter mode (CPU-runnable).
+
+The compiled kernel is exercised on real TPU hardware by bench.py and the
+aligner's cost path; here ``interpret=True`` runs the exact same kernel
+logic through the Pallas interpreter and pins it to the JAX row fill —
+the "kernel sanitizer" role from SURVEY.md §5 (race detection row).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from globalign_tpu.ops import fill_pallas, fill_rows
+from globalign_tpu.ops.transforms import scoring_mat_to_costing_mat
+from globalign_tpu.utils.matrices import create_scoring_mat, load_bundled_matrix
+from globalign_tpu.utils.tokenize import Alphabet, encode_padded
+
+
+def _check(alpha, costing, s1, s2, go=4, unroll=1):
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    ta = jnp.asarray(encode_padded(alpha, s1, len(s1)))
+    tb = jnp.asarray(encode_padded(alpha, s2, len(s2)))
+    want = np.asarray(
+        fill_rows.row_fill(ta, tb, cm, gid, jnp.int32(go), want_moves=False).final3
+    )
+    last = fill_pallas.row_fill_last_rows(
+        ta, tb, cm, gid, jnp.int32(go), interpret=True, unroll=unroll
+    )
+    got = np.asarray(last[:, len(s2)])
+    assert (want == got).all(), (s1, s2, want, got)
+    # last row must match the row fill's last row too
+    want_last = np.asarray(
+        fill_rows.row_fill(ta, tb, cm, gid, jnp.int32(go), want_moves=False).last3
+    )
+    assert (want_last == np.asarray(last[:, : len(s2) + 1])).all()
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+@pytest.mark.parametrize("unroll", [1, 2, 4])
+def test_pallas_interpret_matches_row_fill_dna(seed, unroll):
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    rng = np.random.default_rng(seed)
+    for _ in range(3):
+        m = int(rng.integers(1, 300))
+        n = int(rng.integers(1, 300))
+        s1 = "".join(rng.choice(list("ACGT"), m))
+        s2 = "".join(rng.choice(list("ACGT"), n))
+        _check(alpha, costing, s1, s2, unroll=unroll)
+
+
+def test_pallas_interpret_matches_row_fill_blosum():
+    scoring = load_bundled_matrix("BLOSUM62")
+    costing = scoring_mat_to_costing_mat(
+        scoring, max_score=int(scoring.values.max())
+    )
+    alpha = costing.alphabet
+    letters = [c for c in alpha.letters if c != "-"]
+    rng = np.random.default_rng(13)
+    for _ in range(3):
+        m = int(rng.integers(1, 150))
+        n = int(rng.integers(1, 150))
+        s1 = "".join(rng.choice(letters, m))
+        s2 = "".join(rng.choice(letters, n))
+        _check(alpha, costing, s1, s2)
+
+
+def test_pallas_chunk_boundaries():
+    """Lengths straddling the 128-lane chunk boundary."""
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    rng = np.random.default_rng(3)
+    for n in (126, 127, 128, 129, 255, 256, 257):
+        s1 = "".join(rng.choice(list("ACGT"), 50))
+        s2 = "".join(rng.choice(list("ACGT"), n))
+        _check(alpha, costing, s1, s2)
