@@ -37,6 +37,12 @@ from .utils.tokenize import GAP, encode_padded
 DEFAULT_BUCKET_QUANTUM = 32
 
 
+def _use_pallas() -> bool:
+    import jax
+
+    return jax.devices()[0].platform not in ("cpu",)
+
+
 @dataclass(frozen=True)
 class PairResult:
     """Result for one pair in a batch (traceback fields None in cost-only mode)."""
@@ -144,6 +150,21 @@ def align_pairs(
 
             final3 = sharded_fill_costs(
                 mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+            )
+            moves = None
+        elif not with_traceback and _use_pallas():
+            from .ops.fill_pallas import batch_final3
+
+            final3 = np.asarray(
+                batch_final3(
+                    jnp.asarray(tok_a),
+                    jnp.asarray(tok_b),
+                    cost_mat,
+                    gap_id,
+                    gap_open,
+                    jnp.asarray(m_true),
+                    jnp.asarray(n_true),
+                )
             )
             moves = None
         else:

@@ -57,13 +57,14 @@ def _chunk(x: jax.Array, r: int) -> jax.Array:
     return x.reshape(x.shape[:-1] + (r, LANES))
 
 
-def _make_row_kernel(m_static: int, unroll: int):
-    """Kernel factory; the row loop runs ``m_static`` iterations unrolled.
+def _make_row_kernel(m_static: int, unroll: int, batch_smem: bool = False):
+    """Kernel factory; the row loop computes ``unroll`` rows per trip.
 
     Rows past ``m_true`` are computed and discarded (the output write is
     predicated on ``i == m_true``) — wasted work is bounded by the bucket
-    padding, and a static trip count lets Mosaic software-pipeline the
-    unrolled body.
+    padding.  With ``batch_smem`` the per-pair SMEM tables keep their full
+    (B, .) shape (Mosaic cannot block/slice SMEM on sub-128 extents) and are
+    row-indexed by ``pl.program_id(0)``.
     """
 
     def _row_kernel(
@@ -84,8 +85,9 @@ def _make_row_kernel(m_static: int, unroll: int):
         y_ref,
     ):
         R = dpref_ref.shape[0]
-        m_true = params_ref[0, 0]
-        gap_open = params_ref[0, 2]
+        bsel = pl.program_id(0) if batch_smem else 0
+        m_true = params_ref[bsel, 0]
+        gap_open = params_ref[bsel, 2]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
@@ -135,9 +137,9 @@ def _make_row_kernel(m_static: int, unroll: int):
 
         def one_row(i, state):
             mp, xp, yp = state
-            ai = tok_a_ref[0, i]
+            ai = tok_a_ref[bsel, i]
             ic = gapcol_ref[0, ai]
-            c0y = col0y_ref[0, i]
+            c0y = col0y_ref[bsel, i]
 
             sub = subc_ref[ai]  # (R, 128) dynamic slice on leading axis
 
@@ -275,6 +277,172 @@ def row_fill_last_rows(
     )(params, tok_a_s, col0y_s, gapcol_s, subc, dprefc, row0c)
 
     return out.reshape(3, R * LANES)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def row_fill_last_rows_batch(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    *,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> jax.Array:
+    """Batched Pallas fill: one grid step per pair, shared kernel body.
+
+    Args:
+        tok_a_ext / tok_b_ext: (B, M+1) / (B, N+1) padded 1-origin tokens.
+        m_true / n_true: (B,) per-pair true lengths.
+
+    Returns (B, 3, R*128) int32 — each pair's DP lanes at its row ``m_true``
+    (read column ``n_true[b]`` for the final cost).  The TPU grid is
+    sequential, so per-pair VMEM scratch is reused across grid steps; all
+    per-pair tables are sliced per grid index by BlockSpec index maps.
+    """
+    B, m1 = tok_a_ext.shape
+    n = tok_b_ext.shape[1] - 1
+    m = m1 - 1
+    A = cost_mat.shape[0]
+    R = max(1, -(-(n + 1) // LANES))
+
+    gap_open_i = jnp.asarray(gap_open, jnp.int32)
+    cost_mat = jnp.asarray(cost_mat, jnp.int32)
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+
+    def prep(ta, tb):
+        row0, col0 = default_boundary(ta, tb, cost_mat, gap_id, gap_open_i)
+        subrows = cost_mat[:, tb]
+        dsteps = cost_mat[gap_id, tb].at[0].set(0)
+        dpref = jnp.cumsum(dsteps, dtype=jnp.int32)
+        return _chunk(subrows, R), _chunk(dpref, R), _chunk(row0, R), col0[2]
+
+    subc, dprefc, row0c, col0y = jax.vmap(prep)(tok_a_ext, tok_b_ext)
+
+    mpad_u = -(-max(m, 1) // unroll) * unroll
+    tok_a_s = jnp.pad(
+        tok_a_ext.astype(jnp.int32), ((0, 0), (0, mpad_u - m)), mode="edge"
+    )
+    col0y_s = jnp.pad(
+        col0y.astype(jnp.int32), ((0, 0), (0, mpad_u - m)), mode="edge"
+    )
+    params = jnp.stack(
+        [
+            m_true,
+            n_true,
+            jnp.full((B,), gap_open_i, jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        ],
+        axis=-1,
+    )  # (B, 4)
+    gapcol_s = cost_mat[:, gap_id].reshape(1, A)
+
+    # SMEM tables are passed whole (Mosaic cannot block/slice SMEM on
+    # sub-128 extents); the kernel row-indexes them by pl.program_id(0).
+    grid_spec = pl.GridSpec(
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, A, R, LANES), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, R, LANES), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 3, R, LANES), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, R, LANES), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
+        ],
+    )
+
+    kernel = _make_batch_row_kernel(unroll)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(params, tok_a_s, col0y_s, gapcol_s, subc, dprefc, row0c)
+
+    return out.reshape(B, 3, R * LANES)
+
+
+def _make_batch_row_kernel(unroll: int):
+    """Adapter: strip the per-pair leading block axis, reuse the row kernel.
+
+    SMEM refs arrive whole (row-indexed by program id inside the kernel);
+    only the VMEM refs carry a leading length-1 block axis to strip.
+    """
+    inner = _make_row_kernel(0, unroll, batch_smem=True)
+
+    def kernel(
+        params_ref,
+        tok_a_ref,
+        col0y_ref,
+        gapcol_ref,
+        subc_ref,
+        dpref_ref,
+        row0_ref,
+        out_ref,
+        m_scratch,
+        x_scratch,
+        y_scratch,
+    ):
+        inner(
+            params_ref,
+            tok_a_ref,
+            col0y_ref,
+            gapcol_ref,
+            subc_ref.at[0],
+            dpref_ref.at[0],
+            row0_ref.at[0],
+            out_ref.at[0],
+            m_scratch,
+            x_scratch,
+            y_scratch,
+        )
+
+    return kernel
+
+
+def batch_final3(
+    tok_a_ext,
+    tok_b_ext,
+    cost_mat,
+    gap_id,
+    gap_open,
+    m_true,
+    n_true,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, 3) final DP lanes per pair — batched cost-only entry point."""
+    last = row_fill_last_rows_batch(
+        tok_a_ext,
+        tok_b_ext,
+        cost_mat,
+        gap_id,
+        gap_open,
+        m_true,
+        n_true,
+        interpret=interpret,
+    )
+    idx = jnp.asarray(n_true, jnp.int32)[:, None, None]
+    return jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
 
 
 def wavefront_fill_cost(
