@@ -62,6 +62,19 @@ def traceback_moves(
     """
     if layout not in ("diag", "row"):
         raise ValueError(f"unknown moves layout {layout!r}")
+    if layout == "row":
+        # Native C++ walker (native/runtime.cpp) — identical semantics,
+        # asserted by tests/test_native.py; falls through to the Python
+        # walk when the native layer is unavailable.
+        from ..utils import native
+
+        final3_np = np.asarray(final3)
+        got = native.traceback_walk(
+            np.asarray(moves), seq_1, seq_2, int(final3_np.argmin())
+        )
+        if got is not None:
+            s1a, midl, s2a = got
+            return Traceback(s1a, midl, s2a, int(final3_np.min()))
     moves = np.asarray(moves)
     final3 = np.asarray(final3)
     m, n = len(seq_1), len(seq_2)

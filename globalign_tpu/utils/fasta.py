@@ -20,10 +20,23 @@ from typing import Iterator
 def read_seq_from_fasta(fasta_path: Path | str) -> Iterator[tuple[str, str]]:
     """Yield (description, sequence) records from a FASTA file.
 
+    Uses the native C++ parser (native/runtime.cpp) when available — one
+    byte-level pass, no per-line Python objects — with this pure-Python
+    reader as the fallback; both produce identical records and errors
+    (tests/test_native.py).
+
     Raises:
         RuntimeError: on invalid format (no leading '>', empty sequence).
     """
     fasta_path = Path(fasta_path)
+    if fasta_path.exists():
+        from . import native
+
+        if native.available():
+            records = _native_records(fasta_path)
+            if records is not None:
+                yield from records
+                return
     with fasta_path.open() as f:
         desc = None
         chunks: list[str] = []
@@ -57,6 +70,33 @@ def read_seq_from_fasta(fasta_path: Path | str) -> Iterator[tuple[str, str]]:
         if not seq:
             raise RuntimeError("Empty sequence detected in FASTA.")
         yield (desc, seq)
+
+
+def _native_records(fasta_path: Path) -> list[tuple[str, str]] | None:
+    """Records via the C++ parser, normalized to this module's semantics
+    (descriptions keep their leading '>', errors use this module's
+    messages); None if the native layer is unavailable."""
+    from . import native
+
+    try:
+        raw = native.fasta_records(fasta_path)
+    except RuntimeError as e:
+        msg = str(e)
+        if "did not begin" in msg:
+            raise RuntimeError(
+                "Invalid FASTA format. Expected the first line to "
+                "start with '>'."
+            ) from None
+        if "empty" in msg:
+            raise RuntimeError("Empty sequence detected in FASTA.") from None
+        if "no records" in msg:
+            raise RuntimeError(
+                "Invalid FASTA format. Expected the first line to start with '>'."
+            ) from None
+        raise
+    if raw is None:
+        return None
+    return [(">" + d, s) for d, s in raw]
 
 
 def read_first_2_seqs_from_fasta(fasta_path: Path | str) -> tuple[str, str]:
