@@ -1,0 +1,150 @@
+"""Batch runner: chunking, resume manifest, metrics, CLI surface."""
+
+import json
+
+import numpy as np
+import pytest
+
+from globalign_tpu.api import find_global_alignment
+from globalign_tpu.runner import (
+    BatchRunner,
+    RunStats,
+    pairs_from_fasta,
+    pairs_from_tsv,
+)
+
+
+def _random_pairs(n, seed=0, max_len=24):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(n):
+        m = int(rng.integers(1, max_len))
+        k = int(rng.integers(1, max_len))
+        out.append(
+            (
+                "".join(rng.choice(list("ACGT"), m)),
+                "".join(rng.choice(list("ACGT"), k)),
+            )
+        )
+    return out
+
+
+def _read_results(path):
+    rows = {}
+    for line in path.read_text().splitlines():
+        parts = line.split("\t")
+        rows[int(parts[0])] = (int(parts[1]), int(parts[2]))
+    return rows
+
+
+def test_runner_results_match_single_pair_api(tmp_path, capsys):
+    pairs = _random_pairs(7, seed=1)
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    stats = BatchRunner(output=out, chunk_pairs=3, log=log).run(pairs)
+    log.close()
+    assert stats.pairs == 7 and stats.chunks == 3
+    rows = _read_results(out)
+    assert len(rows) == 7
+    for idx, (s1, s2) in enumerate(pairs):
+        ref = find_global_alignment(seq_1=s1, seq_2=s2)
+        assert rows[idx] == (ref.cost, ref.score), (idx, s1, s2)
+
+
+def test_runner_resume_skips_journaled_chunks(tmp_path):
+    pairs = _random_pairs(10, seed=2)
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+
+    # First run: only the first 2 chunks (simulated preemption by truncation).
+    r1 = BatchRunner(output=out, chunk_pairs=4, log=log)
+    r1.run(pairs[:8])  # chunks 0 and 1 complete
+    n_lines_before = len(out.read_text().splitlines())
+    assert n_lines_before == 8
+
+    # Rerun over the full input: chunks 0/1 skipped, chunk 2 done.
+    r2 = BatchRunner(output=out, chunk_pairs=4, log=log)
+    stats = r2.run(pairs)
+    log.close()
+    assert stats.skipped_chunks == 2
+    assert stats.chunks == 1
+    rows = _read_results(out)
+    assert len(rows) == 10  # no duplicates, all pairs present
+    manifest = [
+        json.loads(x)
+        for x in (tmp_path / "res.tsv.manifest.jsonl").read_text().splitlines()
+    ]
+    assert sorted(m["chunk"] for m in manifest) == [0, 1, 2]
+
+
+def test_runner_manifest_fingerprint_isolation(tmp_path):
+    """A manifest from a different scheme must not suppress work."""
+    pairs = _random_pairs(4, seed=3)
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    BatchRunner(
+        output=out, chunk_pairs=4, log=log,
+        scheme_kwargs={"mismatch_cost": 9},
+    ).run(pairs)
+    stats = BatchRunner(output=out, chunk_pairs=4, log=log).run(pairs)
+    log.close()
+    assert stats.chunks == 1 and stats.skipped_chunks == 0
+
+
+def test_runner_traceback_mode(tmp_path):
+    pairs = [("ACGT", "AGT"), ("AAAA", "AA")]
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    BatchRunner(output=out, chunk_pairs=8, with_traceback=True, log=log).run(
+        pairs
+    )
+    log.close()
+    line0 = out.read_text().splitlines()[0].split("\t")
+    assert line0[:3] == ["0", "7", "0"]
+    assert line0[3:] == ["ACGT", "| ||", "A-GT"]
+
+
+def test_pairs_from_tsv_and_fasta(tmp_path):
+    tsv = tmp_path / "p.tsv"
+    tsv.write_text("ACGT\tAGT\n\nAA\tA\n")
+    assert list(pairs_from_tsv(tsv)) == [("ACGT", "AGT"), ("AA", "A")]
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("onlyone\n")
+    with pytest.raises(RuntimeError):
+        list(pairs_from_tsv(bad))
+
+    fa = tmp_path / "p.fasta"
+    fa.write_text(">a\nACGT\n>b\nAGT\n>c\nAA\n>d\nA\n")
+    assert list(pairs_from_fasta(fa)) == [("ACGT", "AGT"), ("AA", "A")]
+
+
+def test_batch_cli_end_to_end(tmp_path):
+    from globalign_tpu.batch_cli import main
+
+    tsv = tmp_path / "p.tsv"
+    tsv.write_text("ACGT\tAGT\nGATTACA\tGCATGCT\n")
+    out = tmp_path / "out.tsv"
+    rc = main(
+        [
+            "--pairs_tsv",
+            str(tsv),
+            "-o",
+            str(out),
+            "--chunk_pairs",
+            "1",
+        ]
+    )
+    assert rc == 0
+    rows = _read_results(out)
+    assert rows[0] == (7, 0)
+    # rerun resumes: no duplicate lines
+    rc = main(["--pairs_tsv", str(tsv), "-o", str(out), "--chunk_pairs", "1"])
+    assert rc == 0
+    assert len(out.read_text().splitlines()) == 2
+
+
+def test_stats_dict_sane():
+    s = RunStats(pairs=10, chunks=2, true_cells=1000, padded_cells=2000,
+                 seconds=0.5)
+    d = s.as_dict()
+    assert d["pad_waste"] == 0.5 and d["pairs_per_s"] == 20.0
