@@ -419,6 +419,216 @@ def _make_batch_row_kernel(unroll: int):
     return kernel
 
 
+def _make_stacked_kernel(B: int, unroll: int):
+    """Stacked-pairs kernel: every pair advances the same row index together.
+
+    The grid-per-pair kernel (``row_fill_last_rows_batch``) is latency-bound
+    for short pairs: a 1 kb row is ~1 vreg of work but still pays the full
+    sequential roll/min dependency chain of the prefix scan.  Stacking B
+    pairs' states as (B, R, 128) gives every doubling step B vregs of
+    independent work, hiding the chain latency (throughput-bound instead).
+
+    Mosaic cannot broadcast a (B,1,1) per-pair scalar over its tile, so all
+    per-pair quantities are materialized by per-b scalar->vector splats into
+    VMEM scratch (supported), the column-0 Iy accumulator is carried as a
+    full (B,R,128) value, and each pair's output row is written by a per-b
+    predicated copy when the row counter hits its m_true.
+    """
+
+    def kernel(
+        params_ref,  # (B, 4) int32 SMEM: m_true, n_true, _, _
+        limits_ref,  # (1, 2) int32 SMEM: mmax, gap_open
+        tok_a_ref,  # (B, Mpad+1) int32 SMEM
+        gapcol_ref,  # (1, A) int32 SMEM: cost(c, '-')
+        subc_ref,  # (B, A, R, 128) int32 VMEM
+        dpref_ref,  # (B, R, 128) int32 VMEM
+        row0_ref,  # (B, 3, R, 128) int32 VMEM
+        c0y0_ref,  # (B, R, 128) int32 VMEM: column-0 Iy start (pre-row-1)
+        out_ref,  # (B, 3, R, 128) int32 VMEM
+        m_ref,  # scratch (B, R, 128)
+        x_ref,
+        y_ref,
+        sub_ref,  # scratch (B, R, 128): per-row substitution rows
+        icf_ref,  # scratch (B, R, 128): per-row icost splats
+    ):
+        R = dpref_ref.shape[1]
+        mmax = limits_ref[0, 0]
+        gap_open = limits_ref[0, 1]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 1)
+        mask0 = (lane == 0) & (row == 0)  # each pair's j == 0
+        big = jnp.full((B, R, LANES), BIG, jnp.int32)
+        rcol = row[:, :, :1]  # (B, R, 1)
+
+        def shift1(v):
+            sh = pltpu.roll(v, 1, axis=2)
+            carry = pltpu.roll(v[:, :, LANES - 1 :], 1, axis=1)
+            carry = jnp.where(rcol >= 1, carry, BIG)
+            return jnp.where(lane == 0, carry, sh)
+
+        def prefix_min_exclusive(p):
+            x = p
+            s = 1
+            while s < LANES:
+                sh = pltpu.roll(x, s, axis=2)
+                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
+                s *= 2
+            last = x[:, :, LANES - 1 :]
+            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=1), BIG)
+            s = 1
+            while s < R:
+                sh = pltpu.roll(c, s, axis=1)
+                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
+                s *= 2
+            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), big)
+            return jnp.minimum(xs, c)
+
+        dpref = dpref_ref[:, :, :]
+
+        m_ref[:, :, :] = row0_ref[:, 0]
+        x_ref[:, :, :] = row0_ref[:, 1]
+        y_ref[:, :, :] = row0_ref[:, 2]
+
+        def one_row(i, c0yf):
+            mp, xp, yp = m_ref[:, :, :], x_ref[:, :, :], y_ref[:, :, :]
+
+            # Per-pair row tables: B static iterations of (dynamic slice +
+            # scalar->vector splat) — the only Mosaic-supported way to get
+            # per-pair scalars into vector lanes.
+            for b in range(B):
+                ai = tok_a_ref[b, i]
+                sub_ref[b] = subc_ref[b, ai]
+                icf_ref[b] = jnp.full(
+                    (R, LANES), gapcol_ref[0, ai], jnp.int32
+                )
+            sub = sub_ref[:, :, :]
+            icf = icf_ref[:, :, :]
+
+            c0yf = c0yf + icf  # column-0 Iy accumulator, all lanes
+
+            best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
+            mc = jnp.where(mask0, BIG, jnp.minimum(best + sub, BIG))
+            vy = jnp.minimum(jnp.minimum(mp, xp) + gap_open, yp)
+            yc = jnp.minimum(vy + icf, BIG)
+            yc = jnp.where(mask0, c0yf, yc)
+
+            h = jnp.minimum(mc, yc) + gap_open
+            ep = prefix_min_exclusive(h - dpref)
+            xc = jnp.where(mask0, BIG, jnp.minimum(dpref + ep, BIG))
+
+            m_ref[:, :, :] = mc
+            x_ref[:, :, :] = xc
+            y_ref[:, :, :] = yc
+
+            for b in range(B):
+
+                @pl.when(i == params_ref[b, 0])
+                def _(b=b):
+                    out_ref[b, 0] = mc[b]
+                    out_ref[b, 1] = xc[b]
+                    out_ref[b, 2] = yc[b]
+
+            return c0yf
+
+        def body(k, c0yf):
+            for u in range(unroll):
+                c0yf = one_row(k * unroll + 1 + u, c0yf)
+            return c0yf
+
+        ntrips = jax.lax.div(mmax + (unroll - 1), jnp.int32(unroll))
+        jax.lax.fori_loop(0, ntrips, body, c0y0_ref[:, :, :])
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def stacked_fill_last_rows(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    *,
+    interpret: bool = False,
+    unroll: int = 1,
+) -> jax.Array:
+    """Stacked-pairs batched fill (see :func:`_make_stacked_kernel`).
+
+    Same contract as :func:`row_fill_last_rows_batch`: returns
+    (B, 3, R*128) int32 lanes of each pair's row ``m_true[b]`` (m_true must
+    be >= 1 for every pair).  Preferred for buckets of short pairs;
+    VMEM-bounded by the (B, A, R, 128) substitution table.
+    """
+    B, m1 = tok_a_ext.shape
+    n = tok_b_ext.shape[1] - 1
+    m = m1 - 1
+    A = cost_mat.shape[0]
+    R = max(1, -(-(n + 1) // LANES))
+
+    gap_open_i = jnp.asarray(gap_open, jnp.int32)
+    cost_mat = jnp.asarray(cost_mat, jnp.int32)
+    gap_id_i = jnp.asarray(gap_id, jnp.int32)
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+
+    def prep(ta, tb):
+        row0, _col0 = default_boundary(ta, tb, cost_mat, gap_id_i, gap_open_i)
+        subrows = cost_mat[:, tb]
+        dsteps = cost_mat[gap_id_i, tb].at[0].set(0)
+        dpref = jnp.cumsum(dsteps, dtype=jnp.int32)
+        return _chunk(subrows, R), _chunk(dpref, R), _chunk(row0, R)
+
+    subc, dprefc, row0c = jax.vmap(prep)(tok_a_ext, tok_b_ext)
+
+    mpad_u = -(-max(m, 1) // unroll) * unroll
+    tok_a_s = jnp.pad(
+        tok_a_ext.astype(jnp.int32), ((0, 0), (0, mpad_u - m)), mode="edge"
+    )
+    params = jnp.stack(
+        [
+            m_true,
+            n_true,
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        ],
+        axis=-1,
+    )
+    limits = jnp.stack([jnp.max(m_true), gap_open_i]).reshape(1, 2)
+    gapcol_s = cost_mat[:, gap_id_i].reshape(1, A)
+    # Column-0 Iy accumulator starts at gap_open in every lane (row 1 adds
+    # icost(a_1), matching default_boundary's gap_open + cumsum).
+    c0y0 = jnp.full((B, R, LANES), gap_open_i, jnp.int32)
+
+    out = pl.pallas_call(
+        _make_stacked_kernel(B, unroll),
+        out_shape=jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, limits, tok_a_s, gapcol_s, subc, dprefc, row0c, c0y0)
+
+    return out.reshape(B, 3, R * LANES)
+
+
 def batch_final3(
     tok_a_ext,
     tok_b_ext,

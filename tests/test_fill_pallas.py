@@ -79,3 +79,79 @@ def test_pallas_chunk_boundaries():
         s1 = "".join(rng.choice(list("ACGT"), 50))
         s2 = "".join(rng.choice(list("ACGT"), n))
         _check(alpha, costing, s1, s2)
+
+
+def _random_batch(rng, B, M, N, alpha):
+    tok_a = np.zeros((B, M + 1), np.int32)
+    tok_b = np.zeros((B, N + 1), np.int32)
+    mt = np.zeros(B, np.int32)
+    nt = np.zeros(B, np.int32)
+    for b in range(B):
+        m = int(rng.integers(1, M + 1))
+        n = int(rng.integers(1, N + 1))
+        tok_a[b, 1 : m + 1] = rng.integers(0, 4, m)
+        tok_b[b, 1 : n + 1] = rng.integers(0, 4, n)
+        mt[b], nt[b] = m, n
+    return tok_a, tok_b, mt, nt
+
+
+@pytest.mark.parametrize("which", ["grid", "stacked"])
+def test_batched_pallas_interpret_matches_row_fill(which):
+    from globalign_tpu.ops import fill_rows
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(41)
+    B, M, N = 6, 50, 170
+    tok_a, tok_b, mt, nt = _random_batch(rng, B, M, N, alpha)
+    want = np.asarray(
+        fill_rows.row_fill_batch(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+            jnp.asarray(mt), jnp.asarray(nt),
+        ).final3
+    )
+    fn = (
+        fill_pallas.row_fill_last_rows_batch
+        if which == "grid"
+        else fill_pallas.stacked_fill_last_rows
+    )
+    out = np.asarray(
+        fn(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+            jnp.asarray(mt), jnp.asarray(nt), interpret=True,
+        )
+    )
+    got = np.stack([out[b][:, nt[b]] for b in range(B)])
+    assert (want == got).all()
+
+
+def test_batch_final3_interpret():
+    from globalign_tpu.ops import fill_rows
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(43)
+    tok_a, tok_b, mt, nt = _random_batch(rng, 4, 30, 40, alpha)
+    want = np.asarray(
+        fill_rows.row_fill_batch(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+            jnp.asarray(mt), jnp.asarray(nt),
+        ).final3
+    )
+    got = np.asarray(
+        fill_pallas.batch_final3(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+            jnp.asarray(mt), jnp.asarray(nt), interpret=True,
+        )
+    )
+    assert (want == got).all()
