@@ -63,6 +63,7 @@ class GotohAligner:
         *,
         moves_budget_bytes: int = DEFAULT_MOVES_BUDGET_BYTES,
         use_pallas: bool | None = None,
+        pad_quantum: int = 256,
     ):
         from ..utils.platform import enable_compilation_cache
 
@@ -72,16 +73,25 @@ class GotohAligner:
         if use_pallas is None:
             use_pallas = jax.devices()[0].platform not in ("cpu",)
         self.use_pallas = use_pallas
+        # Sequences are padded up to this grid so distinct lengths reuse one
+        # compiled fill (the fills take true lengths as traced m_true /
+        # n_true); a fresh XLA compile over the remote-TPU tunnel costs
+        # minutes, padded cells cost microseconds.
+        self.pad_quantum = max(1, pad_quantum)
         self._cost_mat = jnp.asarray(scheme.costing.values, jnp.int32)
         self._gap_id = jnp.int32(scheme.alphabet.gap_id)
         self._gap_open = jnp.int32(scheme.gap_open_cost)
 
     # -- single pair ------------------------------------------------------
 
+    def _pad_len(self, length: int) -> int:
+        q = self.pad_quantum
+        return max(q, q * -(-length // q))
+
     def _encode(self, seq_1: str, seq_2: str):
         a = self.scheme.alphabet
-        tok_a = jnp.asarray(encode_padded(a, seq_1, len(seq_1)))
-        tok_b = jnp.asarray(encode_padded(a, seq_2, len(seq_2)))
+        tok_a = jnp.asarray(encode_padded(a, seq_1, self._pad_len(len(seq_1))))
+        tok_b = jnp.asarray(encode_padded(a, seq_2, self._pad_len(len(seq_2))))
         return tok_a, tok_b
 
     def fill(self, seq_1: str, seq_2: str, *, want_moves=True, want_planes=False):
@@ -92,6 +102,10 @@ class GotohAligner:
             self._cost_mat,
             self._gap_id,
             self._gap_open,
+            None,
+            None,
+            len(seq_1),
+            len(seq_2),
             want_moves=want_moves,
             want_planes=want_planes,
         )
@@ -103,7 +117,13 @@ class GotohAligner:
             from ..ops.fill_pallas import wavefront_fill_cost
 
             final3 = wavefront_fill_cost(
-                tok_a, tok_b, self._cost_mat, self._gap_id, self._gap_open
+                tok_a,
+                tok_b,
+                self._cost_mat,
+                self._gap_id,
+                self._gap_open,
+                len(seq_1),
+                len(seq_2),
             )
         else:
             final3 = self.fill(seq_1, seq_2, want_moves=False).final3
@@ -150,4 +170,4 @@ class GotohAligner:
     def dp_planes(self, seq_1: str, seq_2: str) -> np.ndarray:
         """Dense (3, m+1, n+1) DP cost planes — test/debug oracle view."""
         res = self.fill(seq_1, seq_2, want_moves=False, want_planes=True)
-        return np.asarray(res.planes)
+        return np.asarray(res.planes)[:, : len(seq_1) + 1, : len(seq_2) + 1]

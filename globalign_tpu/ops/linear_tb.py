@@ -69,14 +69,17 @@ def align_blocked(
     """Full alignment with O(n * (m/K + K)) memory (see module docstring).
 
     Args:
-        tok_a_ext / tok_b_ext: (m+1,) / (n+1,) int32 1-origin tokens.
+        tok_a_ext / tok_b_ext: (m+1,) / (n+1,) int32 1-origin tokens; any
+            padding past the true sequence lengths (taken from seq_1/seq_2)
+            is ignored.
         cost_mat / gap_id / gap_open: the costing scheme.
         seq_1 / seq_2: the original strings (for emitting aligned text).
         block_rows: checkpoint interval K.
         use_pallas: force the checkpoint-pass backend; default auto
             (Pallas on TPU, row scan elsewhere).
     """
-    tok_a_np = np.asarray(tok_a_ext)
+    tok_a_np = np.asarray(tok_a_ext)[: len(seq_1) + 1]
+    tok_b_ext = jnp.asarray(tok_b_ext)[: len(seq_2) + 1]
     m = tok_a_np.shape[0] - 1
     n = tok_b_ext.shape[0] - 1
     K = max(1, block_rows)
