@@ -97,3 +97,19 @@ def test_aligner_switches_to_blocked_past_budget():
     a1 = big.align(s1, s2)
     a2 = small.align(s1, s2)
     assert a1 == a2
+
+
+def test_aligner_pad_quantum_invariant():
+    """Shape-bucket padding must not change any result field."""
+    from globalign_tpu.config import resolve_scheme
+    from globalign_tpu.models.gotoh import GotohAligner
+
+    rng = np.random.default_rng(77)
+    s1 = "".join(rng.choice(list("ACGT"), 37))
+    s2 = "".join(rng.choice(list("ACGT"), 61))
+    scheme = resolve_scheme(s1, s2)
+    exact = GotohAligner(scheme, use_pallas=False, pad_quantum=1)
+    padded = GotohAligner(scheme, use_pallas=False, pad_quantum=64)
+    assert exact.align(s1, s2) == padded.align(s1, s2)
+    assert exact.cost(s1, s2) == padded.cost(s1, s2)
+    assert (exact.dp_planes(s1, s2) == padded.dp_planes(s1, s2)).all()
