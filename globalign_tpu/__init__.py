@@ -36,6 +36,7 @@ from .ops.transforms import (
     scoring_mat_to_costing_mat,
 )
 from .results import AlignmentResults, prettify_mat
+from .runner import BatchRunner
 from .utils.fasta import read_first_2_seqs_from_fasta, read_seq_from_fasta
 from .utils.matrices import (
     SubstitutionMatrix,
@@ -55,6 +56,7 @@ __all__ = [
     "__version__",
     "find_global_alignment",
     "align_pairs",
+    "BatchRunner",
     "AlignmentResults",
     "GotohAligner",
     "ResolvedScheme",
