@@ -81,3 +81,53 @@ def test_prettify_mat_widths():
     assert lines[0] == "    A   B"
     assert lines[1] == "A  10  -3"
     assert lines[2] == "B  -3 100"
+
+
+TUTORIAL_GOLDEN_2 = """seq_1
+seq_2
+
+CCTGAA
+*|*| |
+GCCG-A
+
+score: -2
+cost: 8
+###########################################
+# Settings
+###########################################
+scoring_mat:
+    A  C  G  T  -
+A   1 -1 -1 -1 -1
+C  -1  1 -1 -1 -1
+G  -1 -1  1 -1 -1
+T  -1 -1 -1  1 -1
+-  -1 -1 -1 -1  1
+
+gap_open_score: -2
+
+costing_mat:
+   A C G T -
+A  0 2 2 2 2
+C  2 0 2 2 2
+G  2 2 0 2 2
+T  2 2 2 0 2
+-  1 1 1 1 0
+
+gap_open_cost: 2"""
+
+
+def test_tutorial_python_api_report_exact():
+    """Second reference-tutorial golden (reference tutorial.qmd:141-173),
+    including the alignment strings (the deterministic tie-break coincides
+    with the reference's choice here)."""
+    from globalign_tpu import find_global_alignment
+
+    r = find_global_alignment(
+        seq_1="CCTGAA",
+        seq_2="GCCGA",
+        match_score=1,
+        mismatch_score=-1,
+        gap_open_score=-2,
+        gap_extension_score=-1,
+    )
+    assert str(r).strip() == TUTORIAL_GOLDEN_2.strip()
