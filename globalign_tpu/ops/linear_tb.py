@@ -78,16 +78,21 @@ def align_blocked(
         use_pallas: force the checkpoint-pass backend; default auto
             (Pallas on TPU, row scan elsewhere).
     """
-    tok_a_np = np.asarray(tok_a_ext)[: len(seq_1) + 1]
-    tok_b_ext = jnp.asarray(tok_b_ext)[: len(seq_2) + 1]
-    m = tok_a_np.shape[0] - 1
-    n = tok_b_ext.shape[0] - 1
+    m = len(seq_1)
+    n = len(seq_2)
     K = max(1, block_rows)
+    tok_a_np = np.asarray(tok_a_ext)[: m + 1]
+    # seq_2 is padded up to a 256 grid so differently-sized inputs reuse the
+    # same compiled block fills (padded columns never feed real cells; the
+    # result is read at column n).
+    nq = max(256, 256 * -(-(n + 1) // 256)) - 1
+    tok_b_np = np.zeros((nq + 1,), np.int32)
+    tok_b_np[: n + 1] = np.asarray(tok_b_ext)[: n + 1]
 
     cost_mat = jnp.asarray(cost_mat, jnp.int32)
     gap_id = jnp.asarray(gap_id, jnp.int32)
     gap_open = jnp.asarray(gap_open, jnp.int32)
-    tok_b = jnp.asarray(tok_b_ext)
+    tok_b = jnp.asarray(tok_b_np)
 
     if use_pallas is None:
         import jax
@@ -119,7 +124,7 @@ def align_blocked(
                 gap_open,
                 row0=state,
                 col0y=col0y_blk,
-            )[:, : n + 1]
+            )[:, : nq + 1]
         else:
             col0_blk = jnp.stack([col0y_blk, col0y_blk, col0y_blk])
             last = row_fill(
