@@ -50,21 +50,27 @@ def pad_batch_to_mesh(arrays, batch: int, mesh: Mesh) -> tuple[list, int]:
     return out, padded
 
 
-@functools.partial(jax.jit, static_argnames=("mesh",))
+@functools.partial(jax.jit, static_argnames=("mesh", "use_pallas"))
 def _sharded_costs_jit(
-    mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+    mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
+    use_pallas=False,
 ):
     spec_b = P(BATCH_AXIS)
 
     def shard_fn(ta, tb, cm, gi, go, mt, nt):
-        res = fill_rows.row_fill_batch(
-            ta, tb, cm, gi, go, mt, nt, want_moves=False
-        )
+        if use_pallas:
+            from ..ops.fill_pallas import batch_final3
+
+            final3 = batch_final3(ta, tb, cm, gi, go, mt, nt)
+        else:
+            final3 = fill_rows.row_fill_batch(
+                ta, tb, cm, gi, go, mt, nt, want_moves=False
+            ).final3
         # Exercise the collective path: every shard learns the global count
         # of filled cells (the GCUPS numerator aggregated over ICI/DCN).
         local_cells = jnp.sum(mt.astype(jnp.float32) * nt.astype(jnp.float32))
         total_cells = jax.lax.psum(local_cells, BATCH_AXIS)
-        return res.final3, total_cells
+        return final3, total_cells
 
     fn = jax.shard_map(
         shard_fn,
@@ -100,8 +106,9 @@ def sharded_fill_costs(
     m_d = jax.device_put(jnp.asarray(m_true), sharding)
     n_d = jax.device_put(jnp.asarray(n_true), sharding)
 
+    use_pallas = jax.devices()[0].platform not in ("cpu",)
     final3, _total_cells = _sharded_costs_jit(
         mesh, tok_a, tok_b, jnp.asarray(cost_mat), jnp.asarray(gap_id),
-        jnp.asarray(gap_open), m_d, n_d,
+        jnp.asarray(gap_open), m_d, n_d, use_pallas=use_pallas,
     )
     return np.asarray(final3)[:batch]
