@@ -39,6 +39,9 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from globalign_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
     platform = jax.devices()[0].platform
 
     backend = args.backend
@@ -70,10 +73,11 @@ def main() -> int:
         from globalign_tpu.ops import fill_pallas
 
         def one(ta):
-            last = fill_pallas.row_fill_last_rows(
+            # Meet-in-the-middle split: halves run as a stacked 2-batch,
+            # halving the sequential row count (docs/PERF.md).
+            return fill_pallas.split_fill_cost(
                 ta, tb, cost_mat, gap_id, gap_open, args.m, args.n
             )
-            return last[0, args.n]
 
     elif backend == "rows":
         from globalign_tpu.ops import fill_rows

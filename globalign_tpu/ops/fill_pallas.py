@@ -728,17 +728,50 @@ def wavefront_fill_cost(
     n_true=None,
     *,
     interpret: bool = False,
+    split: bool | None = None,
 ) -> jax.Array:
     """Cost-only fill: (3,) int32 final DP lanes at (m_true, n_true).
 
     Drop-in for ``fill_scan.wavefront_fill(...).final3`` on the fast path
     (min of the result is the optimal alignment cost,
     reference globaligner.py:425).
+
+    By default (``split=None`` -> auto) the fill runs **meet-in-the-middle**:
+    the top half forward and the bottom half reversed, stacked as a 2-pair
+    batch, then joined by the Myers-Miller middle-row minimization.  The
+    row loop's cost is dominated by the per-row serial-chain latency of the
+    prefix scan (measured ~1 us/row regardless of width), so halving the
+    sequential row count is ~2x wall-clock; the two half-problems ride the
+    stacked kernel's latency hiding.  Caveat: the split's return value is
+    ``(cost, cost, cost)`` — the overall optimum replicated — rather than
+    the three distinct final lanes, since the final cell's per-level costs
+    are not recovered by the join.  Callers needing true lanes (the join
+    itself, tests) pass ``split=False``.
     """
+    m = tok_a_ext.shape[0] - 1
     n = tok_b_ext.shape[0] - 1
+    if m_true is None:
+        m_true = m
     if n_true is None:
         n_true = n
-    last = row_fill_last_rows(
+    if split is None:
+        split = (
+            isinstance(m_true, int) and isinstance(n_true, int) and m_true >= 2
+        )
+    if not split:
+        last = row_fill_last_rows(
+            tok_a_ext,
+            tok_b_ext,
+            cost_mat,
+            gap_id,
+            gap_open,
+            m_true,
+            n_true,
+            interpret=interpret,
+        )
+        return last[:, jnp.asarray(n_true, jnp.int32)]
+
+    cost = split_fill_cost(
         tok_a_ext,
         tok_b_ext,
         cost_mat,
@@ -748,4 +781,100 @@ def wavefront_fill_cost(
         n_true,
         interpret=interpret,
     )
-    return last[:, jnp.asarray(n_true, jnp.int32)]
+    return jnp.stack([cost, cost, cost])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("m_true", "n_true", "pad_quantum", "interpret"),
+)
+def split_fill_cost(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true: int | None = None,
+    n_true: int | None = None,
+    *,
+    pad_quantum: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Meet-in-the-middle optimal cost (scalar int32); requires m >= 2.
+
+    Math: split seq_1 at ``mid``.  Forward-fill the top half and
+    forward-fill the REVERSED bottom half against reversed seq_2 — two
+    independent Gotoh problems stacked as one 2-pair batch.  For the
+    suffix DP, ``G_L(p, q)`` is the best cost of aligning the last ``p``
+    chars of seq_1 with the last ``q`` of seq_2 whose first move (forward
+    orientation) is of type L; each gap run is charged its open exactly
+    once inside F or G.  Any optimal path crosses row ``mid`` at some cell
+    (mid, j) arriving in level L and leaving with a move of type L', so
+
+        cost = min_{j,L,L'}  F_L(mid, j) + G_{L'}(m-mid, n-j) - go*[L = L' in {Ix, Iy}]
+
+    where the correction removes the double-charged open of a gap run that
+    spans the split (Myers-Miller).  F and G are clamped to BIG/2 before
+    summing so boundary sentinels cannot overflow int32 (real costs are
+    orders of magnitude below BIG/2).
+    """
+    if m_true is None:
+        m_true = tok_a_ext.shape[0] - 1
+    if n_true is None:
+        n_true = tok_b_ext.shape[0] - 1
+    m, n = m_true, n_true
+    assert m >= 2, "split fill requires m >= 2"
+    mid = m // 2
+
+    gap_open_i = jnp.asarray(gap_open, jnp.int32)
+
+    # Top half: rows 1..mid.  Bottom half: reversed rows m..mid+1 against
+    # reversed seq_2 (1-origin buffers with dummy position 0).  Halves are
+    # padded up to a shared quantum grid so nearby lengths reuse one
+    # compiled stacked kernel.
+    q = max(1, pad_quantum)
+    mh = max(q, q * -(-max(mid, m - mid) // q))
+    nh = max(q, q * -(-(n + 1) // q)) - 1
+
+    top_a = jnp.pad(tok_a_ext[: mid + 1], (0, mh - mid))
+    bot_a = jnp.pad(
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), tok_a_ext[mid + 1 : m + 1][::-1]]
+        ),
+        (0, mh - (m - mid)),
+    )
+    fwd_b = jnp.pad(tok_b_ext[: n + 1], (0, nh - n))
+    rev_b = jnp.pad(
+        jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), tok_b_ext[1 : n + 1][::-1]]
+        ),
+        (0, nh - n),
+    )
+
+    tok_a2 = jnp.stack([top_a, bot_a])
+    tok_b2 = jnp.stack([fwd_b, rev_b])
+    m_true2 = jnp.asarray([mid, m - mid], jnp.int32)
+    n_true2 = jnp.asarray([n, n], jnp.int32)
+
+    last = stacked_fill_last_rows(
+        tok_a2,
+        tok_b2,
+        cost_mat,
+        gap_id,
+        gap_open_i,
+        m_true2,
+        n_true2,
+        interpret=interpret,
+    )  # (2, 3, R*128)
+
+    half_big = BIG // 2
+    F = jnp.minimum(last[0, :, : n + 1], half_big)  # F_L(mid, j)
+    G = jnp.minimum(last[1, :, : n + 1], half_big)  # G_L(m-mid, q)
+    Gj = G[:, ::-1]  # Gj[:, j] = G[:, n - j]
+
+    combo = F[:, None, :] + Gj[None, :, :]  # (L, L', j)
+    corr = jnp.zeros((3, 3), jnp.int32)
+    corr = corr.at[1, 1].set(gap_open_i)
+    corr = corr.at[2, 2].set(gap_open_i)
+    combo = combo - corr[:, :, None]
+    return jnp.min(combo)

@@ -155,3 +155,45 @@ def test_batch_final3_interpret():
         )
     )
     assert (want == got).all()
+
+
+@pytest.mark.parametrize("pad", [None, 32])
+def test_split_fill_cost_matches_direct(pad):
+    """Meet-in-the-middle split (Myers-Miller join) == direct fill cost,
+    with and without shape-bucket padding."""
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.utils.tokenize import encode_padded
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(61)
+    for _ in range(8):
+        m = int(rng.integers(2, 70))
+        n = int(rng.integers(1, 70))
+        s1 = "".join(rng.choice(list("ACGT"), m))
+        s2 = "".join(rng.choice(list("ACGT"), n))
+        mp = m if pad is None else pad * -(-m // pad)
+        npad = n if pad is None else pad * -(-n // pad)
+        ta = jnp.asarray(encode_padded(alpha, s1, mp))
+        tb = jnp.asarray(encode_padded(alpha, s2, npad))
+        want = int(
+            np.asarray(
+                fill_rows.row_fill(
+                    ta, tb, cm, gid, go, None, None, m, n, want_moves=False
+                ).final3
+            ).min()
+        )
+        got = int(
+            np.asarray(
+                fill_pallas.split_fill_cost(
+                    ta, tb, cm, gid, go, m, n,
+                    pad_quantum=16, interpret=True,
+                )
+            )
+        )
+        assert want == got, (m, n, s1, s2, want, got)

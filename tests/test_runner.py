@@ -148,3 +148,20 @@ def test_stats_dict_sane():
                  seconds=0.5)
     d = s.as_dict()
     assert d["pad_waste"] == 0.5 and d["pairs_per_s"] == 20.0
+
+
+def test_runner_tolerates_torn_manifest_line(tmp_path):
+    """A preemption mid-journal-write leaves a torn JSON line; resume must
+    treat it as incomplete work, not crash."""
+    pairs = _random_pairs(6, seed=5)
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    r1 = BatchRunner(output=out, chunk_pairs=3, log=log)
+    r1.run(pairs[:3])  # chunk 0 complete
+    manifest = tmp_path / "res.tsv.manifest.jsonl"
+    with manifest.open("a") as f:
+        f.write('{"fingerprint": "abc", "chu')  # torn write
+    stats = BatchRunner(output=out, chunk_pairs=3, log=log).run(pairs)
+    log.close()
+    assert stats.skipped_chunks == 1 and stats.chunks == 1
+    assert len(_read_results(out)) == 6
