@@ -1,0 +1,115 @@
+"""Scaling-efficiency benchmark: batch throughput vs device count.
+
+Shards a fixed-size per-device workload (weak scaling) of pair alignments
+over 1, 2, ..., all visible devices with the production shard_map path and
+reports pairs/s and scaling efficiency vs the single-device rate.  On a real
+slice this exercises ICI collectives; during development it runs on a
+virtual CPU mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py --pairs_per_device 64 --len 256
+
+Prints one JSON line per device count plus a summary line with the
+efficiency at full width (the BASELINE.md >=85% target tracks the summary).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pairs_per_device", type=int, default=64)
+    parser.add_argument("--len", dest="length", type=int, default=256)
+    parser.add_argument("--repeats", type=int, default=3)
+    args = parser.parse_args()
+
+    import os
+
+    import jax
+
+    # Some TPU plugins ignore the JAX_PLATFORMS env var; apply it as the
+    # config knob so the documented CPU-mesh invocation works everywhere.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    import numpy as np
+
+    from globalign_tpu.parallel.mesh import make_pair_mesh, sharded_fill_costs
+    from globalign_tpu.ops.transforms import scoring_mat_to_costing_mat
+    from globalign_tpu.utils.matrices import create_scoring_mat
+    from globalign_tpu.utils.platform import enable_compilation_cache
+    from globalign_tpu.utils.tokenize import Alphabet
+
+    enable_compilation_cache()
+    devices = jax.devices()
+    alphabet = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alphabet, 2, -3, -2), max_score=2
+    )
+
+    L = args.length
+    rng = np.random.default_rng(0)
+
+    counts = []
+    d = 1
+    while d < len(devices):
+        counts.append(d)
+        d *= 2
+    counts.append(len(devices))
+
+    rates = {}
+    for nd in counts:
+        B = args.pairs_per_device * nd
+        tok_a = np.zeros((B, L + 1), np.int32)
+        tok_b = np.zeros((B, L + 1), np.int32)
+        tok_a[:, 1:] = rng.integers(0, 4, (B, L))
+        tok_b[:, 1:] = rng.integers(0, 4, (B, L))
+        m_true = np.full(B, L, np.int32)
+        n_true = np.full(B, L, np.int32)
+        mesh = make_pair_mesh(devices[:nd])
+
+        def run():
+            return sharded_fill_costs(
+                mesh, tok_a, tok_b, costing.values,
+                alphabet.gap_id, 4, m_true, n_true,
+            )
+
+        run()  # compile
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = run()
+            best = min(best, time.perf_counter() - t0)
+        assert out.shape == (B, 3)
+        rates[nd] = B / best
+        print(
+            json.dumps(
+                {
+                    "devices": nd,
+                    "pairs": B,
+                    "pairs_per_s": round(rates[nd], 1),
+                    "gcups": round(B * L * L / best / 1e9, 3),
+                }
+            )
+        )
+
+    full = counts[-1]
+    eff = rates[full] / (rates[1] * full) if full > 1 else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling_efficiency_{full}dev_weak",
+                "value": round(eff, 4),
+                "unit": "fraction",
+                "vs_baseline": round(eff / 0.85, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
