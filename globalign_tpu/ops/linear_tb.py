@@ -32,12 +32,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from .fill_rows import row_fill
-from .fill_scan import BIG, default_boundary
+from .fill_scan import default_boundary
 from .traceback import (
     GAP_CHAR,
     GAP_GLYPH,
     LEVEL_IX,
-    LEVEL_IY,
     LEVEL_M,
     MATCH_GLYPH,
     MISMATCH_GLYPH,

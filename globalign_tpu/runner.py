@@ -27,7 +27,7 @@ import sys
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Iterable, Iterator, Sequence
+from typing import Iterable, Iterator
 
 from .batch import DEFAULT_BUCKET_QUANTUM, align_pairs, bucket_length
 from .config import resolve_scheme
