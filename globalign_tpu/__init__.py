@@ -35,6 +35,7 @@ from .ops.transforms import (
     final_score_to_cost,
     scoring_mat_to_costing_mat,
 )
+from .ops.traceback import alignment_to_cigar
 from .results import AlignmentResults, prettify_mat
 from .runner import BatchRunner
 from .utils.fasta import read_first_2_seqs_from_fasta, read_seq_from_fasta
@@ -58,6 +59,7 @@ __all__ = [
     "align_pairs",
     "BatchRunner",
     "AlignmentResults",
+    "alignment_to_cigar",
     "GotohAligner",
     "ResolvedScheme",
     "SimpleScoringSettings",

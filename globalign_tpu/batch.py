@@ -53,6 +53,16 @@ class PairResult:
     middle_part: str | None = None
     seq_2_aligned: str | None = None
 
+    def cigar(self, extended: bool = True) -> str | None:
+        """CIGAR of the alignment, or None in cost-only mode."""
+        if self.seq_1_aligned is None:
+            return None
+        from .ops.traceback import alignment_to_cigar
+
+        return alignment_to_cigar(
+            self.seq_1_aligned, self.seq_2_aligned, extended=extended
+        )
+
 
 def bucket_length(length: int, quantum: int = DEFAULT_BUCKET_QUANTUM) -> int:
     """Round a sequence length up to the bucket grid (next multiple of quantum)."""

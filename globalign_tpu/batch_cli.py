@@ -49,6 +49,11 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="Also emit the aligned strings (slower: move codes on device).",
     )
+    parser.add_argument(
+        "--cigar",
+        action="store_true",
+        help="Append a CIGAR column ('='/'X'/'I'/'D'); implies --with_traceback.",
+    )
     parser.add_argument("--chunk_pairs", type=int, default=1024)
     parser.add_argument("--bucket_quantum", type=int, default=32)
     parser.add_argument(
@@ -131,7 +136,8 @@ def main(argv=None) -> int:
         scheme_kwargs=scheme_kwargs,
         chunk_pairs=args.chunk_pairs,
         bucket_quantum=args.bucket_quantum,
-        with_traceback=args.with_traceback,
+        with_traceback=args.with_traceback or args.cigar,
+        emit_cigar=args.cigar,
         mesh=mesh,
     )
     pairs = (

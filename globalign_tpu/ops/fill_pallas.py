@@ -72,7 +72,9 @@ def _make_row_kernel(m_static: int, unroll: int, batch_smem: bool = False):
         params_ref,  # (1, 4) int32: m_true, n_true (unused), gap_open, _
         tok_a_ref,  # (1, Mpad) int32
         col0y_ref,  # (1, Mpad) int32
-        gapcol_ref,  # (1, A) int32: cost(c, '-')
+        ics_ref,  # (1, Mpad) int32: icost(a_i) per row — precomputed so the
+        # in-loop read is address-independent (a dependent gapcol[a_i]
+        # lookup measurably serializes the row chain)
         # VMEM inputs
         subc_ref,  # (A, R, 128) int32
         dpref_ref,  # (R, 128) int32 prefix sums of dcost
@@ -138,7 +140,7 @@ def _make_row_kernel(m_static: int, unroll: int, batch_smem: bool = False):
         def one_row(i, state):
             mp, xp, yp = state
             ai = tok_a_ref[bsel, i]
-            ic = gapcol_ref[0, ai]
+            ic = ics_ref[bsel, i]
             c0y = col0y_ref[bsel, i]
 
             sub = subc_ref[ai]  # (R, 128) dynamic slice on leading axis
@@ -253,8 +255,9 @@ def row_fill_last_rows(
     col0y_s = jnp.pad(
         col0y.astype(jnp.int32), (0, mpad_u - m), mode="edge"
     ).reshape(1, -1)
-    gapcol_s = cost_mat[:, gap_id].reshape(1, A)
-
+    ics_s = jnp.pad(
+        cost_mat[tok_a_ext, gap_id], (0, mpad_u - m), mode="edge"
+    ).reshape(1, -1)
     out = pl.pallas_call(
         _make_row_kernel(m, unroll),
         out_shape=jax.ShapeDtypeStruct((3, R, LANES), jnp.int32),
@@ -274,7 +277,7 @@ def row_fill_last_rows(
             pltpu.VMEM((R, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(params, tok_a_s, col0y_s, gapcol_s, subc, dprefc, row0c)
+    )(params, tok_a_s, col0y_s, ics_s, subc, dprefc, row0c)
 
     return out.reshape(3, R * LANES)
 
@@ -330,6 +333,11 @@ def row_fill_last_rows_batch(
     col0y_s = jnp.pad(
         col0y.astype(jnp.int32), ((0, 0), (0, mpad_u - m)), mode="edge"
     )
+    ics_s = jnp.pad(
+        cost_mat[tok_a_ext, jnp.asarray(gap_id)],
+        ((0, 0), (0, mpad_u - m)),
+        mode="edge",
+    )
     params = jnp.stack(
         [
             m_true,
@@ -339,7 +347,6 @@ def row_fill_last_rows_batch(
         ],
         axis=-1,
     )  # (B, 4)
-    gapcol_s = cost_mat[:, gap_id].reshape(1, A)
 
     # SMEM tables are passed whole (Mosaic cannot block/slice SMEM on
     # sub-128 extents); the kernel row-indexes them by pl.program_id(0).
@@ -376,7 +383,7 @@ def row_fill_last_rows_batch(
         out_shape=jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(params, tok_a_s, col0y_s, gapcol_s, subc, dprefc, row0c)
+    )(params, tok_a_s, col0y_s, ics_s, subc, dprefc, row0c)
 
     return out.reshape(B, 3, R * LANES)
 
@@ -393,7 +400,7 @@ def _make_batch_row_kernel(unroll: int):
         params_ref,
         tok_a_ref,
         col0y_ref,
-        gapcol_ref,
+        ics_ref,
         subc_ref,
         dpref_ref,
         row0_ref,
@@ -406,7 +413,7 @@ def _make_batch_row_kernel(unroll: int):
             params_ref,
             tok_a_ref,
             col0y_ref,
-            gapcol_ref,
+            ics_ref,
             subc_ref.at[0],
             dpref_ref.at[0],
             row0_ref.at[0],
@@ -439,7 +446,7 @@ def _make_stacked_kernel(B: int, unroll: int):
         params_ref,  # (B, 4) int32 SMEM: m_true, n_true, _, _
         limits_ref,  # (1, 2) int32 SMEM: mmax, gap_open
         tok_a_ref,  # (B, Mpad+1) int32 SMEM
-        gapcol_ref,  # (1, A) int32 SMEM: cost(c, '-')
+        ics_ref,  # (B, Mpad+1) int32 SMEM: icost per pair per row
         subc_ref,  # (B, A, R, 128) int32 VMEM
         dpref_ref,  # (B, R, 128) int32 VMEM
         row0_ref,  # (B, 3, R, 128) int32 VMEM
@@ -499,9 +506,7 @@ def _make_stacked_kernel(B: int, unroll: int):
             for b in range(B):
                 ai = tok_a_ref[b, i]
                 sub_ref[b] = subc_ref[b, ai]
-                icf_ref[b] = jnp.full(
-                    (R, LANES), gapcol_ref[0, ai], jnp.int32
-                )
+                icf_ref[b] = jnp.full((R, LANES), ics_ref[b, i], jnp.int32)
             sub = sub_ref[:, :, :]
             icf = icf_ref[:, :, :]
 
@@ -597,7 +602,11 @@ def stacked_fill_last_rows(
         axis=-1,
     )
     limits = jnp.stack([jnp.max(m_true), gap_open_i]).reshape(1, 2)
-    gapcol_s = cost_mat[:, gap_id_i].reshape(1, A)
+    ics_s = jnp.pad(
+        cost_mat[tok_a_ext, gap_id_i],
+        ((0, 0), (0, mpad_u - m)),
+        mode="edge",
+    )
     # Column-0 Iy accumulator starts at gap_open in every lane (row 1 adds
     # icost(a_1), matching default_boundary's gap_open + cumsum).
     c0y0 = jnp.full((B, R, LANES), gap_open_i, jnp.int32)
@@ -624,7 +633,7 @@ def stacked_fill_last_rows(
             pltpu.VMEM((B, R, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(params, limits, tok_a_s, gapcol_s, subc, dprefc, row0c, c0y0)
+    )(params, limits, tok_a_s, ics_s, subc, dprefc, row0c, c0y0)
 
     return out.reshape(B, 3, R * LANES)
 

@@ -166,3 +166,42 @@ def alignment_cost(
             total += look(ca, GAP_CHAR)
             prev_level = LEVEL_IY
     return total
+
+
+def alignment_to_cigar(
+    seq_1_aligned: str, seq_2_aligned: str, *, extended: bool = True
+) -> str:
+    """CIGAR string for an aligned pair (seq_1 = query, seq_2 = reference).
+
+    SAM conventions: ``I`` consumes query only (gap in seq_2), ``D``
+    consumes reference only (gap in seq_1).  With ``extended`` (default)
+    matches/mismatches are ``=``/``X``; otherwise both collapse to ``M``.
+    The reference package has no CIGAR emitter; this is part of the batch
+    engine's interchange surface (BASELINE.json configs).
+    """
+    if len(seq_1_aligned) != len(seq_2_aligned):
+        raise ValueError("aligned strings must have equal length")
+    out: list[str] = []
+    run_op = ""
+    run_len = 0
+    for ca, cb in zip(seq_1_aligned, seq_2_aligned):
+        if ca == GAP_CHAR and cb == GAP_CHAR:
+            raise ValueError("gap aligned to gap")
+        if ca == GAP_CHAR:
+            op = "D"
+        elif cb == GAP_CHAR:
+            op = "I"
+        elif extended:
+            op = "=" if ca == cb else "X"
+        else:
+            op = "M"
+        if op == run_op:
+            run_len += 1
+        else:
+            if run_len:
+                out.append(f"{run_len}{run_op}")
+            run_op = op
+            run_len = 1
+    if run_len:
+        out.append(f"{run_len}{run_op}")
+    return "".join(out)

@@ -31,6 +31,15 @@ class AlignmentResults(NamedTuple):
     gap_open_cost: int
     output: Path | None
 
+    def cigar(self, extended: bool = True) -> str:
+        """CIGAR string of the alignment (seq_1 = query, seq_2 = reference;
+        '='/'X'/'I'/'D' extended ops by default, classic 'M' otherwise)."""
+        from .ops.traceback import alignment_to_cigar
+
+        return alignment_to_cigar(
+            self.seq_1_aligned, self.seq_2_aligned, extended=extended
+        )
+
     def _generate_alignment_printout(
         self,
         desc_1: str = "seq_1",

@@ -83,6 +83,7 @@ class BatchRunner:
     chunk_pairs: int = DEFAULT_CHUNK_PAIRS
     bucket_quantum: int = DEFAULT_BUCKET_QUANTUM
     with_traceback: bool = False
+    emit_cigar: bool = False
     mesh: object = None
     log: object = None
 
@@ -106,6 +107,7 @@ class BatchRunner:
                 "chunk_pairs": self.chunk_pairs,
                 "bucket_quantum": self.bucket_quantum,
                 "with_traceback": self.with_traceback,
+                "emit_cigar": self.emit_cigar,
             },
             sort_keys=True,
         )
@@ -196,6 +198,8 @@ class BatchRunner:
                             r.middle_part,
                             r.seq_2_aligned,
                         ]
+                        if self.emit_cigar:
+                            row.append(r.cigar())
                     out.write("\t".join(row) + "\n")
 
             true_cells = sum(len(a) * len(b) for a, b in chunk)

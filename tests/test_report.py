@@ -131,3 +131,19 @@ def test_tutorial_python_api_report_exact():
         gap_extension_score=-1,
     )
     assert str(r).strip() == TUTORIAL_GOLDEN_2.strip()
+
+
+def test_cigar_emission():
+    from globalign_tpu import alignment_to_cigar, find_global_alignment
+
+    r = find_global_alignment(seq_1="ACGT", seq_2="AGT")
+    assert r.seq_1_aligned == "ACGT" and r.seq_2_aligned == "A-GT"
+    assert r.cigar() == "1=1I2="
+    assert r.cigar(extended=False) == "1M1I2M"
+    assert alignment_to_cigar("AC--T", "A-GGT") == "1=1I2D1="
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        alignment_to_cigar("A-", "A-")
+    with _pytest.raises(ValueError):
+        alignment_to_cigar("AB", "A")

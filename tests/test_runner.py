@@ -165,3 +165,14 @@ def test_runner_tolerates_torn_manifest_line(tmp_path):
     log.close()
     assert stats.skipped_chunks == 1 and stats.chunks == 1
     assert len(_read_results(out)) == 6
+
+
+def test_batch_cli_cigar_column(tmp_path):
+    from globalign_tpu.batch_cli import main
+
+    tsv = tmp_path / "p.tsv"
+    tsv.write_text("ACGT\tAGT\n")
+    out = tmp_path / "out.tsv"
+    assert main(["--pairs_tsv", str(tsv), "-o", str(out), "--cigar"]) == 0
+    cols = out.read_text().splitlines()[0].split("\t")
+    assert cols[3:] == ["ACGT", "| ||", "A-GT", "1=1I2="]
