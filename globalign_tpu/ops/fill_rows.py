@@ -64,12 +64,15 @@ class RowFillResult(NamedTuple):
         last3: (3, n+1) int32 — the DP lanes of the last computed row ``m``
             (the scan's final carry, free to emit; feeds the checkpointed
             linear-space traceback).
+        edge: (m, 3) int32 — per-row lanes at ``edge_col`` (want_edge mode),
+            or None.
     """
 
     final3: jax.Array
     moves: jax.Array | None
     planes: jax.Array | None
     last3: jax.Array | None = None
+    edge: jax.Array | None = None
 
 
 def _shift_right_big(x: jax.Array) -> jax.Array:
@@ -92,6 +95,9 @@ def row_fill_impl(
     want_moves: bool = True,
     want_planes: bool = False,
     unroll: int = 1,
+    col0_full: bool = False,
+    want_edge: bool = False,
+    edge_col=None,
 ) -> RowFillResult:
     """Fill the Gotoh DP matrix row by row (see module docstring).
 
@@ -104,6 +110,16 @@ def row_fill_impl(
             result is read at cell (m_true, n_true).  Padded cells are
             computed but never feed real cells (dependencies only flow from
             smaller i, j).
+        col0_full: treat ``col0`` as a full 3-lane interior boundary (a
+            column-strip's left edge received from a neighbor device, not
+            the matrix edge): cell (i, 0) takes all three lanes from
+            ``col0[:, i]``, and the Ix lane's incoming horizontal chain
+            (the neighbor's ``Ix`` continuing without a fresh gap-open) is
+            injected as a floor on the prefix minimum.
+        want_edge / edge_col: also emit, per row, the three lanes at column
+            ``edge_col`` — a strip's right edge, streamed to the neighbor
+            device by the sequence-parallel wavefront (O(m) extra output,
+            no planes materialization).
 
     vmap-compatible over a leading batch axis of (tok_a_ext, tok_b_ext,
     m_true, n_true).
@@ -138,7 +154,7 @@ def row_fill_impl(
 
     def step(carry, xs):
         mp, xp, yp, final3 = carry  # row i-1: (n+1,) each
-        i, ai, ic, y_bound = xs
+        i, ai, ic, m_bound, x_bound, y_bound = xs
 
         sub_row = jnp.take(subrows, ai, axis=0)  # (n+1,) cost(a_i, b_j)
 
@@ -153,16 +169,20 @@ def row_fill_impl(
 
         # Column-0 boundary before H so that Ix[i,1] sees the boundary cell
         # (reference make_dp_array seeds column 0 explicitly and the fill
-        # never recomputes it, globaligner.py:778-819).
-        mc = mc.at[0].set(BIG)
+        # never recomputes it, globaligner.py:778-819).  In col0_full mode
+        # the boundary is a neighbor strip's interior edge (all lanes real).
+        mc = mc.at[0].set(m_bound)
         yc = yc.at[0].set(y_bound)
 
         # Horizontal lane via exclusive prefix-min of H - D (exact in int32).
+        # The boundary Ix continues the neighbor's horizontal run with no
+        # fresh gap-open: a floor of x_bound on the prefix (BIG when the
+        # boundary is the true matrix edge, where Ix is unreachable).
         h = jnp.minimum(mc, yc) + gap_open
         p = h - dprefix
-        ep = jax.lax.cummin(_shift_right_big(p))
+        ep = jnp.minimum(jax.lax.cummin(_shift_right_big(p)), x_bound)
         xc = jnp.minimum(dprefix + ep, BIG)
-        xc = xc.at[0].set(BIG)
+        xc = xc.at[0].set(x_bound)
 
         final3 = jnp.where(
             i == m_true,
@@ -171,6 +191,8 @@ def row_fill_impl(
         )
 
         ys = []
+        if want_edge:
+            ys.append(jnp.stack([mc[edge_idx], xc[edge_idx], yc[edge_idx]]))
         if want_moves:
             # Argmin provenance by exact equality, tie priority M > Ix > Iy
             # (first-minimum, same as jnp.argmin in fill_scan).
@@ -199,8 +221,16 @@ def row_fill_impl(
             ys.append(jnp.stack([mc, xc, yc]))
         return (mc, xc, yc, final3), tuple(ys)
 
+    edge_idx = (
+        jnp.asarray(edge_col, jnp.int32) if edge_col is not None else n_true
+    )
     i_ids = jnp.arange(1, m + 1, dtype=jnp.int32)
-    xs = (i_ids, tok_a_ext[1:], isteps[1:], col0[2, 1:])
+    if col0_full:
+        m_bounds, x_bounds = col0[0, 1:], col0[1, 1:]
+    else:
+        m_bounds = jnp.full((m,), BIG, jnp.int32)
+        x_bounds = jnp.full((m,), BIG, jnp.int32)
+    xs = (i_ids, tok_a_ext[1:], isteps[1:], m_bounds, x_bounds, col0[2, 1:])
     final3_init = jnp.where(
         m_true == 0,
         jnp.stack([row0[0, n_true], row0[1, n_true], row0[2, n_true]]),
@@ -212,7 +242,11 @@ def row_fill_impl(
 
     moves = None
     planes = None
+    edge = None
     pos = 0
+    if want_edge:
+        edge = ys[pos]  # (m, 3)
+        pos += 1
     if want_moves:
         body = ys[pos]  # (m, n+1)
         pos += 1
@@ -225,12 +259,15 @@ def row_fill_impl(
         planes = jnp.moveaxis(jnp.concatenate([head, body], axis=0), 1, 0)
 
     return RowFillResult(
-        final3=final3, moves=moves, planes=planes, last3=last3
+        final3=final3, moves=moves, planes=planes, last3=last3, edge=edge
     )
 
 
 row_fill = jax.jit(
-    row_fill_impl, static_argnames=("want_moves", "want_planes", "unroll")
+    row_fill_impl,
+    static_argnames=(
+        "want_moves", "want_planes", "unroll", "col0_full", "want_edge"
+    ),
 )
 
 
