@@ -43,6 +43,20 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
+def _pallas_moves(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true):
+    from .ops.fill_pallas import batch_moves
+
+    return batch_moves(
+        jnp.asarray(tok_a),
+        jnp.asarray(tok_b),
+        cost_mat,
+        gap_id,
+        gap_open,
+        jnp.asarray(m_true),
+        jnp.asarray(n_true),
+    )
+
+
 @dataclass(frozen=True)
 class PairResult:
     """Result for one pair in a batch (traceback fields None in cost-only mode)."""
@@ -177,6 +191,15 @@ def align_pairs(
                 )
             )
             moves = None
+        elif (
+            with_traceback
+            and _use_pallas()
+            and (got := _pallas_moves(
+                tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+            ))
+            is not None
+        ):
+            final3, moves = got
         else:
             res = fill_rows.row_fill_batch(
                 jnp.asarray(tok_a),

@@ -426,7 +426,7 @@ def _make_batch_row_kernel(unroll: int):
     return kernel
 
 
-def _make_stacked_kernel(B: int, unroll: int):
+def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
     """Stacked-pairs kernel: every pair advances the same row index together.
 
     The grid-per-pair kernel (``row_fill_last_rows_batch``) is latency-bound
@@ -440,24 +440,53 @@ def _make_stacked_kernel(B: int, unroll: int):
     VMEM scratch (supported), the column-0 Iy accumulator is carried as a
     full (B,R,128) value, and each pair's output row is written by a per-b
     predicated copy when the row counter hits its m_true.
-    """
 
-    def kernel(
-        params_ref,  # (B, 4) int32 SMEM: m_true, n_true, _, _
-        limits_ref,  # (1, 2) int32 SMEM: mmax, gap_open
-        tok_a_ref,  # (B, Mpad+1) int32 SMEM
-        ics_ref,  # (B, Mpad+1) int32 SMEM: icost per pair per row
-        subc_ref,  # (B, A, R, 128) int32 VMEM
-        dpref_ref,  # (B, R, 128) int32 VMEM
-        row0_ref,  # (B, 3, R, 128) int32 VMEM
-        c0y0_ref,  # (B, R, 128) int32 VMEM: column-0 Iy start (pre-row-1)
-        out_ref,  # (B, 3, R, 128) int32 VMEM
-        m_ref,  # scratch (B, R, 128)
-        x_ref,
-        y_ref,
-        sub_ref,  # scratch (B, R, 128): per-row substitution rows
-        icf_ref,  # scratch (B, R, 128): per-row icost splats
-    ):
+    With ``want_moves`` the kernel additionally emits packed argmin codes
+    per cell (same 2-bit-per-lane format and M > Ix > Iy tie order as
+    ops/fill_rows.py), streamed row by row from a double-buffered uint8
+    VMEM scratch to an HBM-resident output via async DMA so the O(m*n)
+    moves never occupy VMEM.  Requires unroll == 1.
+    """
+    assert not (want_moves and unroll != 1), "moves mode requires unroll=1"
+
+    def kernel(*refs):
+        if want_moves:
+            (
+                params_ref,
+                limits_ref,
+                tok_a_ref,
+                ics_ref,
+                subc_ref,
+                dpref_ref,
+                row0_ref,
+                c0y0_ref,
+                out_ref,
+                moves_ref,  # (B, Mpad+1, R, 128) uint8, HBM-resident
+                m_ref,
+                x_ref,
+                y_ref,
+                sub_ref,
+                icf_ref,
+                mv_ref,  # (2, B, R, 128) uint8 double-buffer scratch
+                dma_sems,  # DMA semaphores (2,)
+            ) = refs
+        else:
+            (
+                params_ref,  # (B, 4) int32 SMEM: m_true, n_true, _, _
+                limits_ref,  # (1, 2) int32 SMEM: mmax, gap_open
+                tok_a_ref,  # (B, Mpad+1) int32 SMEM
+                ics_ref,  # (B, Mpad+1) int32 SMEM: icost per pair per row
+                subc_ref,  # (B, A, R, 128) int32 VMEM
+                dpref_ref,  # (B, R, 128) int32 VMEM
+                row0_ref,  # (B, 3, R, 128) int32 VMEM
+                c0y0_ref,  # (B, R, 128) int32 VMEM: col-0 Iy start
+                out_ref,  # (B, 3, R, 128) int32 VMEM
+                m_ref,  # scratch (B, R, 128)
+                x_ref,
+                y_ref,
+                sub_ref,  # scratch (B, R, 128): per-row substitution rows
+                icf_ref,  # scratch (B, R, 128): per-row icost splats
+            ) = refs
         R = dpref_ref.shape[1]
         mmax = limits_ref[0, 0]
         gap_open = limits_ref[0, 1]
@@ -492,6 +521,15 @@ def _make_stacked_kernel(B: int, unroll: int):
             return jnp.minimum(xs, c)
 
         dpref = dpref_ref[:, :, :]
+        if want_moves:
+            # dcost(b_j) per packed position: recoverable from the prefix
+            # sums (D[j] - D[j-1] within chunks; exact because padding is
+            # constant BIG only past the true width, never read).
+            dsteps_all = dpref - jnp.where(
+                lane == 0,
+                jnp.where(rcol >= 1, pltpu.roll(dpref[:, :, LANES - 1 :], 1, axis=1), 0),
+                pltpu.roll(dpref, 1, axis=2),
+            )
 
         m_ref[:, :, :] = row0_ref[:, 0]
         x_ref[:, :, :] = row0_ref[:, 1]
@@ -512,7 +550,12 @@ def _make_stacked_kernel(B: int, unroll: int):
 
             c0yf = c0yf + icf  # column-0 Iy accumulator, all lanes
 
-            best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
+            if want_moves:
+                mp_s, xp_s, yp_s = shift1(mp), shift1(xp), shift1(yp)
+                best = jnp.minimum(jnp.minimum(mp_s, xp_s), yp_s)
+            else:
+                # min and shift commute: one fused shift replaces three.
+                best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
             mc = jnp.where(mask0, BIG, jnp.minimum(best + sub, BIG))
             vy = jnp.minimum(jnp.minimum(mp, xp) + gap_open, yp)
             yc = jnp.minimum(vy + icf, BIG)
@@ -525,6 +568,41 @@ def _make_stacked_kernel(B: int, unroll: int):
             m_ref[:, :, :] = mc
             x_ref[:, :, :] = xc
             y_ref[:, :, :] = yc
+
+            if want_moves:
+                # Argmin provenance by exact equality, tie order M > Ix > Iy
+                # (identical to ops/fill_rows.py move recovery).
+                dstepsv = dsteps_all
+                code_m = jnp.where(
+                    mp_s == best, 0, jnp.where(xp_s == best, 1, 2)
+                )
+                code_y = jnp.where(
+                    mp + gap_open == vy,
+                    0,
+                    jnp.where(xp + gap_open == vy, 1, 2),
+                )
+                mc_s = shift1(mc)
+                xc_s = shift1(xc)
+                code_x = jnp.where(
+                    xc == mc_s + gap_open + dstepsv,
+                    0,
+                    jnp.where(xc == xc_s + dstepsv, 1, 2),
+                )
+                code = (code_m + 4 * code_x + 16 * code_y).astype(jnp.uint8)
+
+                slot = jax.lax.rem(i, 2)
+
+                @pl.when(i >= 3)
+                def _():
+                    # The DMA that used this slot (row i-2) must be done.
+                    pltpu.make_async_copy(
+                        mv_ref.at[slot], moves_ref.at[:, i - 2], dma_sems.at[slot]
+                    ).wait()
+
+                mv_ref[slot] = code
+                pltpu.make_async_copy(
+                    mv_ref.at[slot], moves_ref.at[:, i], dma_sems.at[slot]
+                ).start()
 
             for b in range(B):
 
@@ -543,6 +621,24 @@ def _make_stacked_kernel(B: int, unroll: int):
 
         ntrips = jax.lax.div(mmax + (unroll - 1), jnp.int32(unroll))
         jax.lax.fori_loop(0, ntrips, body, c0y0_ref[:, :, :])
+
+        if want_moves:
+            # Drain the last (up to two) in-flight row DMAs.
+            @pl.when(mmax >= 1)
+            def _():
+                pltpu.make_async_copy(
+                    mv_ref.at[jax.lax.rem(mmax, 2)],
+                    moves_ref.at[:, mmax],
+                    dma_sems.at[jax.lax.rem(mmax, 2)],
+                ).wait()
+
+            @pl.when(mmax >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    mv_ref.at[jax.lax.rem(mmax - 1, 2)],
+                    moves_ref.at[:, mmax - 1],
+                    dma_sems.at[jax.lax.rem(mmax - 1, 2)],
+                ).wait()
 
     return kernel
 
@@ -660,6 +756,156 @@ def _stacked_tile_size(batch: int, n: int, alphabet_size: int) -> int:
     while tile * 2 <= min(cap, batch, 256):
         tile *= 2
     return tile
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stacked_fill_with_moves(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    *,
+    interpret: bool = False,
+):
+    """Stacked batched fill that also emits packed move codes.
+
+    Returns ``(last, moves)``: ``last`` (B, 3, R*128) int32 as in
+    :func:`stacked_fill_last_rows`, and ``moves`` (B, Mpad+1, R*128) uint8
+    row-major packed codes (row 0 undefined; bits as in ops/fill_rows.py),
+    streamed to HBM by per-row double-buffered DMA.  Feeds the batch
+    engine's traceback path on accelerators.
+    """
+    B, m1 = tok_a_ext.shape
+    n = tok_b_ext.shape[1] - 1
+    m = m1 - 1
+    A = cost_mat.shape[0]
+    R = max(1, -(-(n + 1) // LANES))
+    unroll = 1
+
+    gap_open_i = jnp.asarray(gap_open, jnp.int32)
+    cost_mat = jnp.asarray(cost_mat, jnp.int32)
+    gap_id_i = jnp.asarray(gap_id, jnp.int32)
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+
+    def prep(ta, tb):
+        row0, _col0 = default_boundary(ta, tb, cost_mat, gap_id_i, gap_open_i)
+        subrows = cost_mat[:, tb]
+        dsteps = cost_mat[gap_id_i, tb].at[0].set(0)
+        dpref = jnp.cumsum(dsteps, dtype=jnp.int32)
+        return _chunk(subrows, R), _chunk(dpref, R), _chunk(row0, R)
+
+    subc, dprefc, row0c = jax.vmap(prep)(tok_a_ext, tok_b_ext)
+
+    mpad_u = m
+    tok_a_s = tok_a_ext.astype(jnp.int32)
+    params = jnp.stack(
+        [
+            m_true,
+            n_true,
+            jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B,), jnp.int32),
+        ],
+        axis=-1,
+    )
+    limits = jnp.stack([jnp.max(m_true), gap_open_i]).reshape(1, 2)
+    ics_s = cost_mat[tok_a_ext, gap_id_i]
+    c0y0 = jnp.full((B, R, LANES), gap_open_i, jnp.int32)
+
+    last, moves = pl.pallas_call(
+        _make_stacked_kernel(B, unroll, want_moves=True),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((B, mpad_u + 1, R, LANES), jnp.uint8),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((2, B, R, LANES), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(params, limits, tok_a_s, ics_s, subc, dprefc, row0c, c0y0)
+
+    return last.reshape(B, 3, R * LANES), moves.reshape(B, mpad_u + 1, R * LANES)
+
+
+def batch_moves(
+    tok_a_ext,
+    tok_b_ext,
+    cost_mat,
+    gap_id,
+    gap_open,
+    m_true,
+    n_true,
+    *,
+    interpret: bool = False,
+):
+    """Batched fill WITH move codes — (final3 (B,3), moves (B, M+1, Npad)).
+
+    Dispatches to the stacked moves kernel in power-of-two tiles (same VMEM
+    policy as :func:`batch_final3`); returns None if the stacked kernel is
+    not applicable for these shapes (caller falls back to the XLA row
+    scan).  Moves are HBM-resident numpy on return.
+    """
+    import numpy as np
+
+    tok_a_ext = jnp.asarray(tok_a_ext)
+    tok_b_ext = jnp.asarray(tok_b_ext)
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+    B = tok_a_ext.shape[0]
+    n = tok_b_ext.shape[1] - 1
+    A = cost_mat.shape[0]
+
+    tile = _stacked_tile_size(B, n, A)
+    if tile == 0:
+        return None
+
+    finals = []
+    moves_out = []
+    for lo in range(0, B, tile):
+        hi = min(lo + tile, B)
+        pad = tile - (hi - lo)
+        sl = slice(lo, hi)
+        ta = tok_a_ext[sl]
+        tb = tok_b_ext[sl]
+        mt = m_true[sl]
+        nt = n_true[sl]
+        if pad:
+            ta = jnp.concatenate([ta, jnp.broadcast_to(ta[:1], (pad,) + ta.shape[1:])])
+            tb = jnp.concatenate([tb, jnp.broadcast_to(tb[:1], (pad,) + tb.shape[1:])])
+            mt = jnp.concatenate([mt, jnp.broadcast_to(mt[:1], (pad,))])
+            nt = jnp.concatenate([nt, jnp.broadcast_to(nt[:1], (pad,))])
+        last, moves = stacked_fill_with_moves(
+            ta, tb, cost_mat, gap_id, gap_open, mt, nt, interpret=interpret
+        )
+        idx = nt[:, None, None]
+        vals = jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
+        finals.append(np.asarray(vals[: hi - lo]))
+        moves_out.append(np.asarray(moves[: hi - lo]))
+    return np.concatenate(finals, axis=0), np.concatenate(moves_out, axis=0)
 
 
 def batch_final3(

@@ -197,3 +197,39 @@ def test_split_fill_cost_matches_direct(pad):
             )
         )
         assert want == got, (m, n, s1, s2, want, got)
+
+
+def test_stacked_moves_interpret_matches_row_fill():
+    """Stacked moves mode: identical final lanes and tracebacks."""
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.ops.traceback import traceback_moves
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(91)
+    B, M, N = 4, 40, 150
+    tok_a, tok_b, mt, nt = _random_batch(rng, B, M, N, alpha)
+    want = fill_rows.row_fill_batch(
+        jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+        jnp.asarray(mt), jnp.asarray(nt), want_moves=True,
+    )
+    last, moves = fill_pallas.stacked_fill_with_moves(
+        jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+        jnp.asarray(mt), jnp.asarray(nt), interpret=True,
+    )
+    last, moves = np.asarray(last), np.asarray(moves)
+    wf, wm = np.asarray(want.final3), np.asarray(want.moves)
+    letters = "ACGT"
+    for b in range(B):
+        s1 = "".join(letters[c] for c in tok_a[b, 1 : mt[b] + 1])
+        s2 = "".join(letters[c] for c in tok_b[b, 1 : nt[b] + 1])
+        got3 = last[b][:, nt[b]]
+        assert (wf[b] == got3).all()
+        t1 = traceback_moves(wm[b], s1, s2, wf[b], "row")
+        t2 = traceback_moves(moves[b], s1, s2, got3, "row")
+        assert t1 == t2
