@@ -36,6 +36,11 @@ from .utils.tokenize import GAP, encode_padded
 
 DEFAULT_BUCKET_QUANTUM = 32
 
+# Above this many bytes of move codes for one bucket, traceback mode
+# processes that bucket pair-by-pair with the checkpointed linear-space
+# replay instead of materializing the whole bucket's moves.
+DEFAULT_BATCH_MOVES_BUDGET = 256 * 1024 * 1024
+
 
 def _use_pallas() -> bool:
     import jax
@@ -160,6 +165,34 @@ def align_pairs(
 
     results: list[PairResult | None] = [None] * len(pairs)
     for (M, N), indices in buckets.items():
+        if (
+            with_traceback
+            and (M + 1) * (N + 1) * len(indices) > DEFAULT_BATCH_MOVES_BUDGET
+        ):
+            # Bucket's move matrices would not fit; fall back to per-pair
+            # checkpointed linear-space traceback (same deterministic path).
+            from .ops.linear_tb import align_blocked
+
+            for idx in indices:
+                s1, s2 = pairs[idx]
+                tok_a = encode_padded(scheme.alphabet, s1, len(s1))
+                tok_b = encode_padded(scheme.alphabet, s2, len(s2))
+                tb = align_blocked(
+                    tok_a, jnp.asarray(tok_b), cost_mat, gap_id, gap_open,
+                    s1, s2,
+                )
+                score = final_cost_to_score(
+                    cost=tb.cost, m=len(s1), n=len(s2),
+                    max_score=scheme.max_score,
+                )
+                results[idx] = PairResult(
+                    cost=tb.cost,
+                    score=score,
+                    seq_1_aligned=tb.seq_1_aligned,
+                    middle_part=tb.middle_part,
+                    seq_2_aligned=tb.seq_2_aligned,
+                )
+            continue
         tok_a = np.stack(
             [encode_padded(scheme.alphabet, pairs[i][0], M) for i in indices]
         )

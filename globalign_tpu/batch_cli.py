@@ -125,10 +125,10 @@ def main(argv=None) -> int:
         from .parallel.mesh import make_pair_mesh
 
         mesh = make_pair_mesh()
-        if args.with_traceback:
+        if args.with_traceback or args.cigar:
             raise SystemExit(
                 "--shard currently supports cost-only mode "
-                "(drop --with_traceback)."
+                "(drop --with_traceback / --cigar)."
             )
 
     runner = BatchRunner(

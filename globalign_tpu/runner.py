@@ -113,8 +113,9 @@ class BatchRunner:
         )
         return hashlib.sha256(basis.encode()).hexdigest()[:16]
 
-    def _completed_chunks(self) -> set[int]:
-        done: set[int] = set()
+    def _completed_chunks(self) -> dict[int, str]:
+        """chunk id -> pairs digest of journaled (completed) chunks."""
+        done: dict[int, str] = {}
         fp = self._fingerprint()
         if not self.manifest_path.exists():
             return done
@@ -128,14 +129,54 @@ class BatchRunner:
                 except json.JSONDecodeError:
                     continue  # torn write from a preempted run
                 if rec.get("fingerprint") == fp and "chunk" in rec:
-                    done.add(int(rec["chunk"]))
+                    done[int(rec["chunk"])] = rec.get("pairs_sha", "")
         return done
 
-    def _journal(self, chunk: int, n_pairs: int, seconds: float) -> None:
+    def _dedupe_output(self, done: dict[int, str]) -> None:
+        """Drop output rows of chunks that were never journaled.
+
+        Results are appended before the journal line (so a crash between
+        the two leaves rows without a journal entry); on resume those rows
+        would be recomputed and appended again.  Rewriting the output to
+        keep only journaled chunks makes resume exactly-once.
+        """
+        if not self.output.exists():
+            return
+        kept = []
+        dropped = 0
+        for line in self.output.read_text().splitlines():
+            try:
+                idx = int(line.split("\t", 1)[0])
+            except (ValueError, IndexError):
+                dropped += 1
+                continue
+            if idx // self.chunk_pairs in done:
+                kept.append(line)
+            else:
+                dropped += 1
+        if dropped:
+            tmp = self.output.with_suffix(self.output.suffix + ".tmp")
+            tmp.write_text("".join(k + "\n" for k in kept))
+            tmp.replace(self.output)
+
+    @staticmethod
+    def _pairs_digest(chunk) -> str:
+        h = hashlib.sha256()
+        for s1, s2 in chunk:
+            h.update(s1.encode())
+            h.update(b"\t")
+            h.update(s2.encode())
+            h.update(b"\n")
+        return h.hexdigest()[:16]
+
+    def _journal(
+        self, chunk: int, n_pairs: int, seconds: float, pairs_sha: str
+    ) -> None:
         rec = {
             "fingerprint": self._fingerprint(),
             "chunk": chunk,
             "pairs": n_pairs,
+            "pairs_sha": pairs_sha,
             "seconds": round(seconds, 3),
             "ts": time.time(),
         }
@@ -162,23 +203,46 @@ class BatchRunner:
         if buf:
             yield chunk_id, base, buf
 
+    def _chunk_scheme(self, chunk, cached):
+        """Scheme for a chunk.
+
+        Matrix-based schemes (named/custom matrix) fix the alphabet and are
+        resolved once; simple schemes are class-based (match/mismatch/gap —
+        values independent of the alphabet), so each chunk resolves over its
+        own upper-cased character union and a letter first appearing in a
+        late chunk cannot crash the run.
+        """
+        matrix_based = any(
+            self.scheme_kwargs.get(k)
+            for k in ("scoring_mat_name", "scoring_mat_path")
+        )
+        if matrix_based and cached is not None:
+            return cached
+        all_1 = "".join(s1 for s1, _ in chunk).upper()
+        all_2 = "".join(s2 for _, s2 in chunk).upper()
+        return resolve_scheme(all_1, all_2, **self.scheme_kwargs)
+
     def run(self, pairs: Iterable[tuple[str, str]]) -> RunStats:
         """Align all pairs, resuming past journaled chunks; returns stats."""
         scheme = None
         stats = RunStats()
         done = self._completed_chunks()
+        self._dedupe_output(done)
 
         for chunk_id, base, chunk in self._chunks(pairs):
-            if chunk_id in done:
+            sha = self._pairs_digest(chunk)
+            prev = done.get(chunk_id)
+            if prev is not None:
+                if prev and prev != sha:
+                    raise RuntimeError(
+                        f"Chunk {chunk_id}: journaled input digest {prev} "
+                        f"does not match this input ({sha}).  The manifest "
+                        f"at {self.manifest_path} belongs to a different "
+                        f"input file; use a fresh output path (or --fresh)."
+                    )
                 stats.skipped_chunks += 1
                 continue
-            if scheme is None:
-                # Resolve once over this chunk's union alphabet extended by
-                # any explicit matrix; simple schemes are class-based so the
-                # alphabet only needs to cover the observed characters.
-                all_1 = "".join(s1 for s1, _ in chunk)
-                all_2 = "".join(s2 for _, s2 in chunk)
-                scheme = resolve_scheme(all_1, all_2, **self.scheme_kwargs)
+            scheme = self._chunk_scheme(chunk, scheme)
             t0 = time.perf_counter()
             results = align_pairs(
                 chunk,
@@ -213,7 +277,7 @@ class BatchRunner:
             stats.true_cells += true_cells
             stats.padded_cells += padded
             stats.seconds += dt
-            self._journal(chunk_id, len(chunk), dt)
+            self._journal(chunk_id, len(chunk), dt, sha)
             print(
                 json.dumps(
                     {

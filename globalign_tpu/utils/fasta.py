@@ -16,6 +16,10 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Iterator
 
+# Files larger than this stream through the pure-Python parser instead of
+# the whole-file native one.
+_NATIVE_MAX_BYTES = 256 * 1024 * 1024
+
 
 def read_seq_from_fasta(fasta_path: Path | str) -> Iterator[tuple[str, str]]:
     """Yield (description, sequence) records from a FASTA file.
@@ -29,7 +33,13 @@ def read_seq_from_fasta(fasta_path: Path | str) -> Iterator[tuple[str, str]]:
         RuntimeError: on invalid format (no leading '>', empty sequence).
     """
     fasta_path = Path(fasta_path)
-    if fasta_path.exists():
+    # The native parser materializes the whole file; use it only below a
+    # size threshold so multi-GB inputs keep the generator's streaming
+    # memory profile.
+    if (
+        fasta_path.exists()
+        and fasta_path.stat().st_size <= _NATIVE_MAX_BYTES
+    ):
         from . import native
 
         if native.available():

@@ -80,3 +80,25 @@ def test_align_pairs_validation():
     with pytest.raises(RuntimeError):
         align_pairs([("AC-T", "ACGT")])
     assert align_pairs([]) == []
+
+
+def test_batch_traceback_moves_budget_fallback(monkeypatch):
+    """Buckets whose move matrices exceed the budget go through the
+    blocked per-pair traceback and still produce identical alignments."""
+    import numpy as np
+
+    import globalign_tpu.batch as batch_mod
+    from globalign_tpu.batch import align_pairs
+
+    rng = np.random.default_rng(3)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), 80)),
+            "".join(rng.choice(list("ACGT"), 70)),
+        )
+        for _ in range(3)
+    ]
+    want = align_pairs(pairs, with_traceback=True)
+    monkeypatch.setattr(batch_mod, "DEFAULT_BATCH_MOVES_BUDGET", 64)
+    got = align_pairs(pairs, with_traceback=True)
+    assert want == got

@@ -176,3 +176,74 @@ def test_batch_cli_cigar_column(tmp_path):
     assert main(["--pairs_tsv", str(tsv), "-o", str(out), "--cigar"]) == 0
     cols = out.read_text().splitlines()[0].split("\t")
     assert cols[3:] == ["ACGT", "| ||", "A-GT", "1=1I2="]
+
+
+def test_runner_late_chunk_new_character(tmp_path):
+    """A letter first appearing in a late chunk must not crash the run
+    (simple schemes re-resolve per chunk)."""
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    pairs = [("ACGT", "AGT"), ("ACGT", "ACG"), ("NACGT", "ACNGT")]
+    stats = BatchRunner(output=out, chunk_pairs=2, log=log).run(pairs)
+    log.close()
+    assert stats.pairs == 3
+    rows = _read_results(out)
+    ref = find_global_alignment(seq_1="NACGT", seq_2="ACNGT")
+    assert rows[2] == (ref.cost, ref.score)
+
+
+def test_runner_lowercase_tsv_input(tmp_path):
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    BatchRunner(output=out, chunk_pairs=4, log=log).run(
+        [("acgtacgt", "acgtcgt")]
+    )
+    log.close()
+    ref = find_global_alignment(seq_1="ACGTACGT", seq_2="ACGTCGT")
+    assert _read_results(out)[0] == (ref.cost, ref.score)
+
+
+def test_runner_rejects_different_input_on_resume(tmp_path):
+    """Resuming against a different input file must error, not silently
+    skip (the journal records a per-chunk input digest)."""
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    BatchRunner(output=out, chunk_pairs=4, log=log).run(
+        _random_pairs(4, seed=11)
+    )
+    with pytest.raises(RuntimeError, match="different input"):
+        BatchRunner(output=out, chunk_pairs=4, log=log).run(
+            _random_pairs(4, seed=12)
+        )
+    log.close()
+
+
+def test_runner_unjournaled_rows_deduped_on_resume(tmp_path):
+    """Rows appended by a run that died before journaling are dropped on
+    resume instead of being duplicated."""
+    pairs = _random_pairs(6, seed=13)
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    r1 = BatchRunner(output=out, chunk_pairs=3, log=log)
+    r1.run(pairs[:3])  # chunk 0 journaled
+    # Simulate a crash after appending chunk 1's rows but before journaling.
+    with out.open("a") as f:
+        f.write("3\t99\t99\n4\t99\t99\n5\t99\t99\n")
+    stats = BatchRunner(output=out, chunk_pairs=3, log=log).run(pairs)
+    log.close()
+    assert stats.chunks == 1 and stats.skipped_chunks == 1
+    rows = _read_results(out)
+    assert len(rows) == 6
+    ref = find_global_alignment(seq_1=pairs[3][0], seq_2=pairs[3][1])
+    assert rows[3] == (ref.cost, ref.score)  # recomputed, not the 99s
+    assert len(out.read_text().splitlines()) == 6  # no duplicates
+
+
+def test_batch_cli_shard_cigar_guard(tmp_path):
+    from globalign_tpu.batch_cli import main
+
+    tsv = tmp_path / "p.tsv"
+    tsv.write_text("ACGT\tAGT\n")
+    with pytest.raises(SystemExit):
+        main(["--pairs_tsv", str(tsv), "-o", str(tmp_path / "o.tsv"),
+              "--shard", "--cigar"])
