@@ -767,6 +767,8 @@ def stacked_fill_with_moves(
     gap_open,
     m_true: jax.Array,
     n_true: jax.Array,
+    row0: jax.Array | None = None,
+    c0y_start: jax.Array | None = None,
     *,
     interpret: bool = False,
 ):
@@ -776,7 +778,9 @@ def stacked_fill_with_moves(
     :func:`stacked_fill_last_rows`, and ``moves`` (B, Mpad+1, R*128) uint8
     row-major packed codes (row 0 undefined; bits as in ops/fill_rows.py),
     streamed to HBM by per-row double-buffered DMA.  Feeds the batch
-    engine's traceback path on accelerators.
+    engine's traceback path on accelerators and — with the boundary
+    overrides ``row0`` (B, 3, n+1) and ``c0y_start`` (B,) (the column-0 Iy
+    value at the block's top row) — the blocked traceback's replay pass.
     """
     B, m1 = tok_a_ext.shape
     n = tok_b_ext.shape[1] - 1
@@ -792,13 +796,17 @@ def stacked_fill_with_moves(
     n_true = jnp.asarray(n_true, jnp.int32)
 
     def prep(ta, tb):
-        row0, _col0 = default_boundary(ta, tb, cost_mat, gap_id_i, gap_open_i)
+        d_row0, _col0 = default_boundary(
+            ta, tb, cost_mat, gap_id_i, gap_open_i
+        )
         subrows = cost_mat[:, tb]
         dsteps = cost_mat[gap_id_i, tb].at[0].set(0)
         dpref = jnp.cumsum(dsteps, dtype=jnp.int32)
-        return _chunk(subrows, R), _chunk(dpref, R), _chunk(row0, R)
+        return _chunk(subrows, R), _chunk(dpref, R), _chunk(d_row0, R)
 
     subc, dprefc, row0c = jax.vmap(prep)(tok_a_ext, tok_b_ext)
+    if row0 is not None:
+        row0c = jax.vmap(lambda r: _chunk(r.astype(jnp.int32), R))(row0)
 
     mpad_u = m
     tok_a_s = tok_a_ext.astype(jnp.int32)
@@ -813,7 +821,12 @@ def stacked_fill_with_moves(
     )
     limits = jnp.stack([jnp.max(m_true), gap_open_i]).reshape(1, 2)
     ics_s = cost_mat[tok_a_ext, gap_id_i]
-    c0y0 = jnp.full((B, R, LANES), gap_open_i, jnp.int32)
+    if c0y_start is None:
+        c0y0 = jnp.full((B, R, LANES), gap_open_i, jnp.int32)
+    else:
+        c0y0 = jnp.broadcast_to(
+            jnp.asarray(c0y_start, jnp.int32)[:, None, None], (B, R, LANES)
+        )
 
     last, moves = pl.pallas_call(
         _make_stacked_kernel(B, unroll, want_moves=True),

@@ -155,20 +155,44 @@ def align_blocked(
         if i <= i0:
             continue
         ta_blk = _block_tokens(tok_a_np, i0, i1)
-        col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
-        col0_blk = jnp.stack([col0y_blk, col0y_blk, col0y_blk])
-        moves = np.asarray(
-            row_fill(
-                ta_blk,
-                tok_b,
+        if use_pallas:
+            # Replay at stacked-kernel speed (B=1) with the checkpoint row
+            # as row 0 and the global column-0 Iy value at the block's top
+            # row seeding the in-kernel accumulator.
+            from .fill_pallas import stacked_fill_with_moves
+
+            _, moves_d = stacked_fill_with_moves(
+                ta_blk[None],
+                tok_b[None],
                 cost_mat,
                 gap_id,
                 gap_open,
-                row0=checkpoints[b],
-                col0=col0_blk,
-                want_moves=True,
-            ).moves
-        )
+                jnp.asarray([i1 - i0], jnp.int32),
+                jnp.asarray([n], jnp.int32),
+                checkpoints[b][None],
+                # Accumulator seed: rows add their icost on top, so the top
+                # block (whose col0[2, 0] is the 0 corner) seeds gap_open.
+                jnp.asarray(
+                    [int(np.asarray(gap_open)) if i0 == 0 else col0_np[2, i0]],
+                    jnp.int32,
+                ),
+            )
+            moves = np.asarray(moves_d[0])
+        else:
+            col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
+            col0_blk = jnp.stack([col0y_blk, col0y_blk, col0y_blk])
+            moves = np.asarray(
+                row_fill(
+                    ta_blk,
+                    tok_b,
+                    cost_mat,
+                    gap_id,
+                    gap_open,
+                    row0=checkpoints[b],
+                    col0=col0_blk,
+                    want_moves=True,
+                ).moves
+            )
 
         while i > i0:
             if j == 0:

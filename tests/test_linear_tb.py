@@ -113,3 +113,45 @@ def test_aligner_pad_quantum_invariant():
     assert exact.align(s1, s2) == padded.align(s1, s2)
     assert exact.cost(s1, s2) == padded.cost(s1, s2)
     assert (exact.dp_planes(s1, s2) == padded.dp_planes(s1, s2)).all()
+
+
+def test_blocked_pallas_replay_equals_full(monkeypatch):
+    """The blocked traceback's Pallas replay path (checkpoint fill + moves
+    kernel with boundary overrides) is bit-identical to the full traceback
+    (exercised in interpret mode on CPU)."""
+    import functools
+
+    import globalign_tpu.ops.fill_pallas as fp
+
+    monkeypatch.setattr(
+        fp,
+        "stacked_fill_with_moves",
+        functools.partial(fp.stacked_fill_with_moves, interpret=True),
+    )
+    monkeypatch.setattr(
+        fp,
+        "row_fill_last_rows",
+        functools.partial(fp.row_fill_last_rows, interpret=True),
+    )
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(103)
+    for _ in range(4):
+        m = int(rng.integers(2, 100))
+        n = int(rng.integers(1, 100))
+        s1 = "".join(rng.choice(list("ACGT"), m))
+        s2 = "".join(rng.choice(list("ACGT"), n))
+        ta = jnp.asarray(encode_padded(alpha, s1, m))
+        tb = jnp.asarray(encode_padded(alpha, s2, n))
+        t_full = _full_tb(ta, tb, cm, gid, go, s1, s2)
+        t_blk = linear_tb.align_blocked(
+            np.asarray(ta), tb, cm, gid, go, s1, s2,
+            block_rows=16, use_pallas=True,
+        )
+        assert t_full == t_blk
