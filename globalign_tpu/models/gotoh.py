@@ -144,6 +144,26 @@ class GotohAligner:
                 seq_2,
                 use_pallas=self.use_pallas,
             )
+        elif self.use_pallas:
+            from ..ops.fill_pallas import stacked_fill_with_moves
+
+            tok_a, tok_b = self._encode(seq_1, seq_2)
+            last, moves = stacked_fill_with_moves(
+                tok_a[None],
+                tok_b[None],
+                self._cost_mat,
+                self._gap_id,
+                self._gap_open,
+                jnp.asarray([m], jnp.int32),
+                jnp.asarray([n], jnp.int32),
+            )
+            tb = traceback_moves(
+                np.asarray(moves[0]),
+                seq_1,
+                seq_2,
+                np.asarray(last[0][:, n]),
+                layout="row",
+            )
         else:
             res = self.fill(seq_1, seq_2, want_moves=True)
             tb = traceback_moves(

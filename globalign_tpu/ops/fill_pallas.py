@@ -786,7 +786,10 @@ def stacked_fill_with_moves(
     n = tok_b_ext.shape[1] - 1
     m = m1 - 1
     A = cost_mat.shape[0]
+    # The per-row moves DMA slices the HBM output on the chunk axis, which
+    # Mosaic requires to be 8-aligned for uint8.
     R = max(1, -(-(n + 1) // LANES))
+    R = -(-R // 8) * 8
     unroll = 1
 
     gap_open_i = jnp.asarray(gap_open, jnp.int32)
