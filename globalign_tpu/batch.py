@@ -164,12 +164,31 @@ def align_pairs(
         buckets.setdefault(key, []).append(idx)
 
     results: list[PairResult | None] = [None] * len(pairs)
+    grouped: list[tuple[tuple[int, int], list[int]]] = []
     for (M, N), indices in buckets.items():
-        if (
-            with_traceback
-            and (M + 1) * (N + 1) * len(indices) > DEFAULT_BATCH_MOVES_BUDGET
-        ):
-            # Bucket's move matrices would not fit; fall back to per-pair
+        if not with_traceback:
+            grouped.append(((M, N), indices))
+            continue
+        # Move matrices are materialized with 128*ceil-padded columns on the
+        # Pallas path; budget per pair accordingly and split oversized
+        # buckets into sub-batches rather than losing the batched path.
+        ncols = max(N + 1, 128 * -(-(N + 1) // 128))
+        per_pair = (M + 1) * ncols
+        max_pairs = max(0, DEFAULT_BATCH_MOVES_BUDGET // max(1, per_pair))
+        if max_pairs >= 1:
+            for lo in range(0, len(indices), max_pairs):
+                grouped.append(((M, N), indices[lo : lo + max_pairs]))
+        else:
+            grouped.append(((M, N), indices))
+    if with_traceback:
+        bucket_items = grouped
+    else:
+        bucket_items = list(buckets.items())
+
+    for (M, N), indices in bucket_items:
+        ncols = max(N + 1, 128 * -(-(N + 1) // 128))
+        if with_traceback and (M + 1) * ncols > DEFAULT_BATCH_MOVES_BUDGET:
+            # A single pair's move matrix exceeds the budget; use the
             # checkpointed linear-space traceback (same deterministic path).
             from .ops.linear_tb import align_blocked
 

@@ -110,6 +110,18 @@ class GotohAligner:
             want_planes=want_planes,
         )
 
+    def _moves_kernel_fits(self, n: int) -> bool:
+        """Whether the B=1 stacked moves kernel's VMEM working set fits for
+        this column extent (very wide pairs fall back to the row scan)."""
+        from ..ops.fill_pallas import _stacked_tile_size
+
+        return (
+            _stacked_tile_size(
+                1, self._pad_len(n), self.scheme.alphabet.size, moves=True
+            )
+            >= 1
+        )
+
     def cost(self, seq_1: str, seq_2: str) -> int:
         """Optimal alignment cost only (O(m+n) device memory)."""
         tok_a, tok_b = self._encode(seq_1, seq_2)
@@ -144,7 +156,7 @@ class GotohAligner:
                 seq_2,
                 use_pallas=self.use_pallas,
             )
-        elif self.use_pallas:
+        elif self.use_pallas and self._moves_kernel_fits(n):
             from ..ops.fill_pallas import stacked_fill_with_moves
 
             tok_a, tok_b = self._encode(seq_1, seq_2)

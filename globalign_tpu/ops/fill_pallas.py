@@ -739,18 +739,30 @@ def stacked_fill_last_rows(
 STACKED_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _stacked_tile_size(batch: int, n: int, alphabet_size: int) -> int:
+def _stacked_r(n: int, moves: bool) -> int:
+    """Chunk count of the stacked kernel for column extent n (+8-alignment
+    in moves mode, required by the uint8 HBM DMA slicing)."""
+    r = max(1, -(-(n + 1) // LANES))
+    if moves:
+        r = -(-r // 8) * 8
+    return r
+
+
+def _stacked_tile_size(
+    batch: int, n: int, alphabet_size: int, moves: bool = False
+) -> int:
     """Pairs per stacked-kernel invocation: the largest power of two that
     fits the VMEM budget (0 = stacked kernel not applicable).
 
     Power-of-two tiles keep the number of distinct compiled kernel shapes
     small — the stacked kernel's compile time scales with its static batch
-    size, so shape churn is the real cost to avoid.
+    size, so shape churn is the real cost to avoid.  ``moves`` accounts for
+    the moves mode's 8-aligned chunk count and its extra uint8 scratch.
     """
-    r = max(1, -(-(n + 1) // LANES))
-    per_pair = (alphabet_size + 10) * r * LANES * 4
+    r = _stacked_r(n, moves)
+    per_pair = (alphabet_size + (12 if moves else 10)) * r * LANES * 4
     cap = STACKED_VMEM_BUDGET // per_pair
-    if cap < 2:
+    if cap < 1 or (cap < 2 and batch > 1):
         return 0
     tile = 1
     while tile * 2 <= min(cap, batch, 256):
@@ -799,13 +811,15 @@ def stacked_fill_with_moves(
     n_true = jnp.asarray(n_true, jnp.int32)
 
     def prep(ta, tb):
-        d_row0, _col0 = default_boundary(
-            ta, tb, cost_mat, gap_id_i, gap_open_i
-        )
+        if row0 is None:
+            d_row0, _col0 = default_boundary(
+                ta, tb, cost_mat, gap_id_i, gap_open_i
+            )
         subrows = cost_mat[:, tb]
         dsteps = cost_mat[gap_id_i, tb].at[0].set(0)
         dpref = jnp.cumsum(dsteps, dtype=jnp.int32)
-        return _chunk(subrows, R), _chunk(dpref, R), _chunk(d_row0, R)
+        r0 = d_row0 if row0 is None else jnp.zeros((3, 1), jnp.int32)
+        return _chunk(subrows, R), _chunk(dpref, R), _chunk(r0, R)
 
     subc, dprefc, row0c = jax.vmap(prep)(tok_a_ext, tok_b_ext)
     if row0 is not None:
@@ -895,7 +909,7 @@ def batch_moves(
     n = tok_b_ext.shape[1] - 1
     A = cost_mat.shape[0]
 
-    tile = _stacked_tile_size(B, n, A)
+    tile = _stacked_tile_size(B, n, A, moves=True)
     if tile == 0:
         return None
 

@@ -20,10 +20,10 @@ bit-identical to the full-matrix traceback (same move codes, same
 deterministic tie priority M > Ix > Iy), which the test-suite asserts on
 random pairs.
 
-Backends: the checkpoint pass runs on the Pallas kernel
-(:mod:`.fill_pallas`) where available, else the JAX row scan
-(:mod:`.fill_rows`); block replays always use the row scan since they need
-move emission.
+Backends: on accelerators the checkpoint pass runs on the Pallas cost
+kernel and block replays on the Pallas moves kernel (boundary-overridden,
+B=1); elsewhere both use the JAX row scan.  Very wide pairs whose stacked
+working set exceeds VMEM replay via the row scan.
 """
 
 from __future__ import annotations
@@ -155,6 +155,13 @@ def align_blocked(
         if i <= i0:
             continue
         ta_blk = _block_tokens(tok_a_np, i0, i1)
+        if use_pallas:
+            from .fill_pallas import _stacked_tile_size
+
+            use_pallas = (
+                _stacked_tile_size(1, nq, int(np.asarray(cost_mat).shape[0]),
+                                   moves=True) >= 1
+            )
         if use_pallas:
             # Replay at stacked-kernel speed (B=1) with the checkpoint row
             # as row 0 and the global column-0 Iy value at the block's top

@@ -114,8 +114,16 @@ class BatchRunner:
         return hashlib.sha256(basis.encode()).hexdigest()[:16]
 
     def _completed_chunks(self) -> dict[int, str]:
-        """chunk id -> pairs digest of journaled (completed) chunks."""
+        """chunk id -> pairs digest of journaled (completed) chunks.
+
+        Raises if the manifest holds entries from a run with DIFFERENT
+        options: mixing outputs of different schemes/chunkings in one file
+        is ill-defined, and resuming would otherwise silently drop the
+        previous run's rows (the dedupe pass keeps only chunks journaled
+        under the current fingerprint).
+        """
         done: dict[int, str] = {}
+        foreign: set[str] = set()
         fp = self._fingerprint()
         if not self.manifest_path.exists():
             return done
@@ -128,8 +136,18 @@ class BatchRunner:
                     rec = json.loads(line)
                 except json.JSONDecodeError:
                     continue  # torn write from a preempted run
-                if rec.get("fingerprint") == fp and "chunk" in rec:
+                if "chunk" not in rec:
+                    continue
+                if rec.get("fingerprint") == fp:
                     done[int(rec["chunk"])] = rec.get("pairs_sha", "")
+                else:
+                    foreign.add(str(rec.get("fingerprint")))
+        if foreign:
+            raise RuntimeError(
+                f"Output {self.output} was produced by a run with different "
+                f"options (manifest fingerprints {sorted(foreign)} != "
+                f"{fp}).  Use a fresh output path or --fresh."
+            )
         return done
 
     def _dedupe_output(self, done: dict[int, str]) -> None:

@@ -78,7 +78,9 @@ def test_runner_resume_skips_journaled_chunks(tmp_path):
 
 
 def test_runner_manifest_fingerprint_isolation(tmp_path):
-    """A manifest from a different scheme must not suppress work."""
+    """Reusing an output produced under different options must error
+    (mixing schemes in one output file is ill-defined; silently skipping
+    or silently dropping the old rows would both lose data)."""
     pairs = _random_pairs(4, seed=3)
     out = tmp_path / "res.tsv"
     log = open(tmp_path / "log", "w")
@@ -86,9 +88,9 @@ def test_runner_manifest_fingerprint_isolation(tmp_path):
         output=out, chunk_pairs=4, log=log,
         scheme_kwargs={"mismatch_cost": 9},
     ).run(pairs)
-    stats = BatchRunner(output=out, chunk_pairs=4, log=log).run(pairs)
+    with pytest.raises(RuntimeError, match="different\\s+options"):
+        BatchRunner(output=out, chunk_pairs=4, log=log).run(pairs)
     log.close()
-    assert stats.chunks == 1 and stats.skipped_chunks == 0
 
 
 def test_runner_traceback_mode(tmp_path):
