@@ -13,11 +13,12 @@ plus cost-only and planes-debug entry points used by the batch engine, the
 benchmarks, and the tests.
 
 Backend policy:
-  * cost-only: the Pallas row kernel on TPU (~10 GCUPS at 10k, see
-    ops/fill_pallas.py), the JAX row scan elsewhere;
-  * full alignment: row scan with move emission while the O(m*n) move
-    matrix is small (< ``moves_budget_bytes``), blocked checkpoint+replay
-    beyond it — this is what removes the reference's m*n < 2e7 input cap
+  * cost-only: the meet-in-the-middle Pallas fill on accelerators (~19
+    GCUPS at 10k, docs/PERF.md), the JAX row scan elsewhere;
+  * full alignment: the Pallas moves kernel (accelerators, when its VMEM
+    working set fits) or the row scan, while the O(m*n) move matrix is
+    under ``moves_budget_bytes``; blocked checkpoint+replay beyond it —
+    which is what removes the reference's m*n < 2e7 input cap
     (reference start.py:213).
 """
 

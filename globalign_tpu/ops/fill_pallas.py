@@ -30,9 +30,11 @@ Outputs: the three DP lanes of row ``m_true`` in chunked layout (3, R, 128).
 ``final3`` is read from column ``n_true`` on the host side; the full last row
 feeds the Hirschberg divide-and-conquer splitter.
 
-Measured on TPU v5e (single chip, 10k x 10k DNA, amortized over chained
-calls): ~10 ms per fill ≈ 10 GCUPS — vs ~1e-3 GCUPS for the reference's
-interpreted fill (BASELINE.md).
+Measured on TPU v5e (single chip, slope-timed — docs/PERF.md): direct 10k
+x 10k fill ~10 ms (9.3 GCUPS); the meet-in-the-middle split over the
+stacked kernel reaches ~19 GCUPS on the same pair, batches of 1 kb pairs
+14-25 GCUPS — vs ~1e-3 GCUPS for the reference's interpreted fill
+(BASELINE.md).
 """
 
 from __future__ import annotations
