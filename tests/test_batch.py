@@ -102,3 +102,26 @@ def test_batch_traceback_moves_budget_fallback(monkeypatch):
     monkeypatch.setattr(batch_mod, "DEFAULT_BATCH_MOVES_BUDGET", 64)
     got = align_pairs(pairs, with_traceback=True)
     assert want == got
+
+
+def test_batch_traceback_subbatch_split(monkeypatch):
+    """A bucket slightly over the moves budget is split into sub-batches
+    (keeping the batched path), not degraded to per-pair replay."""
+    import numpy as np
+
+    import globalign_tpu.batch as batch_mod
+    from globalign_tpu.batch import align_pairs
+
+    rng = np.random.default_rng(7)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), 30)),
+            "".join(rng.choice(list("ACGT"), 30)),
+        )
+        for _ in range(5)
+    ]
+    want = align_pairs(pairs, with_traceback=True)
+    # Budget fits ~1 pair per sub-batch: (31)*(128 padded cols) ~ 4k
+    monkeypatch.setattr(batch_mod, "DEFAULT_BATCH_MOVES_BUDGET", 5000)
+    got = align_pairs(pairs, with_traceback=True)
+    assert want == got
