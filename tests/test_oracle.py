@@ -105,3 +105,42 @@ def test_extreme_shapes():
         a = aligner.align(s1, s2)
         assert a.seq_1_aligned.replace("-", "") == s1
         assert a.seq_2_aligned.replace("-", "") == s2
+
+
+def test_random_costing_matrices_vs_oracle():
+    """Fuzz: arbitrary small non-negative costing matrices (asymmetric,
+    random gap rows, random gap_open incl. 0) against the numpy oracle."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.utils.matrices import SubstitutionMatrix
+    from globalign_tpu.utils.tokenize import Alphabet, encode_padded
+
+    from .oracle import oracle_cost
+
+    rng = np.random.default_rng(123)
+    for trial in range(30):
+        A = int(rng.integers(2, 6))
+        letters = tuple("ABCDE"[:A]) + ("-",)
+        alpha = Alphabet.from_letters(letters)
+        vals = rng.integers(0, 12, (A + 1, A + 1)).astype(np.int32)
+        np.fill_diagonal(vals, rng.integers(0, 3, A + 1))
+        go = int(rng.integers(0, 7))
+        m = int(rng.integers(1, 25))
+        n = int(rng.integers(1, 25))
+        s1 = "".join(rng.choice(list(letters[:-1]), m))
+        s2 = "".join(rng.choice(list(letters[:-1]), n))
+        costing = SubstitutionMatrix(alpha, vals)
+        want = oracle_cost(s1, s2, costing, go)
+        ta = jnp.asarray(encode_padded(alpha, s1, m))
+        tb = jnp.asarray(encode_padded(alpha, s2, n))
+        got = int(
+            np.asarray(
+                fill_rows.row_fill(
+                    ta, tb, jnp.asarray(vals), jnp.int32(alpha.gap_id),
+                    jnp.int32(go), want_moves=False,
+                ).final3
+            ).min()
+        )
+        assert want == got, (trial, s1, s2, vals.tolist(), go, want, got)
