@@ -33,6 +33,10 @@ def main() -> int:
     parser.add_argument(
         "--backend", choices=["auto", "scan", "rows", "pallas"], default="auto"
     )
+    parser.add_argument(
+        "--kernel", choices=["fast", "base"], default="base",
+        help="Stacked-kernel variant for the pallas backend (A/B).",
+    )
     args = parser.parse_args()
 
     import jax
@@ -76,7 +80,8 @@ def main() -> int:
             # Meet-in-the-middle split: halves run as a stacked 2-batch,
             # halving the sequential row count (docs/PERF.md).
             return fill_pallas.split_fill_cost(
-                ta, tb, cost_mat, gap_id, gap_open, args.m, args.n
+                ta, tb, cost_mat, gap_id, gap_open, args.m, args.n,
+                fast=(args.kernel == "fast"),
             )
 
     elif backend == "rows":

@@ -48,6 +48,16 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
+def _moves_ncols(n: int) -> int:
+    """Materialized move-matrix columns per pair for column extent ``n`` —
+    the stacked moves kernel's 8-aligned chunk padding included
+    (ops.fill_pallas._stacked_r), so the moves-budget math sees the real
+    bytes, not the logical n+1 width."""
+    from .ops.fill_pallas import LANES, _stacked_r
+
+    return _stacked_r(n, moves=True) * LANES
+
+
 def _pallas_moves(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true):
     from .ops.fill_pallas import batch_moves
 
@@ -123,7 +133,8 @@ def align_pairs(
     Scheme options mirror :func:`globalign_tpu.find_global_alignment`; a
     pre-resolved ``scheme`` may be passed instead.  With ``mesh`` set (a 1-D
     ``jax.sharding.Mesh``), each bucket's batch axis is sharded data-parallel
-    across the mesh devices (cost-only mode).
+    across the mesh devices — cost-only and traceback modes both (moves
+    stay sharded per device; final lanes are all-gathered).
     """
     pairs = _validate_pairs(pairs)
     if not pairs:
@@ -169,11 +180,12 @@ def align_pairs(
         if not with_traceback:
             grouped.append(((M, N), indices))
             continue
-        # Move matrices are materialized with 128*ceil-padded columns on the
-        # Pallas path; budget per pair accordingly and split oversized
-        # buckets into sub-batches rather than losing the batched path.
-        ncols = max(N + 1, 128 * -(-(N + 1) // 128))
-        per_pair = (M + 1) * ncols
+        # Move matrices are materialized with the stacked kernel's real
+        # padded width (its uint8 HBM DMA 8-aligns the 128-lane chunk
+        # count, so short buckets round up to 1024 columns); budget per
+        # pair on that width and split oversized buckets into sub-batches
+        # rather than losing the batched path.
+        per_pair = (M + 1) * _moves_ncols(N)
         max_pairs = max(0, DEFAULT_BATCH_MOVES_BUDGET // max(1, per_pair))
         if max_pairs >= 1:
             for lo in range(0, len(indices), max_pairs):
@@ -186,8 +198,7 @@ def align_pairs(
         bucket_items = list(buckets.items())
 
     for (M, N), indices in bucket_items:
-        ncols = max(N + 1, 128 * -(-(N + 1) // 128))
-        if with_traceback and (M + 1) * ncols > DEFAULT_BATCH_MOVES_BUDGET:
+        if with_traceback and (M + 1) * _moves_ncols(N) > DEFAULT_BATCH_MOVES_BUDGET:
             # A single pair's move matrix exceeds the budget; use the
             # checkpointed linear-space traceback (same deterministic path).
             from .ops.linear_tb import align_blocked
@@ -221,7 +232,13 @@ def align_pairs(
         m_true = np.array([len(pairs[i][0]) for i in indices], np.int32)
         n_true = np.array([len(pairs[i][1]) for i in indices], np.int32)
 
-        if mesh is not None and not with_traceback:
+        if mesh is not None and with_traceback:
+            from .parallel.mesh import sharded_fill_moves
+
+            final3, moves = sharded_fill_moves(
+                mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+            )
+        elif mesh is not None:
             from .parallel.mesh import sharded_fill_costs
 
             final3 = sharded_fill_costs(

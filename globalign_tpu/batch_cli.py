@@ -82,6 +82,22 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gap_extension_score")
     parser.add_argument("--gap_extension_cost")
     parser.add_argument("--platform", choices=["cpu", "tpu"])
+    # Multi-host execution (one process per host of a pod slice): every
+    # process runs this CLI with the same input and its own --process_id;
+    # chunks are dealt round-robin and each process appends to its own
+    # output shard (<output>.part<k>).  On TPU pods the three values are
+    # normally auto-detected — pass --distributed alone.
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="Initialize jax.distributed (multi-host run).",
+    )
+    parser.add_argument(
+        "--coordinator_address",
+        help="host:port of process 0 (omit on platforms that auto-detect).",
+    )
+    parser.add_argument("--num_processes", type=int)
+    parser.add_argument("--process_id", type=int)
     parser.add_argument(
         "--profile_dir",
         help="Capture a jax.profiler trace of the run into this directory.",
@@ -95,6 +111,16 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    process_id, num_processes = 0, 1
+    if args.distributed:
+        from .parallel.multihost import initialize
+
+        process_id, num_processes = initialize(
+            coordinator_address=args.coordinator_address,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from .runner import BatchRunner, pairs_from_fasta, pairs_from_tsv
 
@@ -115,21 +141,24 @@ def main(argv=None) -> int:
 
     output = Path(args.output)
     if args.fresh:
-        output.unlink(missing_ok=True)
-        output.with_name(output.name + ".manifest.jsonl").unlink(
-            missing_ok=True
-        )
+        from .parallel.multihost import part_path
+
+        part = part_path(output, process_id, num_processes)
+        part.unlink(missing_ok=True)
+        part.with_name(part.name + ".manifest.jsonl").unlink(missing_ok=True)
 
     mesh = None
     if args.shard:
+        import jax
+
         from .parallel.mesh import make_pair_mesh
 
-        mesh = make_pair_mesh()
-        if args.with_traceback or args.cigar:
-            raise SystemExit(
-                "--shard currently supports cost-only mode "
-                "(drop --with_traceback / --cigar)."
-            )
+        # In a multi-host run each process shards over its LOCAL devices
+        # (chunks are already dealt across processes; a global mesh would
+        # require every process to issue the same program in lockstep).
+        mesh = make_pair_mesh(
+            jax.local_devices() if num_processes > 1 else None
+        )
 
     runner = BatchRunner(
         output=output,
@@ -139,6 +168,8 @@ def main(argv=None) -> int:
         with_traceback=args.with_traceback or args.cigar,
         emit_cigar=args.cigar,
         mesh=mesh,
+        process_id=process_id,
+        num_processes=num_processes,
     )
     pairs = (
         pairs_from_fasta(args.pairs_fasta)

@@ -142,10 +142,20 @@ class GotohAligner:
             final3 = self.fill(seq_1, seq_2, want_moves=False).final3
         return int(np.min(np.asarray(final3)))
 
+    def _moves_bytes(self, m: int, n: int) -> int:
+        """Bytes of move codes the full-matrix path would materialize —
+        the Pallas moves kernel's 8-aligned 128-lane column padding
+        included, so the budget check sees real bytes."""
+        if self.use_pallas:
+            from ..ops.fill_pallas import LANES, _stacked_r
+
+            return (m + 1) * _stacked_r(self._pad_len(n), moves=True) * LANES
+        return (m + 1) * (self._pad_len(n) + 1)
+
     def align(self, seq_1: str, seq_2: str) -> GotohAlignment:
         """Full alignment with deterministic traceback."""
         m, n = len(seq_1), len(seq_2)
-        if (m + 1) * (n + 1) > self.moves_budget_bytes:
+        if self._moves_bytes(m, n) > self.moves_budget_bytes:
             tok_a, tok_b = self._encode(seq_1, seq_2)
             tb: Traceback = align_blocked(
                 np.asarray(tok_a),

@@ -645,7 +645,162 @@ def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "unroll"))
+def _min_tree(terms):
+    """Balanced pairwise jnp.minimum tree (depth ceil(log2(len)))."""
+    while len(terms) > 1:
+        nxt = [
+            jnp.minimum(terms[k], terms[k + 1])
+            for k in range(0, len(terms) - 1, 2)
+        ]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def _make_stacked_kernel_v2(B: int):
+    """Fast cost-only stacked kernel (same contract as _make_stacked_kernel).
+
+    The row loop's wall-clock is dominated by its serial dependency chain,
+    not by ALU throughput (docs/PERF.md: ~1 us/row nearly independent of
+    width).  This variant restructures the chain:
+
+    * DP state rides the ``fori_loop`` carry (vector registers) instead of
+      VMEM scratch — no VMEM round-trip per row.
+    * The prefix-min runs radix-8: each step issues up to 7 independent
+      rolls combined by a balanced min tree, so the dependent depth per
+      covered factor-of-8 is ~5 ops instead of 9 for serial doubling.
+    * The cross-chunk carry no longer waits for the in-chunk scan: chunk
+      totals are reduced by an unmasked cyclic-roll tree straight from the
+      prefix input (both depend only on the row input and run in parallel
+      in the dataflow graph).
+    * The horizontal-gap offset is folded into the substitution row
+      (``hd = min(best + (sub - dpref + go), yc - (dpref - go))``), putting
+      the prefix input 2 ops after ``best`` instead of the clamp/mask/
+      min/add chain through ``mc``.
+
+    Bit-exact to the baseline kernel: the only value differences are at
+    cells whose cost exceeds the BIG sentinel, where both variants clamp
+    to BIG before anything is stored (asserted by tests/test_fill_pallas).
+    """
+
+    def kernel(
+        params_ref,  # (B, 4) int32 SMEM: m_true, n_true, _, _
+        limits_ref,  # (1, 2) int32 SMEM: mmax, gap_open
+        tok_a_ref,  # (B, Mpad+1) int32 SMEM
+        ics_ref,  # (B, Mpad+1) int32 SMEM
+        subc_ref,  # (B, A, R, 128) int32 VMEM
+        dpref_ref,  # (B, R, 128) int32 VMEM
+        row0_ref,  # (B, 3, R, 128) int32 VMEM
+        c0y0_ref,  # (B, R, 128) int32 VMEM
+        out_ref,  # (B, 3, R, 128) int32 VMEM
+        sub_s,  # scratch (B, R, 128): per-row substitution rows
+        icf_s,  # scratch (B, R, 128): per-row icost splats
+    ):
+        R = dpref_ref.shape[1]
+        mmax = limits_ref[0, 0]
+        gap_open = limits_ref[0, 1]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 1)
+        mask0 = (lane == 0) & (row == 0)  # each pair's j == 0
+        big = jnp.full((B, R, LANES), BIG, jnp.int32)
+        rcol = row[:, :, :1]  # (B, R, 1)
+
+        def shift1(v):
+            sh = pltpu.roll(v, 1, axis=2)
+            carry = pltpu.roll(v[:, :, LANES - 1 :], 1, axis=1)
+            carry = jnp.where(rcol >= 1, carry, BIG)
+            return jnp.where(lane == 0, carry, sh)
+
+        def scan_masked(x, extent, axis, idx, fill):
+            """Inclusive prefix-min along ``axis`` (radix-8 masked steps)."""
+            s = 1
+            while s < extent:
+                shifts = [k * s for k in range(1, 8) if k * s < extent]
+                rolled = [pltpu.roll(x, sh, axis=axis) for sh in shifts]
+                terms = [x] + [
+                    jnp.where(idx >= sh, r, fill)
+                    for sh, r in zip(shifts, rolled)
+                ]
+                x = _min_tree(terms)
+                s *= 8
+            return x
+
+        def prefix_min_exclusive(p):
+            """out[j] = min_{j' < j} p[j'], out[0] = BIG (exact int scan)."""
+            # In-chunk inclusive scan and whole-chunk totals both depend
+            # only on p — their chains run in parallel.
+            x = scan_masked(p, LANES, 2, lane, big)
+            t = p  # cyclic reduction: every lane ends up with the chunk min
+            for shifts in (
+                (16, 32, 48, 64, 80, 96, 112),
+                (2, 4, 6, 8, 10, 12, 14),
+                (1,),
+            ):
+                t = _min_tree(
+                    [t] + [pltpu.roll(t, sh, axis=2) for sh in shifts]
+                )
+            tcol = t[:, :, :1]  # (B, R, 1) chunk minima
+            c = jnp.where(rcol >= 1, pltpu.roll(tcol, 1, axis=1), BIG)
+            c = scan_masked(c, R, 1, rcol, BIG)
+            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), big)
+            return jnp.minimum(xs, c)
+
+        dpref = dpref_ref[:, :, :]
+        dprefg = dpref - gap_open  # hd = min(mc_raw, yc) - dprefg
+
+        def one_row(i, carry):
+            mp, xp, yp, c0yf = carry
+
+            # Per-pair row tables: B static iterations of (dynamic slice +
+            # scalar->vector splat) — the only Mosaic-supported way to get
+            # per-pair scalars into vector lanes.
+            for b in range(B):
+                ai = tok_a_ref[b, i]
+                sub_s[b] = subc_ref[b, ai]
+                icf_s[b] = jnp.full((R, LANES), ics_ref[b, i], jnp.int32)
+            sub = sub_s[:, :, :]
+            icf = icf_s[:, :, :]
+            subg = sub - dprefg  # off the serial chain (row-start value)
+
+            c0yf = c0yf + icf  # column-0 Iy accumulator, all lanes
+
+            best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
+            mc = jnp.where(mask0, BIG, jnp.minimum(best + sub, BIG))
+            vy = jnp.minimum(jnp.minimum(mp, xp) + gap_open, yp)
+            yc = jnp.where(mask0, c0yf, jnp.minimum(vy + icf, BIG))
+
+            # Unclamped/unmasked prefix input: wherever it disagrees with
+            # the baseline's min(mc, yc) + go - dpref, both sides are
+            # >= BIG and the final min(dpref + ep, BIG) clamp erases the
+            # difference (dpref is non-decreasing, costs non-negative).
+            hd = jnp.minimum(best + subg, yc - dprefg)
+            ep = prefix_min_exclusive(hd)
+            xc = jnp.where(mask0, BIG, jnp.minimum(dpref + ep, BIG))
+
+            for b in range(B):
+
+                @pl.when(i == params_ref[b, 0])
+                def _(b=b):
+                    out_ref[b, 0] = mc[b]
+                    out_ref[b, 1] = xc[b]
+                    out_ref[b, 2] = yc[b]
+
+            return mc, xc, yc, c0yf
+
+        carry0 = (
+            row0_ref[:, 0],
+            row0_ref[:, 1],
+            row0_ref[:, 2],
+            c0y0_ref[:, :, :],
+        )
+        jax.lax.fori_loop(1, mmax + 1, one_row, carry0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unroll", "fast"))
 def stacked_fill_last_rows(
     tok_a_ext: jax.Array,
     tok_b_ext: jax.Array,
@@ -657,13 +812,19 @@ def stacked_fill_last_rows(
     *,
     interpret: bool = False,
     unroll: int = 1,
+    fast: bool = False,
 ) -> jax.Array:
     """Stacked-pairs batched fill (see :func:`_make_stacked_kernel`).
 
     Same contract as :func:`row_fill_last_rows_batch`: returns
     (B, 3, R*128) int32 lanes of each pair's row ``m_true[b]`` (m_true must
     be >= 1 for every pair).  Preferred for buckets of short pairs;
-    VMEM-bounded by the (B, A, R, 128) substitution table.
+    VMEM-bounded by the (B, A, R, 128) substitution table.  ``fast``
+    selects the experimental short-chain kernel
+    (:func:`_make_stacked_kernel_v2`, bit-identical results) — measured
+    SLOWER on v5e (rolls are throughput-bound, so the radix-8 scan's extra
+    rolls cost more than the dependency depth they save; docs/PERF.md);
+    kept for A/B measurement.
     """
     B, m1 = tok_a_ext.shape
     n = tok_b_ext.shape[1] - 1
@@ -709,20 +870,27 @@ def stacked_fill_last_rows(
     # icost(a_1), matching default_boundary's gap_open + cumsum).
     c0y0 = jnp.full((B, R, LANES), gap_open_i, jnp.int32)
 
+    smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if fast:
+        out = pl.pallas_call(
+            _make_stacked_kernel_v2(B),
+            out_shape=jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
+            in_specs=smem + [vmem] * 4,
+            out_specs=vmem,
+            scratch_shapes=[
+                pltpu.VMEM((B, R, LANES), jnp.int32),
+                pltpu.VMEM((B, R, LANES), jnp.int32),
+            ],
+            interpret=interpret,
+        )(params, limits, tok_a_s, ics_s, subc, dprefc, row0c, c0y0)
+        return out.reshape(B, 3, R * LANES)
+
     out = pl.pallas_call(
         _make_stacked_kernel(B, unroll),
         out_shape=jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=smem + [vmem] * 4,
+        out_specs=vmem,
         scratch_shapes=[
             pltpu.VMEM((B, R, LANES), jnp.int32),
             pltpu.VMEM((B, R, LANES), jnp.int32),
@@ -1073,7 +1241,7 @@ def wavefront_fill_cost(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("m_true", "n_true", "pad_quantum", "interpret"),
+    static_argnames=("pad_quantum", "interpret", "fast"),
 )
 def split_fill_cost(
     tok_a_ext: jax.Array,
@@ -1081,11 +1249,12 @@ def split_fill_cost(
     cost_mat: jax.Array,
     gap_id,
     gap_open,
-    m_true: int | None = None,
-    n_true: int | None = None,
+    m_true=None,
+    n_true=None,
     *,
     pad_quantum: int = 128,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jax.Array:
     """Meet-in-the-middle optimal cost (scalar int32); requires m >= 2.
 
@@ -1104,44 +1273,52 @@ def split_fill_cost(
     spans the split (Myers-Miller).  F and G are clamped to BIG/2 before
     summing so boundary sentinels cannot overflow int32 (real costs are
     orders of magnitude below BIG/2).
+
+    ``m_true`` / ``n_true`` are TRACED: every call whose token buffers land
+    on the same ``pad_quantum`` grid reuses one compiled executable, so
+    repeated ``cost()`` API calls over varied lengths do not pay the
+    (remote, minutes-long) XLA compile per distinct length.  The split
+    point, half extraction, and join are computed with dynamic gathers.
     """
+    mcap = tok_a_ext.shape[0] - 1  # static buffer capacities
+    ncap = tok_b_ext.shape[0] - 1
     if m_true is None:
-        m_true = tok_a_ext.shape[0] - 1
+        m_true = mcap
     if n_true is None:
-        n_true = tok_b_ext.shape[0] - 1
-    m, n = m_true, n_true
-    assert m >= 2, "split fill requires m >= 2"
-    mid = m // 2
+        n_true = ncap
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+    mid = m_true // 2
 
     gap_open_i = jnp.asarray(gap_open, jnp.int32)
+    tok_a_i = jnp.asarray(tok_a_ext, jnp.int32)
+    tok_b_i = jnp.asarray(tok_b_ext, jnp.int32)
 
     # Top half: rows 1..mid.  Bottom half: reversed rows m..mid+1 against
-    # reversed seq_2 (1-origin buffers with dummy position 0).  Halves are
-    # padded up to a shared quantum grid so nearby lengths reuse one
-    # compiled stacked kernel.
+    # reversed seq_2 (1-origin buffers with dummy position 0).  Half
+    # capacities are static (from the buffer shapes, quantum-padded) so
+    # nearby lengths reuse one compiled stacked kernel; rows past each
+    # half's true length compute discarded garbage.
     q = max(1, pad_quantum)
-    mh = max(q, q * -(-max(mid, m - mid) // q))
-    nh = max(q, q * -(-(n + 1) // q)) - 1
+    half_cap = -(-mcap // 2)  # ceil: the longer half of any m_true <= mcap
+    mh = max(q, q * (-(-half_cap // q)))
+    nh = max(q, q * -(-(ncap + 1) // q)) - 1
 
-    top_a = jnp.pad(tok_a_ext[: mid + 1], (0, mh - mid))
-    bot_a = jnp.pad(
-        jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), tok_a_ext[mid + 1 : m + 1][::-1]]
-        ),
-        (0, mh - (m - mid)),
+    ks = jnp.arange(mh + 1, dtype=jnp.int32)
+    top_a = jnp.where(ks <= mid, tok_a_i[jnp.minimum(ks, mcap)], 0)
+    bot_a = jnp.where(
+        ks >= 1, tok_a_i[jnp.clip(m_true + 1 - ks, 0, mcap)], 0
     )
-    fwd_b = jnp.pad(tok_b_ext[: n + 1], (0, nh - n))
-    rev_b = jnp.pad(
-        jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), tok_b_ext[1 : n + 1][::-1]]
-        ),
-        (0, nh - n),
+    js = jnp.arange(nh + 1, dtype=jnp.int32)
+    fwd_b = jnp.where(js <= n_true, tok_b_i[jnp.minimum(js, ncap)], 0)
+    rev_b = jnp.where(
+        js >= 1, tok_b_i[jnp.clip(n_true + 1 - js, 0, ncap)], 0
     )
 
     tok_a2 = jnp.stack([top_a, bot_a])
     tok_b2 = jnp.stack([fwd_b, rev_b])
-    m_true2 = jnp.asarray([mid, m - mid], jnp.int32)
-    n_true2 = jnp.asarray([n, n], jnp.int32)
+    m_true2 = jnp.stack([mid, m_true - mid])
+    n_true2 = jnp.stack([n_true, n_true])
 
     last = stacked_fill_last_rows(
         tok_a2,
@@ -1152,12 +1329,19 @@ def split_fill_cost(
         m_true2,
         n_true2,
         interpret=interpret,
+        fast=fast,
     )  # (2, 3, R*128)
 
     half_big = BIG // 2
-    F = jnp.minimum(last[0, :, : n + 1], half_big)  # F_L(mid, j)
-    G = jnp.minimum(last[1, :, : n + 1], half_big)  # G_L(m-mid, q)
-    Gj = G[:, ::-1]  # Gj[:, j] = G[:, n - j]
+    wp = last.shape[-1]
+    jw = jnp.arange(wp, dtype=jnp.int32)
+    valid = jw <= n_true  # columns past n_true hold garbage — mask them out
+    F = jnp.where(valid, jnp.minimum(last[0], half_big), half_big)
+    # Gj[:, j] = G[:, n - j] (dynamic reverse via clipped gather).
+    G = jnp.minimum(last[1], half_big)
+    Gj = jnp.where(
+        valid, jnp.take(G, jnp.clip(n_true - jw, 0, wp - 1), axis=1), half_big
+    )
 
     combo = F[:, None, :] + Gj[None, :, :]  # (L, L', j)
     corr = jnp.zeros((3, 3), jnp.int32)

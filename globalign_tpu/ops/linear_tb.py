@@ -45,12 +45,62 @@ from .traceback import (
 
 DEFAULT_BLOCK_ROWS = 512
 
+# Columns fetched per host window during the replay walk.  The walk visits
+# a narrow, monotonically left-moving band of each block, so shipping the
+# whole (K x n) move matrix to the host wastes nearly all of the transfer
+# (at 30 kb that is ~1 GB through a ~35 ms-latency link, and it dominated
+# the round-1 end-to-end wall-clock).  Windows are re-fetched leftward on
+# demand; each fetch is one dynamic-slice + one host transfer.
+DEFAULT_WINDOW_COLS = 2048
+
 
 def _block_tokens(tok_a_ext: np.ndarray, i0: int, i1: int) -> jnp.ndarray:
     """1-origin token buffer for global rows i0+1..i1 (dummy entry 0)."""
     return jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.asarray(tok_a_ext[i0 + 1 : i1 + 1])]
     )
+
+
+class _WindowedMoves:
+    """Host view of a device-resident block move matrix, fetched in
+    fixed-width column windows as the walk moves left.
+
+    ``j`` only decreases during a block walk, so a miss fetches the window
+    ENDING at the requested column; the dynamic-slice start is traced (one
+    compiled slice per array shape, not one remote compile per fetch).
+    """
+
+    def __init__(self, dev_moves, window_cols: int = DEFAULT_WINDOW_COLS):
+        import jax
+
+        self._dev = dev_moves  # (K+1, W) uint8 on device
+        self._w = min(window_cols, dev_moves.shape[1])
+        self._w0 = -1
+        self._buf: np.ndarray | None = None
+        self.fetches = 0
+        self._slice = jax.jit(
+            lambda a, s: jax.lax.dynamic_slice(
+                a, (0, s), (a.shape[0], self._w)
+            )
+        )
+
+    def code(self, ii: int, jj: int) -> int:
+        if self._buf is None or not (self._w0 <= jj < self._w0 + self._w):
+            start = min(max(0, jj - self._w + 1), self._dev.shape[1] - self._w)
+            self._buf = np.asarray(self._slice(self._dev, start))
+            self._w0 = start
+            self.fetches += 1
+        return int(self._buf[ii, jj - self._w0])
+
+
+class _HostMoves:
+    """Uniform accessor over an already-host-resident move matrix."""
+
+    def __init__(self, arr: np.ndarray):
+        self._arr = arr
+
+    def code(self, ii: int, jj: int) -> int:
+        return int(self._arr[ii, jj])
 
 
 def align_blocked(
@@ -184,11 +234,13 @@ def align_blocked(
                     jnp.int32,
                 ),
             )
-            moves = np.asarray(moves_d[0])
+            # Moves stay device-resident; the walk fetches column windows
+            # on demand instead of shipping the whole block to the host.
+            moves = _WindowedMoves(moves_d[0])
         else:
             col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
             col0_blk = jnp.stack([col0y_blk, col0y_blk, col0y_blk])
-            moves = np.asarray(
+            moves_np = np.asarray(
                 row_fill(
                     ta_blk,
                     tok_b,
@@ -200,6 +252,7 @@ def align_blocked(
                     want_moves=True,
                 ).moves
             )
+            moves = _HostMoves(moves_np)
 
         while i > i0:
             if j == 0:
@@ -210,7 +263,7 @@ def align_blocked(
                 out_2.append(GAP_CHAR)
                 i -= 1
                 continue
-            code = int(moves[i - i0, j])
+            code = moves.code(i - i0, j)
             if level == LEVEL_M:
                 a, bch = seq_1[i - 1], seq_2[j - 1]
                 out_1.append(a)

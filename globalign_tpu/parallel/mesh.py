@@ -4,12 +4,15 @@ The reference is single-process with no parallelism of any kind (SURVEY.md
 §2: no DP/TP/PP, no collectives).  The TPU engine's primary scaling axis is
 the *independent-pair batch*: a 1-D ``jax.sharding.Mesh`` over all chips
 (ICI within a slice, DCN across slices), the batch axis sharded with
-``shard_map``, and XLA collectives (``psum``) merging lightweight statistics.
+``shard_map``, per-pair score vectors merged with ``lax.all_gather`` (and
+global cell counts with ``psum``) so every host holds the full result.
 No per-cell cross-device traffic is required — each pair's DP matrix lives
 entirely on one chip (SURVEY.md §3.3).
 
-Multi-host entry: call ``jax.distributed.initialize()`` before building the
-mesh; everything below is host-count agnostic.
+Multi-host entry: :func:`globalign_tpu.parallel.multihost.initialize`
+before building the mesh; everything below is host-count agnostic (inputs
+go through ``jax.make_array_from_callback``, outputs come back replicated).
+Exercised by the 2-process CPU harness in tests/test_multihost.py.
 """
 
 from __future__ import annotations
@@ -66,22 +69,134 @@ def _sharded_costs_jit(
             final3 = fill_rows.row_fill_batch(
                 ta, tb, cm, gi, go, mt, nt, want_moves=False
             ).final3
-        # Exercise the collective path: every shard learns the global count
-        # of filled cells (the GCUPS numerator aggregated over ICI/DCN).
+        # Collective merge (SURVEY.md §2 new-component row 5): every shard
+        # gathers the full per-pair score vector over ICI/DCN, so the
+        # result is replicated and every HOST can read all pairs without
+        # fetching another host's shards — this is what makes the
+        # multi-host path work (a process may only read addressable
+        # shards).  Traffic is B x 3 ints — negligible next to the fills.
+        gathered = jax.lax.all_gather(final3, BATCH_AXIS, axis=0, tiled=True)
         local_cells = jnp.sum(mt.astype(jnp.float32) * nt.astype(jnp.float32))
         total_cells = jax.lax.psum(local_cells, BATCH_AXIS)
-        return final3, total_cells
+        return gathered, total_cells
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
         in_specs=(spec_b, spec_b, P(), P(), P(), spec_b, spec_b),
-        out_specs=(spec_b, P()),
+        out_specs=(P(), P()),
         # pallas_call outputs carry no varying-mesh-axes annotation; skip
         # the vma check rather than thread it through the kernels.
         check_vma=False,
     )
     return fn(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "use_pallas"))
+def _sharded_moves_jit(
+    mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
+    use_pallas=False,
+):
+    spec_b = P(BATCH_AXIS)
+
+    def shard_fn(ta, tb, cm, gi, go, mt, nt):
+        Bl = ta.shape[0]
+        n = tb.shape[1] - 1
+        tile = 0
+        if use_pallas:
+            from ..ops.fill_pallas import _stacked_tile_size
+
+            tile = _stacked_tile_size(Bl, n, cm.shape[0], moves=True)
+        if tile:
+            from ..ops.fill_pallas import stacked_fill_with_moves
+
+            finals, movess = [], []
+            for lo in range(0, Bl, tile):
+                hi = min(lo + tile, Bl)
+                pad = tile - (hi - lo)
+
+                def grab(a):
+                    t = a[lo:hi]
+                    if pad:
+                        t = jnp.concatenate(
+                            [t, jnp.broadcast_to(t[:1], (pad,) + t.shape[1:])]
+                        )
+                    return t
+
+                last, moves = stacked_fill_with_moves(
+                    grab(ta), grab(tb), cm, gi, go, grab(mt), grab(nt)
+                )
+                idx = grab(nt)[:, None, None]
+                vals = jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
+                finals.append(vals[: hi - lo])
+                movess.append(moves[: hi - lo])
+            final3 = jnp.concatenate(finals, axis=0)
+            moves = jnp.concatenate(movess, axis=0)
+        else:
+            res = fill_rows.row_fill_batch(
+                ta, tb, cm, gi, go, mt, nt, want_moves=True
+            )
+            final3 = res.final3
+            moves = res.moves
+        # Final lanes are tiny — gather them so every host reads all pairs;
+        # move matrices are O(m*n) per pair and stay SHARDED (each host
+        # walks only the pairs whose moves it can address).
+        gathered = jax.lax.all_gather(final3, BATCH_AXIS, axis=0, tiled=True)
+        return gathered, moves
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec_b, spec_b, P(), P(), P(), spec_b, spec_b),
+        out_specs=(P(), spec_b),
+        check_vma=False,
+    )
+    return fn(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true)
+
+
+def sharded_fill_moves(
+    mesh: Mesh,
+    tok_a: np.ndarray,
+    tok_b: np.ndarray,
+    cost_mat,
+    gap_id,
+    gap_open,
+    m_true: np.ndarray,
+    n_true: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Traceback-capable batched fill, batch axis sharded across ``mesh``.
+
+    Returns ``(final3 (B, 3), moves (B, M+1, W))`` host numpy, pad rows
+    dropped — the same contract as :func:`..ops.fill_pallas.batch_moves`
+    (W is the backend's padded move-row width, >= N+1; layout "row").
+    Lifts the round-1 cost-only restriction on sharded batches: a
+    production many-pair run with tracebacks now uses every chip.
+    """
+    batch = tok_a.shape[0]
+    (tok_a, tok_b, m_true, n_true), padded = pad_batch_to_mesh(
+        (tok_a, tok_b, m_true, n_true), batch, mesh
+    )
+    sharding = NamedSharding(mesh, P(BATCH_AXIS))
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx: a[idx]
+        )
+
+    use_pallas = jax.devices()[0].platform not in ("cpu",)
+    final3, moves = _sharded_moves_jit(
+        mesh,
+        put(tok_a),
+        put(tok_b),
+        jnp.asarray(cost_mat),
+        jnp.asarray(gap_id),
+        jnp.asarray(gap_open),
+        put(np.asarray(m_true, np.int32)),
+        put(np.asarray(n_true, np.int32)),
+        use_pallas=use_pallas,
+    )
+    return np.asarray(final3)[:batch], np.asarray(moves)[:batch]
 
 
 def sharded_fill_costs(
@@ -103,11 +218,21 @@ def sharded_fill_costs(
         (tok_a, tok_b, m_true, n_true), batch, mesh
     )
 
+    # make_array_from_callback works identically in single- and multi-host
+    # runs: each process materializes only the shards of its addressable
+    # devices from the (host-replicated) full batch.
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
-    tok_a = jax.device_put(jnp.asarray(tok_a), sharding)
-    tok_b = jax.device_put(jnp.asarray(tok_b), sharding)
-    m_d = jax.device_put(jnp.asarray(m_true), sharding)
-    n_d = jax.device_put(jnp.asarray(n_true), sharding)
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(
+            a.shape, sharding, lambda idx: a[idx]
+        )
+
+    tok_a = put(tok_a)
+    tok_b = put(tok_b)
+    m_d = put(np.asarray(m_true, np.int32))
+    n_d = put(np.asarray(n_true, np.int32))
 
     use_pallas = jax.devices()[0].platform not in ("cpu",)
     final3, _total_cells = _sharded_costs_jit(

@@ -182,6 +182,21 @@ def sharded_pair_cost(
     m = tok_a_np.shape[0] - 1
     n = tok_b_np.shape[0] - 1
     D = mesh.devices.size
+    if n < D:
+        # Degenerate geometry: fewer columns than devices would collapse
+        # the np.linspace strip bounds into zero-width strips.  A pair
+        # this small has nothing to parallelize — fill it on one device.
+        from ..ops.fill_rows import row_fill
+
+        res = row_fill(
+            jnp.asarray(tok_a_np),
+            jnp.asarray(tok_b_np),
+            jnp.asarray(cost_mat, jnp.int32),
+            jnp.asarray(gap_id, jnp.int32),
+            jnp.asarray(gap_open, jnp.int32),
+            want_moves=False,
+        )
+        return np.asarray(res.final3)
     RB = max(1, block_rows)
     nblocks = max(1, -(-m // RB))
 

@@ -73,8 +73,10 @@ class BatchRunner:
             find_global_alignment's scheme options).
         chunk_pairs: pairs per resumable chunk.
         with_traceback: also emit aligned strings (slower; moves on device).
-        mesh: optional 1-D device mesh for data-parallel sharding
-            (cost-only mode).
+        mesh: optional 1-D device mesh for data-parallel sharding (both
+            cost-only and traceback modes; in a multi-host run pass a mesh
+            over jax.local_devices() — chunks are already dealt across
+            processes).
         log: file-like for structured stats lines (default stderr).
     """
 
@@ -86,9 +88,18 @@ class BatchRunner:
     emit_cigar: bool = False
     mesh: object = None
     log: object = None
+    # Multi-host: this process aligns only chunks with
+    # chunk_id % num_processes == process_id, into its own output shard
+    # (<output>.part<k>) with its own manifest — see parallel.multihost.
+    process_id: int = 0
+    num_processes: int = 1
 
     def __post_init__(self):
-        self.output = Path(self.output)
+        from .parallel.multihost import part_path
+
+        self.output = part_path(
+            self.output, self.process_id, self.num_processes
+        )
         self.manifest_path = self.output.with_name(
             self.output.name + ".manifest.jsonl"
         )
@@ -108,6 +119,10 @@ class BatchRunner:
                 "bucket_quantum": self.bucket_quantum,
                 "with_traceback": self.with_traceback,
                 "emit_cigar": self.emit_cigar,
+                # Chunk ownership changes with the process topology; a
+                # resume under a different topology would silently drop
+                # rows, so it is part of the run identity.
+                "topology": [self.process_id, self.num_processes],
             },
             sort_keys=True,
         )
@@ -160,22 +175,25 @@ class BatchRunner:
         """
         if not self.output.exists():
             return
-        kept = []
+        # Stream line-by-line (outputs can be multi-GB at the runner's
+        # million-pair scale — never load the file into memory).
+        tmp = self.output.with_suffix(self.output.suffix + ".tmp")
         dropped = 0
-        for line in self.output.read_text().splitlines():
-            try:
-                idx = int(line.split("\t", 1)[0])
-            except (ValueError, IndexError):
-                dropped += 1
-                continue
-            if idx // self.chunk_pairs in done:
-                kept.append(line)
-            else:
-                dropped += 1
+        with self.output.open() as src, tmp.open("w") as dst:
+            for line in src:
+                try:
+                    idx = int(line.split("\t", 1)[0])
+                except (ValueError, IndexError):
+                    dropped += 1
+                    continue
+                if idx // self.chunk_pairs in done:
+                    dst.write(line if line.endswith("\n") else line + "\n")
+                else:
+                    dropped += 1
         if dropped:
-            tmp = self.output.with_suffix(self.output.suffix + ".tmp")
-            tmp.write_text("".join(k + "\n" for k in kept))
             tmp.replace(self.output)
+        else:
+            tmp.unlink()
 
     @staticmethod
     def _pairs_digest(chunk) -> str:
@@ -247,7 +265,11 @@ class BatchRunner:
         done = self._completed_chunks()
         self._dedupe_output(done)
 
+        from .parallel.multihost import owns_chunk
+
         for chunk_id, base, chunk in self._chunks(pairs):
+            if not owns_chunk(chunk_id, self.process_id, self.num_processes):
+                continue
             sha = self._pairs_digest(chunk)
             prev = done.get(chunk_id)
             if prev is not None:

@@ -233,3 +233,72 @@ def test_stacked_moves_interpret_matches_row_fill():
         t1 = traceback_moves(wm[b], s1, s2, wf[b], "row")
         t2 = traceback_moves(moves[b], s1, s2, got3, "row")
         assert t1 == t2
+
+
+def test_stacked_fast_matches_baseline_all_lanes():
+    """The restructured short-chain kernel (fast=True) is bit-identical to
+    the baseline stacked kernel on every real lane, across a multi-chunk
+    width that exercises the radix-8 sublane carry scan (R > 8)."""
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(97)
+    B, M, N = 2, 40, 1200  # R = ceil(1201/128) = 10 chunks
+    tok_a, tok_b, mt, nt = _random_batch(rng, B, M, N, alpha)
+    args = (
+        jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+        jnp.asarray(mt), jnp.asarray(nt),
+    )
+    base = np.asarray(
+        fill_pallas.stacked_fill_last_rows(*args, interpret=True, fast=False)
+    )
+    fastv = np.asarray(
+        fill_pallas.stacked_fill_last_rows(*args, interpret=True, fast=True)
+    )
+    for b in range(B):
+        w = nt[b] + 1
+        assert (base[b][:, :w] == fastv[b][:, :w]).all()
+
+
+def test_split_fill_cost_one_compile_across_lengths():
+    """Distinct true lengths on one padded buffer grid must share a single
+    compiled executable (the lengths are traced, not static)."""
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(11)
+    cap = 256
+    tok_a = np.zeros((cap + 1,), np.int32)
+    tok_b = np.zeros((cap + 1,), np.int32)
+    tok_a[1:] = rng.integers(0, 4, cap)
+    tok_b[1:] = rng.integers(0, 4, cap)
+    ta, tb = jnp.asarray(tok_a), jnp.asarray(tok_b)
+
+    from globalign_tpu.ops import fill_rows
+
+    before = fill_pallas.split_fill_cost._cache_size()
+    got = {}
+    for m, n in [(200, 170), (130, 256), (256, 99)]:
+        got[(m, n)] = int(
+            fill_pallas.split_fill_cost(
+                ta, tb, cm, gid, go, m, n, interpret=True
+            )
+        )
+        want = int(
+            np.asarray(
+                fill_rows.row_fill(
+                    ta, tb, cm, gid, go, None, None, m, n, want_moves=False
+                ).final3
+            ).min()
+        )
+        assert got[(m, n)] == want, (m, n)
+    # All three length combinations hit one traced/compiled executable.
+    assert fill_pallas.split_fill_cost._cache_size() == before + 1

@@ -155,3 +155,23 @@ def test_blocked_pallas_replay_equals_full(monkeypatch):
             block_rows=16, use_pallas=True,
         )
         assert t_full == t_blk
+
+
+def test_windowed_moves_matches_direct():
+    """The on-demand window fetcher returns exactly the underlying codes
+    for any monotonically-left walk, with a bounded number of fetches."""
+    import jax.numpy as jnp
+
+    from globalign_tpu.ops.linear_tb import _WindowedMoves
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 64, size=(17, 5000), dtype=np.uint8)
+    wm = _WindowedMoves(jnp.asarray(arr), window_cols=256)
+    j = 4990
+    i = 0
+    while j > 0:
+        assert wm.code(i, j) == arr[i, j]
+        i = (i + 1) % 17
+        j -= int(rng.integers(1, 40))
+    # Walk spans < 5000 columns; every fetch advances the window left.
+    assert wm.fetches <= 5000 // 256 + 2

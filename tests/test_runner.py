@@ -241,11 +241,16 @@ def test_runner_unjournaled_rows_deduped_on_resume(tmp_path):
     assert len(out.read_text().splitlines()) == 6  # no duplicates
 
 
-def test_batch_cli_shard_cigar_guard(tmp_path):
+def test_batch_cli_shard_cigar(tmp_path):
+    """--shard now supports traceback/CIGAR mode (sharded moves path)."""
     from globalign_tpu.batch_cli import main
 
     tsv = tmp_path / "p.tsv"
     tsv.write_text("ACGT\tAGT\n")
-    with pytest.raises(SystemExit):
-        main(["--pairs_tsv", str(tsv), "-o", str(tmp_path / "o.tsv"),
-              "--shard", "--cigar"])
+    out = tmp_path / "o.tsv"
+    rc = main(["--pairs_tsv", str(tsv), "-o", str(out), "--shard", "--cigar"])
+    assert rc == 0
+    row = out.read_text().splitlines()[0].split("\t")
+    # idx, cost, score, three alignment lines, cigar
+    assert row[1] == "7" and row[2] == "0"
+    assert row[6] in ("1=1I2=", "1=1D2=".replace("D", "I"))

@@ -82,3 +82,24 @@ def test_seqpar_gap_spanning_strips(strip_mesh):
     s2 = "AC" + "G" * 60  # optimal path: 60-wide gap run across strips
     _check(strip_mesh, alpha, costing, s1, s2, block_rows=4)
     _check(strip_mesh, alpha, costing, s2, s1, block_rows=4)
+
+
+def test_seqpar_short_seq2_guard(strip_mesh):
+    """n < D must not produce zero-width strips (degenerate fallback)."""
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.parallel.seqpar import sharded_pair_cost
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    ta = jnp.asarray(encode_padded(alpha, "ACGTAC", 6))
+    tb = jnp.asarray(encode_padded(alpha, "AGT", 3))  # n=3 < D=8
+    want = np.asarray(
+        fill_rows.row_fill(ta, tb, cm, gid, go, want_moves=False).final3
+    )
+    got = sharded_pair_cost(strip_mesh, ta, tb, cm, gid, go)
+    assert (want == got).all()
