@@ -17,7 +17,12 @@ Public surface::
     AlignmentResults             # report object (same 10 fields as reference)
 """
 
-__version__ = "0.1.0"
+try:  # installed: the git-tag-derived version (setuptools-scm)
+    from importlib.metadata import version as _pkg_version
+
+    __version__ = _pkg_version("globalign-tpu")
+except Exception:  # running from a source tree
+    __version__ = "0.2.0"
 
 from .api import find_global_alignment
 from .batch import align_pairs

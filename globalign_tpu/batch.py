@@ -127,6 +127,7 @@ def align_pairs(
     with_traceback: bool = True,
     bucket_quantum: int = DEFAULT_BUCKET_QUANTUM,
     mesh=None,
+    phase_seconds: dict | None = None,
 ) -> list[PairResult]:
     """Align many independent pairs on device, in input order.
 
@@ -135,7 +136,33 @@ def align_pairs(
     ``jax.sharding.Mesh``), each bucket's batch axis is sharded data-parallel
     across the mesh devices — cost-only and traceback modes both (moves
     stay sharded per device; final lanes are all-gathered).
+
+    ``phase_seconds`` (optional dict) accumulates wall-clock per phase
+    ("fill" = device DP fills, "traceback" = host move walks) — the
+    runner surfaces these in its structured stats; device phases are also
+    annotated with ``jax.named_scope`` for jax.profiler traces.
     """
+    import time as _time
+
+    import jax as _jax
+
+    def _phase(name):
+        class _P:
+            def __enter__(self):
+                self._t0 = _time.perf_counter()
+                self._scope = _jax.named_scope(f"globalign.{name}")
+                self._scope.__enter__()
+                return self
+
+            def __exit__(self, *exc):
+                self._scope.__exit__(*exc)
+                if phase_seconds is not None:
+                    phase_seconds[name] = phase_seconds.get(name, 0.0) + (
+                        _time.perf_counter() - self._t0
+                    )
+                return False
+
+        return _P()
     pairs = _validate_pairs(pairs)
     if not pairs:
         return []
@@ -207,10 +234,11 @@ def align_pairs(
                 s1, s2 = pairs[idx]
                 tok_a = encode_padded(scheme.alphabet, s1, len(s1))
                 tok_b = encode_padded(scheme.alphabet, s2, len(s2))
-                tb = align_blocked(
-                    tok_a, jnp.asarray(tok_b), cost_mat, gap_id, gap_open,
-                    s1, s2,
-                )
+                with _phase("blocked"):
+                    tb = align_blocked(
+                        tok_a, jnp.asarray(tok_b), cost_mat, gap_id,
+                        gap_open, s1, s2,
+                    )
                 score = final_cost_to_score(
                     cost=tb.cost, m=len(s1), n=len(s2),
                     max_score=scheme.max_score,
@@ -232,24 +260,48 @@ def align_pairs(
         m_true = np.array([len(pairs[i][0]) for i in indices], np.int32)
         n_true = np.array([len(pairs[i][1]) for i in indices], np.int32)
 
-        if mesh is not None and with_traceback:
-            from .parallel.mesh import sharded_fill_moves
+        with _phase("fill"):
+            if mesh is not None and with_traceback:
+                from .parallel.mesh import sharded_fill_moves
 
-            final3, moves = sharded_fill_moves(
-                mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
-            )
-        elif mesh is not None:
-            from .parallel.mesh import sharded_fill_costs
+                final3, moves = sharded_fill_moves(
+                    mesh, tok_a, tok_b, cost_mat, gap_id, gap_open,
+                    m_true, n_true,
+                )
+            elif mesh is not None:
+                from .parallel.mesh import sharded_fill_costs
 
-            final3 = sharded_fill_costs(
-                mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
-            )
-            moves = None
-        elif not with_traceback and _use_pallas():
-            from .ops.fill_pallas import batch_final3
+                final3 = sharded_fill_costs(
+                    mesh, tok_a, tok_b, cost_mat, gap_id, gap_open,
+                    m_true, n_true,
+                )
+                moves = None
+            elif not with_traceback and _use_pallas():
+                from .ops.fill_pallas import batch_final3
 
-            final3 = np.asarray(
-                batch_final3(
+                final3 = np.asarray(
+                    batch_final3(
+                        jnp.asarray(tok_a),
+                        jnp.asarray(tok_b),
+                        cost_mat,
+                        gap_id,
+                        gap_open,
+                        jnp.asarray(m_true),
+                        jnp.asarray(n_true),
+                    )
+                )
+                moves = None
+            elif (
+                with_traceback
+                and _use_pallas()
+                and (got := _pallas_moves(
+                    tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+                ))
+                is not None
+            ):
+                final3, moves = got
+            else:
+                res = fill_rows.row_fill_batch(
                     jnp.asarray(tok_a),
                     jnp.asarray(tok_b),
                     cost_mat,
@@ -257,31 +309,10 @@ def align_pairs(
                     gap_open,
                     jnp.asarray(m_true),
                     jnp.asarray(n_true),
+                    want_moves=with_traceback,
                 )
-            )
-            moves = None
-        elif (
-            with_traceback
-            and _use_pallas()
-            and (got := _pallas_moves(
-                tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
-            ))
-            is not None
-        ):
-            final3, moves = got
-        else:
-            res = fill_rows.row_fill_batch(
-                jnp.asarray(tok_a),
-                jnp.asarray(tok_b),
-                cost_mat,
-                gap_id,
-                gap_open,
-                jnp.asarray(m_true),
-                jnp.asarray(n_true),
-                want_moves=with_traceback,
-            )
-            final3 = np.asarray(res.final3)
-            moves = np.asarray(res.moves) if with_traceback else None
+                final3 = np.asarray(res.final3)
+                moves = np.asarray(res.moves) if with_traceback else None
 
         for row, idx in enumerate(indices):
             s1, s2 = pairs[idx]
@@ -290,9 +321,10 @@ def align_pairs(
                 cost=cost, m=len(s1), n=len(s2), max_score=scheme.max_score
             )
             if with_traceback:
-                tb = traceback_moves(
-                    moves[row], s1, s2, final3[row], layout="row"
-                )
+                with _phase("traceback"):
+                    tb = traceback_moves(
+                        moves[row], s1, s2, final3[row], layout="row"
+                    )
                 assert tb.cost == cost
                 results[idx] = PairResult(
                     cost=cost,

@@ -129,15 +129,16 @@ class GotohAligner:
         if self.use_pallas:
             from ..ops.fill_pallas import wavefront_fill_cost
 
-            final3 = wavefront_fill_cost(
-                tok_a,
-                tok_b,
-                self._cost_mat,
-                self._gap_id,
-                self._gap_open,
-                len(seq_1),
-                len(seq_2),
-            )
+            with jax.named_scope("globalign.fill"):
+                final3 = wavefront_fill_cost(
+                    tok_a,
+                    tok_b,
+                    self._cost_mat,
+                    self._gap_id,
+                    self._gap_open,
+                    len(seq_1),
+                    len(seq_2),
+                )
         else:
             final3 = self.fill(seq_1, seq_2, want_moves=False).final3
         return int(np.min(np.asarray(final3)))
@@ -171,15 +172,16 @@ class GotohAligner:
             from ..ops.fill_pallas import stacked_fill_with_moves
 
             tok_a, tok_b = self._encode(seq_1, seq_2)
-            last, moves = stacked_fill_with_moves(
-                tok_a[None],
-                tok_b[None],
-                self._cost_mat,
-                self._gap_id,
-                self._gap_open,
-                jnp.asarray([m], jnp.int32),
-                jnp.asarray([n], jnp.int32),
-            )
+            with jax.named_scope("globalign.fill"):
+                last, moves = stacked_fill_with_moves(
+                    tok_a[None],
+                    tok_b[None],
+                    self._cost_mat,
+                    self._gap_id,
+                    self._gap_open,
+                    jnp.asarray([m], jnp.int32),
+                    jnp.asarray([n], jnp.int32),
+                )
             tb = traceback_moves(
                 np.asarray(moves[0]),
                 seq_1,

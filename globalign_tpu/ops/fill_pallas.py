@@ -661,27 +661,31 @@ def _min_tree(terms):
 def _make_stacked_kernel_v2(B: int):
     """Fast cost-only stacked kernel (same contract as _make_stacked_kernel).
 
-    The row loop's wall-clock is dominated by its serial dependency chain,
-    not by ALU throughput (docs/PERF.md: ~1 us/row nearly independent of
-    width).  This variant restructures the chain:
+    Microbenchmarks (scratch/micro2.py, v5e) show the row loop is priced
+    in LANE ROLLS: a lane roll costs ~90 ns nearly independent of data
+    size, elementwise ops ~3 ns, sublane ops ~5x cheaper than lane ops —
+    so the baseline kernel's 9 lane rolls per row (7 scan + 1 diagonal
+    shift + 1 exclusive shift) are ~80% of its ~1 us/row.  This variant
+    drops to 8 lane rolls per row and trims the rest of the chain:
 
-    * DP state rides the ``fori_loop`` carry (vector registers) instead of
-      VMEM scratch — no VMEM round-trip per row.
-    * The prefix-min runs radix-8: each step issues up to 7 independent
-      rolls combined by a balanced min tree, so the dependent depth per
-      covered factor-of-8 is ~5 ops instead of 9 for serial doubling.
-    * The cross-chunk carry no longer waits for the in-chunk scan: chunk
-      totals are reduced by an unmasked cyclic-roll tree straight from the
-      prefix input (both depend only on the row input and run in parallel
-      in the dataflow graph).
+    * **Inclusive-scan trick**: the Ix lane is carried as the INCLUSIVE
+      prefix form ``xci = dpref + min(incl_scan, carry)`` — every extra
+      candidate it admits equals an existing candidate plus gap_open, so
+      every downstream min (next row's diagonal/vertical/horizontal
+      candidates) is bit-identical; the true exclusive Ix is materialized
+      (one extra roll) only in the predicated output write at the pair's
+      final row.  Saves the per-row exclusive-shift roll.
+    * DP state rides the ``fori_loop`` carry instead of VMEM scratch — no
+      VMEM round-trip per row.
     * The horizontal-gap offset is folded into the substitution row
-      (``hd = min(best + (sub - dpref + go), yc - (dpref - go))``), putting
-      the prefix input 2 ops after ``best`` instead of the clamp/mask/
-      min/add chain through ``mc``.
+      (``hd = min(best + (sub - dpref + go), yc - (dpref - go))``), so the
+      prefix input is 2 elementwise ops after ``best``.
 
-    Bit-exact to the baseline kernel: the only value differences are at
-    cells whose cost exceeds the BIG sentinel, where both variants clamp
-    to BIG before anything is stored (asserted by tests/test_fill_pallas).
+    Output-exact vs the baseline kernel (asserted on every lane of the
+    output row by tests/test_fill_pallas): interior Ix state differs only
+    by dominated candidates and at >=BIG cells, both of which the output
+    write erases (exclusive fix + min(, BIG) clamp; dpref non-decreasing,
+    costs non-negative).
     """
 
     def kernel(
@@ -713,39 +717,25 @@ def _make_stacked_kernel_v2(B: int):
             carry = jnp.where(rcol >= 1, carry, BIG)
             return jnp.where(lane == 0, carry, sh)
 
-        def scan_masked(x, extent, axis, idx, fill):
-            """Inclusive prefix-min along ``axis`` (radix-8 masked steps)."""
+        def inclusive_scan(p):
+            """(x, c): in-chunk INCLUSIVE prefix-min (7 lane rolls — the
+            minimum for a 128-extent scan) and the exclusive cross-chunk
+            carry (narrow sublane ops, ~free).  Global inclusive prefix =
+            min(x, c); global exclusive = min(masked-roll(x), c)."""
+            x = p
             s = 1
-            while s < extent:
-                shifts = [k * s for k in range(1, 8) if k * s < extent]
-                rolled = [pltpu.roll(x, sh, axis=axis) for sh in shifts]
-                terms = [x] + [
-                    jnp.where(idx >= sh, r, fill)
-                    for sh, r in zip(shifts, rolled)
-                ]
-                x = _min_tree(terms)
-                s *= 8
-            return x
-
-        def prefix_min_exclusive(p):
-            """out[j] = min_{j' < j} p[j'], out[0] = BIG (exact int scan)."""
-            # In-chunk inclusive scan and whole-chunk totals both depend
-            # only on p — their chains run in parallel.
-            x = scan_masked(p, LANES, 2, lane, big)
-            t = p  # cyclic reduction: every lane ends up with the chunk min
-            for shifts in (
-                (16, 32, 48, 64, 80, 96, 112),
-                (2, 4, 6, 8, 10, 12, 14),
-                (1,),
-            ):
-                t = _min_tree(
-                    [t] + [pltpu.roll(t, sh, axis=2) for sh in shifts]
-                )
-            tcol = t[:, :, :1]  # (B, R, 1) chunk minima
-            c = jnp.where(rcol >= 1, pltpu.roll(tcol, 1, axis=1), BIG)
-            c = scan_masked(c, R, 1, rcol, BIG)
-            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), big)
-            return jnp.minimum(xs, c)
+            while s < LANES:
+                sh = pltpu.roll(x, s, axis=2)
+                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
+                s *= 2
+            last = x[:, :, LANES - 1 :]  # (B, R, 1) inclusive chunk minima
+            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=1), BIG)
+            s = 1
+            while s < R:
+                sh = pltpu.roll(c, s, axis=1)
+                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
+                s *= 2
+            return x, c
 
         dpref = dpref_ref[:, :, :]
         dprefg = dpref - gap_open  # hd = min(mc_raw, yc) - dprefg
@@ -776,18 +766,36 @@ def _make_stacked_kernel_v2(B: int):
             # >= BIG and the final min(dpref + ep, BIG) clamp erases the
             # difference (dpref is non-decreasing, costs non-negative).
             hd = jnp.minimum(best + subg, yc - dprefg)
-            ep = prefix_min_exclusive(hd)
-            xc = jnp.where(mask0, BIG, jnp.minimum(dpref + ep, BIG))
+            x_in, cch = inclusive_scan(hd)
+            # INCLUSIVE Ix state: admits the extra candidate
+            # min(mc_raw, yc)[j] + go at each j — dominated (it equals an
+            # existing same-j candidate plus gap_open >= 0) in every
+            # downstream min, so M/Iy stay bit-exact (module docstring).
+            xci = jnp.where(
+                mask0,
+                BIG,
+                jnp.minimum(dpref + jnp.minimum(x_in, cch), BIG),
+            )
 
             for b in range(B):
 
                 @pl.when(i == params_ref[b, 0])
                 def _(b=b):
+                    # Materialize the true EXCLUSIVE Ix for the output row
+                    # (one roll, paid once per pair, not per row).
+                    xs = jnp.where(
+                        lane >= 1, pltpu.roll(x_in, 1, axis=2), big
+                    )
+                    xc = jnp.where(
+                        mask0,
+                        BIG,
+                        jnp.minimum(dpref + jnp.minimum(xs, cch), BIG),
+                    )
                     out_ref[b, 0] = mc[b]
                     out_ref[b, 1] = xc[b]
                     out_ref[b, 2] = yc[b]
 
-            return mc, xc, yc, c0yf
+            return mc, xci, yc, c0yf
 
         carry0 = (
             row0_ref[:, 0],
@@ -1171,6 +1179,265 @@ def batch_final3(
         vals = jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
         outs.append(vals[: hi - lo])
     return jnp.concatenate(outs, axis=0)
+
+
+def _make_strip_kernel(r_e: int, rb: int):
+    """Column-strip block kernel for sequence parallelism (one strip).
+
+    Extends the row kernel with the two features the sequence-parallel
+    wavefront needs (semantics defined by ops/fill_rows.row_fill_impl's
+    ``col0_full`` / ``want_edge`` modes, pinned by tests):
+
+    * **Interior left boundary**: cell (i, 0) takes all three lanes from a
+      per-row SMEM table (the neighbor strip's right edge), and the
+      neighbor's Ix run continues WITHOUT a fresh gap-open — injected as a
+      floor on the exclusive prefix minimum.
+    * **Right-edge streaming**: each row's three lanes at the strip edge
+      (static chunk ``r_e``) are DMA'd to an HBM buffer row by row
+      (double-buffered, same pattern as the moves kernel) — O(m) output,
+      no plane materialization.
+
+    Outputs: ``last`` = state after all ``rb`` rows (the next block's
+    row-0 boundary), ``fin`` = state at row ``m_true`` (the final block's
+    readout), ``edge`` = (rb+1, 8, 128) int32 HBM rows 1..rb with lanes
+    [0:3, l_e] holding (M, Ix, Iy).
+    """
+
+    def kernel(
+        params_ref,  # (1, 2) int32 SMEM: m_true, gap_open
+        tok_a_ref,  # (1, rb+1) int32 SMEM
+        ics_ref,  # (1, rb+1) int32 SMEM
+        col0m_ref,  # (1, rb+1) int32 SMEM
+        col0x_ref,  # (1, rb+1) int32 SMEM
+        col0y_ref,  # (1, rb+1) int32 SMEM
+        subc_ref,  # (A, R, 128) int32 VMEM
+        dpref_ref,  # (R, 128) int32 VMEM
+        row0_ref,  # (3, R, 128) int32 VMEM
+        last_ref,  # out (3, R, 128) VMEM
+        fin_ref,  # out (3, R, 128) VMEM
+        edge_ref,  # out (rb+1, 8, 128) int32 HBM (pl.ANY)
+        m_s,
+        x_s,
+        y_s,
+        ed_s,  # (2, 8, 128) int32 VMEM: edge DMA double buffer
+        dma_sems,  # (2,)
+    ):
+        R = dpref_ref.shape[0]
+        m_true = params_ref[0, 0]
+        gap_open = params_ref[0, 1]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        mask0 = (lane == 0) & (row == 0)
+        big = jnp.full((R, LANES), BIG, jnp.int32)
+        zeros5 = jnp.zeros((5, LANES), jnp.int32)
+
+        def shift1(x):
+            sh = pltpu.roll(x, 1, axis=1)
+            carry = pltpu.roll(x[:, LANES - 1 :], 1, axis=0)
+            carry = jnp.where(row[:, :1] >= 1, carry, BIG)
+            return jnp.where(lane == 0, carry, sh)
+
+        def prefix_min_exclusive(p):
+            x = p
+            s = 1
+            while s < LANES:
+                sh = pltpu.roll(x, s, axis=1)
+                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
+                s *= 2
+            last = x[:, LANES - 1 :]
+            rcol = row[:, :1]
+            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=0), BIG)
+            s = 1
+            while s < R:
+                sh = pltpu.roll(c, s, axis=0)
+                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
+                s *= 2
+            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), big)
+            return jnp.minimum(xs, c)
+
+        dpref = dpref_ref[:, :]
+        m_s[:, :] = row0_ref[0]
+        x_s[:, :] = row0_ref[1]
+        y_s[:, :] = row0_ref[2]
+
+        @pl.when(m_true == 0)
+        def _():
+            fin_ref[0] = row0_ref[0]
+            fin_ref[1] = row0_ref[1]
+            fin_ref[2] = row0_ref[2]
+
+        def one_row(i, _):
+            mp, xp, yp = m_s[:, :], x_s[:, :], y_s[:, :]
+            ai = tok_a_ref[0, i]
+            ic = ics_ref[0, i]
+            mb = jnp.full((R, LANES), col0m_ref[0, i], jnp.int32)
+            xb = jnp.full((R, LANES), col0x_ref[0, i], jnp.int32)
+            yb = jnp.full((R, LANES), col0y_ref[0, i], jnp.int32)
+
+            sub = subc_ref[ai]
+
+            best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
+            mc = jnp.minimum(best + sub, BIG)
+            vy = jnp.minimum(jnp.minimum(mp, xp) + gap_open, yp)
+            yc = jnp.minimum(vy + ic, BIG)
+
+            # Interior boundary: all three lanes at j == 0 come from the
+            # neighbor's edge (reference col-0 seeding generalized;
+            # fill_rows.row_fill_impl col0_full).
+            mc = jnp.where(mask0, mb, mc)
+            yc = jnp.where(mask0, yb, yc)
+
+            h = jnp.minimum(mc, yc) + gap_open
+            ep = prefix_min_exclusive(h - dpref)
+            # The neighbor's Ix chain continues without a fresh open: a
+            # floor on the prefix (extended by dpref when adding back).
+            ep = jnp.minimum(ep, xb)
+            xc = jnp.where(mask0, xb, jnp.minimum(dpref + ep, BIG))
+
+            m_s[:, :] = mc
+            x_s[:, :] = xc
+            y_s[:, :] = yc
+
+            @pl.when(i == m_true)
+            def _():
+                fin_ref[0] = mc
+                fin_ref[1] = xc
+                fin_ref[2] = yc
+
+            slot = jax.lax.rem(i, 2)
+
+            @pl.when(i >= 3)
+            def _():
+                pltpu.make_async_copy(
+                    ed_s.at[slot], edge_ref.at[i - 2], dma_sems.at[slot]
+                ).wait()
+
+            ed_s[slot] = jnp.concatenate(
+                [
+                    mc[r_e : r_e + 1],
+                    xc[r_e : r_e + 1],
+                    yc[r_e : r_e + 1],
+                    zeros5,
+                ],
+                axis=0,
+            )
+            pltpu.make_async_copy(
+                ed_s.at[slot], edge_ref.at[i], dma_sems.at[slot]
+            ).start()
+            return 0
+
+        jax.lax.fori_loop(1, rb + 1, one_row, 0)
+
+        last_ref[0] = m_s[:, :]
+        last_ref[1] = x_s[:, :]
+        last_ref[2] = y_s[:, :]
+
+        # Drain the last (up to two) in-flight edge DMAs (rb is static).
+        pltpu.make_async_copy(
+            ed_s.at[rb % 2], edge_ref.at[rb], dma_sems.at[rb % 2]
+        ).wait()
+        if rb >= 2:
+            pltpu.make_async_copy(
+                ed_s.at[(rb - 1) % 2],
+                edge_ref.at[rb - 1],
+                dma_sems.at[(rb - 1) % 2],
+            ).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def strip_fill_block(
+    tok_a_blk: jax.Array,
+    tok_b_strip: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    row0: jax.Array,
+    col0: jax.Array,
+    m_true,
+    *,
+    interpret: bool = False,
+):
+    """One sequence-parallel strip block on the Pallas row kernel.
+
+    Args:
+        tok_a_blk: (RB+1,) int32 1-origin block tokens (dummy entry 0).
+        tok_b_strip: (W+1,) int32 1-origin strip tokens; the strip's true
+            width IS W (equal-width strips; the edge column is static).
+        row0: (3, W+1) int32 — the block's top boundary (previous block's
+            last row, or the strip's global row-0 boundary).
+        col0: (3, RB+1) int32 — the block's left boundary (neighbor
+            strip's right edge; BIG lanes for the true matrix edge).
+        m_true: traced row count at which ``fin`` is captured.
+
+    Returns ``(last, fin, edge)``: (3, R*128), (3, R*128), (3, RB) — see
+    :func:`_make_strip_kernel`.  Replaces the ~0.05-GCUPS XLA row scan as
+    the accelerator backend of parallel/seqpar.py.
+    """
+    rb = tok_a_blk.shape[0] - 1
+    W = tok_b_strip.shape[0] - 1
+    A = cost_mat.shape[0]
+    R = max(1, -(-(W + 1) // LANES))
+    r_e, l_e = W // LANES, W % LANES
+
+    gap_open_i = jnp.asarray(gap_open, jnp.int32)
+    cost_mat = jnp.asarray(cost_mat, jnp.int32)
+    gap_id_i = jnp.asarray(gap_id, jnp.int32)
+
+    subrows = cost_mat[:, tok_b_strip]
+    dsteps = cost_mat[gap_id_i, tok_b_strip].at[0].set(0)
+    dpref = jnp.cumsum(dsteps, dtype=jnp.int32)
+
+    subc = _chunk(subrows, R)
+    dprefc = _chunk(dpref, R)
+    row0c = _chunk(row0.astype(jnp.int32), R)
+
+    params = jnp.stack(
+        [jnp.asarray(m_true, jnp.int32), gap_open_i]
+    ).reshape(1, 2)
+    tok_a_s = tok_a_blk.astype(jnp.int32).reshape(1, -1)
+    ics_s = cost_mat[tok_a_blk, gap_id_i].reshape(1, -1)
+    col0 = col0.astype(jnp.int32)
+
+    last, fin, edge = pl.pallas_call(
+        _make_strip_kernel(r_e, rb),
+        out_shape=(
+            jax.ShapeDtypeStruct((3, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((3, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((rb + 1, 8, LANES), jnp.int32),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 6
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((R, LANES), jnp.int32),
+            pltpu.VMEM((2, 8, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        params,
+        tok_a_s,
+        ics_s,
+        col0[0].reshape(1, -1),
+        col0[1].reshape(1, -1),
+        col0[2].reshape(1, -1),
+        subc,
+        dprefc,
+        row0c,
+    )
+
+    edge3 = edge[1:, 0:3, l_e].T  # (3, rb)
+    return last.reshape(3, R * LANES), fin.reshape(3, R * LANES), edge3
 
 
 def wavefront_fill_cost(

@@ -7,25 +7,26 @@ strips, one per device, filled as a pipelined wavefront with halo exchange
 of strip edges over the interconnect (the "wavefront-with-neighbor-exchange"
 pattern playing the context-parallelism role — XLA collectives, no NCCL).
 
-Schedule: seq_2 is split into D contiguous strips (device d owns strip d);
-seq_1 is split into row blocks of ``block_rows``.  At super-step t device d
-fills row block ``t - d`` of its strip — a skewed pipeline, so all D devices
-are busy once the pipe fills (t >= D-1).  After each super-step every device
-sends the 3-lane right-edge column of the rows it just filled to its right
-neighbor via ``lax.ppermute`` — O(3 * block_rows) ints per step over
-ICI/DCN, no per-cell traffic.
+Schedule: seq_2 is split into D contiguous EQUAL-WIDTH strips of
+``W = ceil(n / D)`` columns (device d owns strip d; columns past ``n`` are
+pad, right of every real cell, and never feed one); seq_1 is split into row
+blocks of ``block_rows``.  At super-step t device d fills row block
+``t - d`` of its strip — a skewed pipeline, so all D devices are busy once
+the pipe fills (t >= D-1).  After each super-step every device sends the
+3-lane right-edge column of the rows it just filled to its right neighbor
+via ``lax.ppermute`` — O(3 * block_rows) ints per step over ICI/DCN, no
+per-cell traffic.
 
-Correctness hinges on two fill extensions
-(:func:`globalign_tpu.ops.fill_rows.row_fill_impl`):
-``col0_full=True`` makes the received edge column a true interior boundary
-(all three lanes; the neighbor's Ix chain continues without a fresh
-gap-open), and ``want_edge`` streams the strip's own right-edge lanes per
-row without materializing planes.  Strip-exactness against the
-single-device fill is asserted by tests/test_seqpar.py.
+Backends (``strip_fill_block`` vs the XLA row scan): on accelerators each
+block runs the Pallas strip kernel — the same chunked-row engine as the
+single-chip fast path, extended with the interior left boundary and
+per-row edge streaming (ops/fill_pallas.strip_fill_block).  The row scan
+(ops/fill_rows ``col0_full`` / ``want_edge``) defines the semantics and
+remains the CPU/testing backend; both are pinned strip-exact to the
+single-device fill by tests/test_seqpar.py.
 
-Wall-clock: ceil(m/RB) + D - 1 super-steps of an (RB x n/D) block each —
-near-linear speedup in D for m >> RB * D.  Cost-only (tracebacks for huge
-pairs go through the checkpointed replay).
+Wall-clock: ceil(m/RB) + D - 1 super-steps of an (RB x W) block each.
+Cost-only (tracebacks for huge pairs go through the checkpointed replay).
 """
 
 from __future__ import annotations
@@ -51,31 +52,36 @@ def make_strip_mesh(devices=None) -> Mesh:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "m", "nblocks", "block_rows")
+    jax.jit,
+    static_argnames=(
+        "mesh", "m", "nblocks", "block_rows", "dstar", "c_read", "backend",
+    ),
 )
 def _seqpar_cost_jit(
     mesh,
     tok_a_pad,  # (nblocks*RB + 1,) replicated, 1-origin, padded
     tok_b_strips,  # (D, W+1) one padded 1-origin strip per device
     strip_row0,  # (D, 3, W+1) global row-0 boundary per strip
-    n_local,  # (D, 1) true columns per strip
     cost_mat,
     gap_id,
     gap_open,
     m: int,
     nblocks: int,
     block_rows: int,
+    dstar: int,
+    c_read: int,
+    backend: str,
 ):
     D = mesh.devices.size
     RB = block_rows
     nsteps = nblocks + D - 1
     gap_open = jnp.asarray(gap_open, jnp.int32)
 
-    def shard_fn(tok_b_s, row0_s, n_local_s):
+    def shard_fn(tok_b_s, row0_s):
         d = jax.lax.axis_index(STRIP_AXIS)
         tok_b_local = tok_b_s[0]  # (W+1,)
         row0 = row0_s[0].astype(jnp.int32)  # (3, W+1)
-        nloc = n_local_s[0, 0]
+        W = tok_b_local.shape[0] - 1
 
         # Device 0's left edge is the true matrix column-0 boundary
         # (depends only on seq_1 / gap costs — computable everywhere).
@@ -98,32 +104,48 @@ def _seqpar_cost_jit(
             col0_own = jax.lax.dynamic_slice(col0_g, (0, i0), (3, RB + 1))
             col0_blk = jnp.where(d == 0, col0_own, edges_in)
 
-            res = row_fill_impl(
-                ta_blk,
-                tok_b_local,
-                cost_mat,
-                gap_id,
-                gap_open,
-                state,
-                col0_blk,
-                rows,
-                nloc,
-                want_moves=False,
-                col0_full=True,
-                want_edge=True,
-                edge_col=nloc,
-            )
+            if backend == "scan":
+                res = row_fill_impl(
+                    ta_blk,
+                    tok_b_local,
+                    cost_mat,
+                    gap_id,
+                    gap_open,
+                    state,
+                    col0_blk,
+                    rows,
+                    jnp.int32(c_read),
+                    want_moves=False,
+                    col0_full=True,
+                    want_edge=True,
+                    edge_col=jnp.int32(W),
+                )
+                last, fin3, edge = res.last3, res.final3, res.edge.T
+            else:
+                from ..ops.fill_pallas import strip_fill_block
 
-            new_state = jnp.where(active, res.last3, state)
-            final3 = jnp.where(
-                active & (b == nblocks - 1), res.final3, final3
-            )
+                lastc, finc, edge = strip_fill_block(
+                    ta_blk,
+                    tok_b_local,
+                    cost_mat,
+                    gap_id,
+                    gap_open,
+                    state,
+                    col0_blk,
+                    rows,
+                    interpret=(backend == "pallas_interpret"),
+                )
+                last = lastc[:, : W + 1]
+                fin3 = finc[:, c_read]
+
+            new_state = jnp.where(active, last, state)
+            final3 = jnp.where(active & (b == nblocks - 1), fin3, final3)
 
             # Right-edge column over this block's rows: local row 0 = the
             # incoming state's edge value (the neighbor's diagonal read at
             # its first row), rows 1..RB from the fill's edge stream.
             edge_out = jnp.concatenate(
-                [state[:, nloc][:, None], res.edge.T], axis=1
+                [state[:, W][:, None], edge], axis=1
             )  # (3, RB+1)
             edge_out = jnp.where(
                 active, edge_out, jnp.full_like(edge_out, BIG)
@@ -142,18 +164,18 @@ def _seqpar_cost_jit(
             jnp.full((3,), BIG, jnp.int32),
         )
         _, _, final3 = jax.lax.fori_loop(0, nsteps, super_step, carry0)
-        # The overall optimum lives on the last device's strip.
-        return jnp.where(d == D - 1, final3, jnp.zeros(3, jnp.int32))[None]
+        # The overall optimum lives on the strip owning global column n.
+        return jnp.where(d == dstar, final3, jnp.zeros(3, jnp.int32))[None]
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(STRIP_AXIS), P(STRIP_AXIS), P(STRIP_AXIS)),
+        in_specs=(P(STRIP_AXIS), P(STRIP_AXIS)),
         out_specs=P(STRIP_AXIS),
         check_vma=False,
     )
-    out = fn(tok_b_strips, strip_row0, n_local)  # (D, 3)
-    return out[-1]
+    out = fn(tok_b_strips, strip_row0)  # (D, 3)
+    return out[dstar]
 
 
 def sharded_pair_cost(
@@ -165,6 +187,7 @@ def sharded_pair_cost(
     gap_open,
     *,
     block_rows: int = 256,
+    backend: str | None = None,
 ) -> np.ndarray:
     """Optimal-cost lanes (3,) of ONE pair, column-sharded over ``mesh``.
 
@@ -173,6 +196,8 @@ def sharded_pair_cost(
         block_rows: rows per pipeline super-step (pipeline fill latency is
             (D-1) * block_rows rows; halo traffic is 3*(block_rows+1) ints
             per device per step).
+        backend: "pallas" (accelerator default), "scan" (CPU default /
+            semantics oracle), or "pallas_interpret" (tests).
 
     ``min`` of the result is the optimal alignment cost, identical to the
     single-device fill.
@@ -182,10 +207,13 @@ def sharded_pair_cost(
     m = tok_a_np.shape[0] - 1
     n = tok_b_np.shape[0] - 1
     D = mesh.devices.size
+    if backend is None:
+        backend = (
+            "pallas" if jax.devices()[0].platform not in ("cpu",) else "scan"
+        )
     if n < D:
-        # Degenerate geometry: fewer columns than devices would collapse
-        # the np.linspace strip bounds into zero-width strips.  A pair
-        # this small has nothing to parallelize — fill it on one device.
+        # Degenerate geometry: fewer columns than devices — a pair this
+        # small has nothing to parallelize; fill it on one device.
         from ..ops.fill_rows import row_fill
 
         res = row_fill(
@@ -203,50 +231,52 @@ def sharded_pair_cost(
     tok_a_pad = np.zeros((nblocks * RB + 1,), np.int32)
     tok_a_pad[: m + 1] = tok_a_np
 
-    # Contiguous column strips; strip d owns global columns
-    # (c0_d, c0_d + w_d], its local dummy position 0 standing for global
-    # column c0_d (the shared edge).
-    bounds = np.linspace(0, n, D + 1).astype(np.int64)
-    W = int(max(1, (bounds[1:] - bounds[:-1]).max()))
+    # Equal-width contiguous strips: strip d owns global columns
+    # (d*W, (d+1)*W], its local dummy position 0 standing for global
+    # column d*W (the shared edge).  Columns past n are pad — they sit to
+    # the right of every real cell and never feed one; the strip edge is
+    # therefore a STATIC column, which is what lets the Pallas backend
+    # stream it per row.
+    W = -(-n // D)
+    dstar = (n - 1) // W  # strip owning global column n
+    c_read = n - dstar * W
     tok_b_strips = np.zeros((D, W + 1), np.int32)
-    n_local = np.zeros((D, 1), np.int32)
-    strip_row0 = np.zeros((D, 3, W + 1), np.int32)
-
-    import jax.numpy as _jnp
+    strip_row0 = np.full((D, 3, W + 1), BIG, np.int32)
 
     row0_g, _ = default_boundary(
-        _jnp.asarray(tok_a_np),
-        _jnp.asarray(tok_b_np),
-        _jnp.asarray(cost_mat, _jnp.int32),
+        jnp.asarray(tok_a_np),
+        jnp.asarray(tok_b_np),
+        jnp.asarray(cost_mat, jnp.int32),
         gap_id,
         jnp.asarray(gap_open, jnp.int32),
     )
     row0_g = np.asarray(row0_g)
 
     for dd in range(D):
-        c0, c1 = int(bounds[dd]), int(bounds[dd + 1])
-        w = c1 - c0
-        n_local[dd, 0] = w
-        tok_b_strips[dd, 1 : w + 1] = tok_b_np[c0 + 1 : c1 + 1]
-        strip_row0[dd, :, : w + 1] = row0_g[:, c0 : c1 + 1]
-        strip_row0[dd, :, w + 1 :] = BIG
+        c0 = dd * W
+        if c0 > n:
+            continue  # strip is pure pad; its BIG boundary is never read
+        hi = min(W, n - c0)  # real columns in this strip
+        tok_b_strips[dd, 1 : hi + 1] = tok_b_np[c0 + 1 : c0 + hi + 1]
+        strip_row0[dd, :, : hi + 1] = row0_g[:, c0 : c0 + hi + 1]
 
     sharding = NamedSharding(mesh, P(STRIP_AXIS))
     tok_b_d = jax.device_put(jnp.asarray(tok_b_strips), sharding)
     row0_d = jax.device_put(jnp.asarray(strip_row0), sharding)
-    nloc_d = jax.device_put(jnp.asarray(n_local), sharding)
 
     final3 = _seqpar_cost_jit(
         mesh,
         jnp.asarray(tok_a_pad),
         tok_b_d,
         row0_d,
-        nloc_d,
         jnp.asarray(cost_mat, jnp.int32),
         jnp.asarray(gap_id, jnp.int32),
         jnp.asarray(gap_open, jnp.int32),
         m,
         nblocks,
         RB,
+        dstar,
+        c_read,
+        backend,
     )
     return np.asarray(final3)

@@ -283,6 +283,7 @@ class BatchRunner:
                 stats.skipped_chunks += 1
                 continue
             scheme = self._chunk_scheme(chunk, scheme)
+            phases: dict[str, float] = {}
             t0 = time.perf_counter()
             results = align_pairs(
                 chunk,
@@ -290,6 +291,7 @@ class BatchRunner:
                 with_traceback=self.with_traceback,
                 bucket_quantum=self.bucket_quantum,
                 mesh=self.mesh,
+                phase_seconds=phases,
             )
             dt = time.perf_counter() - t0
 
@@ -326,6 +328,11 @@ class BatchRunner:
                         "gcups": round(true_cells / dt / 1e9, 4),
                         "pairs_per_s": round(len(chunk) / dt, 2),
                         "pad_waste": round(1 - true_cells / padded, 4),
+                        # Per-phase wall-clock (device fill vs host walk vs
+                        # blocked checkpoint+replay) — SURVEY.md §5 row 1.
+                        "phase_seconds": {
+                            k: round(v, 4) for k, v in sorted(phases.items())
+                        },
                     }
                 ),
                 file=self.log,

@@ -302,3 +302,50 @@ def test_split_fill_cost_one_compile_across_lengths():
         assert got[(m, n)] == want, (m, n)
     # All three length combinations hit one traced/compiled executable.
     assert fill_pallas.split_fill_cost._cache_size() == before + 1
+
+
+def test_strip_fill_block_matches_row_fill_col0full():
+    """The sequence-parallel strip kernel pins to the row scan's
+    col0_full / want_edge semantics: interior left boundary (all three
+    lanes + Ix continuing with no fresh open) and per-row edge stream."""
+    from globalign_tpu.ops.fill_rows import row_fill_impl
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(5)
+    RB, W = 13, 300  # multi-chunk strip (R = 3)
+    ta = jnp.asarray(
+        np.concatenate([[0], rng.integers(0, 4, RB)]).astype(np.int32)
+    )
+    tb = jnp.asarray(
+        np.concatenate([[0], rng.integers(0, 4, W)]).astype(np.int32)
+    )
+    # Plausible interior boundaries: smallish non-negative costs.
+    row0 = jnp.asarray(rng.integers(0, 60, (3, W + 1)), jnp.int32)
+    col0 = jnp.asarray(rng.integers(0, 60, (3, RB + 1)), jnp.int32)
+
+    for m_true in (RB, RB - 4):
+        want = row_fill_impl(
+            ta, tb, cm, gid, go, row0, col0, jnp.int32(m_true),
+            jnp.int32(W), want_moves=False, col0_full=True,
+            want_edge=True, edge_col=jnp.int32(W),
+        )
+        last, fin, edge = fill_pallas.strip_fill_block(
+            ta, tb, cm, gid, go, row0, col0, m_true, interpret=True
+        )
+        assert (np.asarray(want.last3) == np.asarray(last)[:, : W + 1]).all()
+        assert (np.asarray(want.final3) == np.asarray(fin)[:, W]).all() or (
+            m_true == RB - 4
+        )
+        # final3 is read at (m_true, W) here
+        want_fin = row_fill_impl(
+            ta, tb, cm, gid, go, row0, col0, jnp.int32(m_true),
+            jnp.int32(W), want_moves=False, col0_full=True,
+        ).final3
+        assert (np.asarray(want_fin) == np.asarray(fin)[:, W]).all()
+        assert (np.asarray(want.edge).T == np.asarray(edge)).all()

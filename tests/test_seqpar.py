@@ -22,7 +22,7 @@ def strip_mesh():
     return make_strip_mesh()
 
 
-def _check(mesh, alpha, costing, s1, s2, block_rows, go=4):
+def _check(mesh, alpha, costing, s1, s2, block_rows, go=4, backend="scan"):
     cm = jnp.asarray(costing.values)
     gid = jnp.int32(alpha.gap_id)
     ta = np.asarray(encode_padded(alpha, s1, len(s1)))
@@ -35,13 +35,14 @@ def _check(mesh, alpha, costing, s1, s2, block_rows, go=4):
     )
     got = sharded_pair_cost(
         mesh, ta, tb, costing.values, alpha.gap_id, go,
-        block_rows=block_rows,
+        block_rows=block_rows, backend=backend,
     )
-    assert (want == got).all(), (s1, s2, block_rows, want, got)
+    assert (want == got).all(), (s1, s2, block_rows, backend, want, got)
 
 
+@pytest.mark.parametrize("backend", ["scan", "pallas_interpret"])
 @pytest.mark.parametrize("block_rows", [1, 3, 16, 64])
-def test_seqpar_matches_single_device_dna(strip_mesh, block_rows):
+def test_seqpar_matches_single_device_dna(strip_mesh, block_rows, backend):
     alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
     costing = scoring_mat_to_costing_mat(
         create_scoring_mat(alpha, 2, -3, -2), max_score=2
@@ -52,7 +53,7 @@ def test_seqpar_matches_single_device_dna(strip_mesh, block_rows):
         n = int(rng.integers(8, 120))  # n >= D so every strip is nonempty
         s1 = "".join(rng.choice(list("ACGT"), m))
         s2 = "".join(rng.choice(list("ACGT"), n))
-        _check(strip_mesh, alpha, costing, s1, s2, block_rows)
+        _check(strip_mesh, alpha, costing, s1, s2, block_rows, backend=backend)
 
 
 def test_seqpar_matches_single_device_blosum(strip_mesh):
@@ -82,6 +83,8 @@ def test_seqpar_gap_spanning_strips(strip_mesh):
     s2 = "AC" + "G" * 60  # optimal path: 60-wide gap run across strips
     _check(strip_mesh, alpha, costing, s1, s2, block_rows=4)
     _check(strip_mesh, alpha, costing, s2, s1, block_rows=4)
+    _check(strip_mesh, alpha, costing, s1, s2, block_rows=4,
+           backend="pallas_interpret")
 
 
 def test_seqpar_short_seq2_guard(strip_mesh):
