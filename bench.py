@@ -34,7 +34,7 @@ def main() -> int:
         "--backend", choices=["auto", "scan", "rows", "pallas"], default="auto"
     )
     parser.add_argument(
-        "--kernel", choices=["fast", "base"], default="base",
+        "--kernel", choices=["fast", "base", "wave"], default="base",
         help="Stacked-kernel variant for the pallas backend (A/B).",
     )
     args = parser.parse_args()
@@ -76,13 +76,28 @@ def main() -> int:
     if backend == "pallas":
         from globalign_tpu.ops import fill_pallas
 
-        def one(ta):
-            # Meet-in-the-middle split: halves run as a stacked 2-batch,
-            # halving the sequential row count (docs/PERF.md).
-            return fill_pallas.split_fill_cost(
-                ta, tb, cost_mat, gap_id, gap_open, args.m, args.n,
-                fast=(args.kernel == "fast"),
+        if args.kernel == "wave":
+            prm = fill_pallas.uniform_scheme_params(
+                costing.values, alphabet.gap_id
             )
+            cma, cmm, dco, ico = prm
+
+            def one(ta):
+                # Anti-diagonal meet-in-the-middle: wavefront halves as a
+                # stacked 2-batch, joined over the crossing diagonal.
+                return fill_pallas.wave_split_fill_cost(
+                    ta, tb, cma, cmm, dco, ico, gap_open, args.m, args.n
+                )
+
+        else:
+
+            def one(ta):
+                # Meet-in-the-middle split: halves run as a stacked 2-batch,
+                # halving the sequential row count (docs/PERF.md).
+                return fill_pallas.split_fill_cost(
+                    ta, tb, cost_mat, gap_id, gap_open, args.m, args.n,
+                    fast=(args.kernel == "fast"),
+                )
 
     elif backend == "rows":
         from globalign_tpu.ops import fill_rows

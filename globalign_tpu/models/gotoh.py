@@ -13,7 +13,7 @@ plus cost-only and planes-debug entry points used by the batch engine, the
 benchmarks, and the tests.
 
 Backend policy:
-  * cost-only: the meet-in-the-middle Pallas fill on accelerators (~19
+  * cost-only: the meet-in-the-middle Pallas fill on accelerators (~18.3
     GCUPS at 10k, docs/PERF.md), the JAX row scan elsewhere;
   * full alignment: the Pallas moves kernel (accelerators, when its VMEM
     working set fits) or the row scan, while the O(m*n) move matrix is

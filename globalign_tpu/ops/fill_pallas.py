@@ -32,7 +32,8 @@ feeds the Hirschberg divide-and-conquer splitter.
 
 Measured on TPU v5e (single chip, slope-timed — docs/PERF.md): direct 10k
 x 10k fill ~10 ms (9.3 GCUPS); the meet-in-the-middle split over the
-stacked kernel reaches ~19 GCUPS on the same pair, batches of 1 kb pairs
+stacked kernel ~18.3 GCUPS on the same pair (about 90% of the measured
+serial-step floor — see PERF.md's roofline study), batches of 1 kb pairs
 14-25 GCUPS — vs ~1e-3 GCUPS for the reference's interpreted fill
 (BASELINE.md).
 """
@@ -428,7 +429,13 @@ def _make_batch_row_kernel(unroll: int):
     return kernel
 
 
-def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
+def _make_stacked_kernel(
+    B: int,
+    unroll: int,
+    want_moves: bool = False,
+    incl_ix: bool = False,
+    radix: int = 2,
+):
     """Stacked-pairs kernel: every pair advances the same row index together.
 
     The grid-per-pair kernel (``row_fill_last_rows_batch``) is latency-bound
@@ -448,8 +455,19 @@ def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
     ops/fill_rows.py), streamed row by row from a double-buffered uint8
     VMEM scratch to an HBM-resident output via async DMA so the O(m*n)
     moves never occupy VMEM.  Requires unroll == 1.
+
+    With ``incl_ix`` (cost-only fast path) the Ix state is carried in
+    INCLUSIVE-prefix form — ``xci = dpref + min(incl_scan, carry)`` skips
+    the per-row exclusive-shift roll (lane rolls are the row loop's
+    dominant serial cost, ~90 ns each; scratch/micro*.py).  Every extra
+    candidate xci admits equals an existing same-cell candidate plus
+    gap_open >= 0, so it is dominated in all downstream mins and the M/Iy
+    lanes stay bit-exact; the true exclusive Ix is materialized (one roll)
+    only inside the predicated output write at each pair's final row.
+    Incompatible with want_moves (move recovery needs exact per-row Ix).
     """
     assert not (want_moves and unroll != 1), "moves mode requires unroll=1"
+    assert not (want_moves and incl_ix), "moves mode needs exact per-row Ix"
 
     def kernel(*refs):
         if want_moves:
@@ -505,13 +523,31 @@ def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
             carry = jnp.where(rcol >= 1, carry, BIG)
             return jnp.where(lane == 0, carry, sh)
 
-        def prefix_min_exclusive(p):
+        def inclusive_scan(p):
+            """(x, c): in-chunk inclusive prefix-min + exclusive
+            cross-chunk carry; exclusive prefix = min(masked-roll(x), c),
+            inclusive = min(x, c).  ``radix`` > 2 trades serial roll depth
+            for parallel rolls within each step (rolls pipeline when
+            independent; scratch/micro4.py)."""
             x = p
             s = 1
             while s < LANES:
-                sh = pltpu.roll(x, s, axis=2)
-                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
-                s *= 2
+                shifts = [k * s for k in range(1, radix) if k * s < LANES]
+                rolled = [pltpu.roll(x, sh, axis=2) for sh in shifts]
+                terms = [x] + [
+                    jnp.where(lane >= sh, r, big)
+                    for sh, r in zip(shifts, rolled)
+                ]
+                while len(terms) > 1:
+                    nxt = [
+                        jnp.minimum(terms[k], terms[k + 1])
+                        for k in range(0, len(terms) - 1, 2)
+                    ]
+                    if len(terms) % 2:
+                        nxt.append(terms[-1])
+                    terms = nxt
+                x = terms[0]
+                s *= radix
             last = x[:, :, LANES - 1 :]
             c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=1), BIG)
             s = 1
@@ -519,6 +555,9 @@ def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
                 sh = pltpu.roll(c, s, axis=1)
                 c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
                 s *= 2
+            return x, c
+
+        def exclusive_combine(x, c):
             xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), big)
             return jnp.minimum(xs, c)
 
@@ -564,7 +603,13 @@ def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
             yc = jnp.where(mask0, c0yf, yc)
 
             h = jnp.minimum(mc, yc) + gap_open
-            ep = prefix_min_exclusive(h - dpref)
+            x_in, cch = inclusive_scan(h - dpref)
+            if incl_ix:
+                # Inclusive Ix state (dominated extra candidates; see
+                # factory docstring) — saves the exclusive-shift roll.
+                ep = jnp.minimum(x_in, cch)
+            else:
+                ep = exclusive_combine(x_in, cch)
             xc = jnp.where(mask0, BIG, jnp.minimum(dpref + ep, BIG))
 
             m_ref[:, :, :] = mc
@@ -610,8 +655,17 @@ def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
 
                 @pl.when(i == params_ref[b, 0])
                 def _(b=b):
+                    if incl_ix:
+                        # Materialize the true EXCLUSIVE Ix for the output
+                        # row (one roll, paid per pair, not per row).
+                        epx = exclusive_combine(x_in, cch)
+                        xcx = jnp.where(
+                            mask0, BIG, jnp.minimum(dpref + epx, BIG)
+                        )
+                    else:
+                        xcx = xc
                     out_ref[b, 0] = mc[b]
-                    out_ref[b, 1] = xc[b]
+                    out_ref[b, 1] = xcx[b]
                     out_ref[b, 2] = yc[b]
 
             return c0yf
@@ -645,169 +699,6 @@ def _make_stacked_kernel(B: int, unroll: int, want_moves: bool = False):
     return kernel
 
 
-def _min_tree(terms):
-    """Balanced pairwise jnp.minimum tree (depth ceil(log2(len)))."""
-    while len(terms) > 1:
-        nxt = [
-            jnp.minimum(terms[k], terms[k + 1])
-            for k in range(0, len(terms) - 1, 2)
-        ]
-        if len(terms) % 2:
-            nxt.append(terms[-1])
-        terms = nxt
-    return terms[0]
-
-
-def _make_stacked_kernel_v2(B: int):
-    """Fast cost-only stacked kernel (same contract as _make_stacked_kernel).
-
-    Microbenchmarks (scratch/micro2.py, v5e) show the row loop is priced
-    in LANE ROLLS: a lane roll costs ~90 ns nearly independent of data
-    size, elementwise ops ~3 ns, sublane ops ~5x cheaper than lane ops —
-    so the baseline kernel's 9 lane rolls per row (7 scan + 1 diagonal
-    shift + 1 exclusive shift) are ~80% of its ~1 us/row.  This variant
-    drops to 8 lane rolls per row and trims the rest of the chain:
-
-    * **Inclusive-scan trick**: the Ix lane is carried as the INCLUSIVE
-      prefix form ``xci = dpref + min(incl_scan, carry)`` — every extra
-      candidate it admits equals an existing candidate plus gap_open, so
-      every downstream min (next row's diagonal/vertical/horizontal
-      candidates) is bit-identical; the true exclusive Ix is materialized
-      (one extra roll) only in the predicated output write at the pair's
-      final row.  Saves the per-row exclusive-shift roll.
-    * DP state rides the ``fori_loop`` carry instead of VMEM scratch — no
-      VMEM round-trip per row.
-    * The horizontal-gap offset is folded into the substitution row
-      (``hd = min(best + (sub - dpref + go), yc - (dpref - go))``), so the
-      prefix input is 2 elementwise ops after ``best``.
-
-    Output-exact vs the baseline kernel (asserted on every lane of the
-    output row by tests/test_fill_pallas): interior Ix state differs only
-    by dominated candidates and at >=BIG cells, both of which the output
-    write erases (exclusive fix + min(, BIG) clamp; dpref non-decreasing,
-    costs non-negative).
-    """
-
-    def kernel(
-        params_ref,  # (B, 4) int32 SMEM: m_true, n_true, _, _
-        limits_ref,  # (1, 2) int32 SMEM: mmax, gap_open
-        tok_a_ref,  # (B, Mpad+1) int32 SMEM
-        ics_ref,  # (B, Mpad+1) int32 SMEM
-        subc_ref,  # (B, A, R, 128) int32 VMEM
-        dpref_ref,  # (B, R, 128) int32 VMEM
-        row0_ref,  # (B, 3, R, 128) int32 VMEM
-        c0y0_ref,  # (B, R, 128) int32 VMEM
-        out_ref,  # (B, 3, R, 128) int32 VMEM
-        sub_s,  # scratch (B, R, 128): per-row substitution rows
-        icf_s,  # scratch (B, R, 128): per-row icost splats
-    ):
-        R = dpref_ref.shape[1]
-        mmax = limits_ref[0, 0]
-        gap_open = limits_ref[0, 1]
-
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 2)
-        row = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 1)
-        mask0 = (lane == 0) & (row == 0)  # each pair's j == 0
-        big = jnp.full((B, R, LANES), BIG, jnp.int32)
-        rcol = row[:, :, :1]  # (B, R, 1)
-
-        def shift1(v):
-            sh = pltpu.roll(v, 1, axis=2)
-            carry = pltpu.roll(v[:, :, LANES - 1 :], 1, axis=1)
-            carry = jnp.where(rcol >= 1, carry, BIG)
-            return jnp.where(lane == 0, carry, sh)
-
-        def inclusive_scan(p):
-            """(x, c): in-chunk INCLUSIVE prefix-min (7 lane rolls — the
-            minimum for a 128-extent scan) and the exclusive cross-chunk
-            carry (narrow sublane ops, ~free).  Global inclusive prefix =
-            min(x, c); global exclusive = min(masked-roll(x), c)."""
-            x = p
-            s = 1
-            while s < LANES:
-                sh = pltpu.roll(x, s, axis=2)
-                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
-                s *= 2
-            last = x[:, :, LANES - 1 :]  # (B, R, 1) inclusive chunk minima
-            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=1), BIG)
-            s = 1
-            while s < R:
-                sh = pltpu.roll(c, s, axis=1)
-                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
-                s *= 2
-            return x, c
-
-        dpref = dpref_ref[:, :, :]
-        dprefg = dpref - gap_open  # hd = min(mc_raw, yc) - dprefg
-
-        def one_row(i, carry):
-            mp, xp, yp, c0yf = carry
-
-            # Per-pair row tables: B static iterations of (dynamic slice +
-            # scalar->vector splat) — the only Mosaic-supported way to get
-            # per-pair scalars into vector lanes.
-            for b in range(B):
-                ai = tok_a_ref[b, i]
-                sub_s[b] = subc_ref[b, ai]
-                icf_s[b] = jnp.full((R, LANES), ics_ref[b, i], jnp.int32)
-            sub = sub_s[:, :, :]
-            icf = icf_s[:, :, :]
-            subg = sub - dprefg  # off the serial chain (row-start value)
-
-            c0yf = c0yf + icf  # column-0 Iy accumulator, all lanes
-
-            best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
-            mc = jnp.where(mask0, BIG, jnp.minimum(best + sub, BIG))
-            vy = jnp.minimum(jnp.minimum(mp, xp) + gap_open, yp)
-            yc = jnp.where(mask0, c0yf, jnp.minimum(vy + icf, BIG))
-
-            # Unclamped/unmasked prefix input: wherever it disagrees with
-            # the baseline's min(mc, yc) + go - dpref, both sides are
-            # >= BIG and the final min(dpref + ep, BIG) clamp erases the
-            # difference (dpref is non-decreasing, costs non-negative).
-            hd = jnp.minimum(best + subg, yc - dprefg)
-            x_in, cch = inclusive_scan(hd)
-            # INCLUSIVE Ix state: admits the extra candidate
-            # min(mc_raw, yc)[j] + go at each j — dominated (it equals an
-            # existing same-j candidate plus gap_open >= 0) in every
-            # downstream min, so M/Iy stay bit-exact (module docstring).
-            xci = jnp.where(
-                mask0,
-                BIG,
-                jnp.minimum(dpref + jnp.minimum(x_in, cch), BIG),
-            )
-
-            for b in range(B):
-
-                @pl.when(i == params_ref[b, 0])
-                def _(b=b):
-                    # Materialize the true EXCLUSIVE Ix for the output row
-                    # (one roll, paid once per pair, not per row).
-                    xs = jnp.where(
-                        lane >= 1, pltpu.roll(x_in, 1, axis=2), big
-                    )
-                    xc = jnp.where(
-                        mask0,
-                        BIG,
-                        jnp.minimum(dpref + jnp.minimum(xs, cch), BIG),
-                    )
-                    out_ref[b, 0] = mc[b]
-                    out_ref[b, 1] = xc[b]
-                    out_ref[b, 2] = yc[b]
-
-            return mc, xci, yc, c0yf
-
-        carry0 = (
-            row0_ref[:, 0],
-            row0_ref[:, 1],
-            row0_ref[:, 2],
-            c0y0_ref[:, :, :],
-        )
-        jax.lax.fori_loop(1, mmax + 1, one_row, carry0)
-
-    return kernel
-
-
 @functools.partial(jax.jit, static_argnames=("interpret", "unroll", "fast"))
 def stacked_fill_last_rows(
     tok_a_ext: jax.Array,
@@ -828,11 +719,9 @@ def stacked_fill_last_rows(
     (B, 3, R*128) int32 lanes of each pair's row ``m_true[b]`` (m_true must
     be >= 1 for every pair).  Preferred for buckets of short pairs;
     VMEM-bounded by the (B, A, R, 128) substitution table.  ``fast``
-    selects the experimental short-chain kernel
-    (:func:`_make_stacked_kernel_v2`, bit-identical results) — measured
-    SLOWER on v5e (rolls are throughput-bound, so the radix-8 scan's extra
-    rolls cost more than the dependency depth they save; docs/PERF.md);
-    kept for A/B measurement.
+    carries the Ix state in inclusive-prefix form, dropping the per-row
+    exclusive-shift lane roll from the serial chain (output rows stay
+    bit-exact — see the kernel factory's ``incl_ix`` docs).
     """
     B, m1 = tok_a_ext.shape
     n = tok_b_ext.shape[1] - 1
@@ -880,22 +769,8 @@ def stacked_fill_last_rows(
 
     smem = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 4
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
-    if fast:
-        out = pl.pallas_call(
-            _make_stacked_kernel_v2(B),
-            out_shape=jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
-            in_specs=smem + [vmem] * 4,
-            out_specs=vmem,
-            scratch_shapes=[
-                pltpu.VMEM((B, R, LANES), jnp.int32),
-                pltpu.VMEM((B, R, LANES), jnp.int32),
-            ],
-            interpret=interpret,
-        )(params, limits, tok_a_s, ics_s, subc, dprefc, row0c, c0y0)
-        return out.reshape(B, 3, R * LANES)
-
     out = pl.pallas_call(
-        _make_stacked_kernel(B, unroll),
+        _make_stacked_kernel(B, unroll, incl_ix=fast, radix=4 if fast else 2),
         out_shape=jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
         in_specs=smem + [vmem] * 4,
         out_specs=vmem,
@@ -1179,6 +1054,293 @@ def batch_final3(
         vals = jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
         outs.append(vals[: hi - lo])
     return jnp.concatenate(outs, axis=0)
+
+
+def _make_wave_kernel(B: int):
+    """Anti-diagonal wavefront kernel for uniform ("simple") schemes.
+
+    The row kernel's serial unit is a row whose horizontal Ix recurrence
+    needs a prefix-min scan — ~8 dependent lane rolls (~90 ns each,
+    scratch/micro*.py).  On an anti-diagonal wave every cell is
+    independent: the three Gotoh lanes need only elementwise ops plus ONE
+    position shift of the previous waves' values — 3 independent lane
+    rolls that pipeline.  Twice the serial steps (m+n waves vs m rows) at
+    a fraction of the per-step latency.
+
+    Specialized to uniform schemes (every mismatch one cost, every gap
+    extension one cost — the reference's "simple" scheme family,
+    start.py:431-468): substitution costs collapse to one compare+select
+    against the shifted seq_2 token buffer, and the row-0/column-0
+    boundaries collapse to the closed forms ``go + t*d`` / ``go + t*ic``.
+    General matrices take the row kernel instead (host dispatch).
+
+    Stacked over B=2 problems (the pair forward + both sequences reversed)
+    for the meet-in-the-middle diagonal split; the Myers-Miller join over
+    the crossing anti-diagonal happens outside the kernel
+    (:func:`wave_split_fill_cost`).
+
+    Buffers are indexed by DP row ``i`` (stationary positions): the cell
+    at position i on wave t is (i, t-i).  Per wave, position i reads
+    positions i/i-1 of waves t-1/t-2; positions activate at i == t (the
+    column-0 boundary injection) and garbage beyond the active window
+    stays BIG / right-of-real (never read by a real cell).
+
+    Captures: wave Tm1 = cap-1 and wave cap per problem — the two
+    frontier buffers the join needs.
+    """
+
+    def kernel(
+        params_ref,  # (1, 6) int32 SMEM: gap_open, cmatch, cmismatch,
+        #              dcost, icost, tmax
+        caps_ref,  # (B, 2) int32 SMEM: capture waves per problem
+        tokb_ref,  # (B, TC) int32 SMEM: seq_2 tokens per problem (1-origin)
+        avec_ref,  # (B, R, 128) int32 VMEM: seq_1 token at position i
+        out_ref,  # (B, 2, 3, R, 128) int32 VMEM
+        m1_s,  # scratch (B, R, 128): wave t-1 lanes
+        x1_s,
+        y1_s,
+        b2_s,  # scratch: min3 of wave t-2
+        bv_s,  # scratch: seq_2 token at position i for wave t-1
+        sp_s,  # scratch: per-problem scalar splats
+    ):
+        R = avec_ref.shape[1]
+        gap_open = params_ref[0, 0]
+        cmatch = params_ref[0, 1]
+        cmismatch = params_ref[0, 2]
+        dcost = params_ref[0, 3]
+        icost = params_ref[0, 4]
+        tmax = params_ref[0, 5]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 1)
+        pos = row * LANES + lane  # DP row index i at each element
+        pos0 = pos == 0
+        rcol = row[:, :, :1]
+        big = jnp.full((B, R, LANES), BIG, jnp.int32)
+
+        def shift1(v, fill):
+            """out[i] = v[i-1]; out[0] = fill (overwritten by injection)."""
+            sh = pltpu.roll(v, 1, axis=2)
+            carry = pltpu.roll(v[:, :, LANES - 1 :], 1, axis=1)
+            carry = jnp.where(rcol >= 1, carry, fill)
+            return jnp.where(lane == 0, carry, sh)
+
+        avec = avec_ref[:, :, :]
+
+        # Wave 0: only the corner cell (0, 0) = (0, 0, 0); wave -1 = BIG.
+        zero0 = jnp.where(pos0, 0, BIG)
+        m1_s[:, :, :] = zero0
+        x1_s[:, :, :] = zero0
+        y1_s[:, :, :] = zero0
+        b2_s[:, :, :] = big
+        bv_s[:, :, :] = jnp.zeros((B, R, LANES), jnp.int32)
+
+        def one_wave(t, _):
+            m1, x1, y1 = m1_s[:, :, :], x1_s[:, :, :], y1_s[:, :, :]
+            b2 = b2_s[:, :, :]
+            bv1 = bv_s[:, :, :]
+
+            # Values wave t needs SHIFTED one position (cell (i-1, .)):
+            # min3 of wave t-2 (diagonal), the Iy candidates of wave t-1,
+            # and the seq_2 token buffer.  Three independent rolls.
+            w1y_in = jnp.minimum(
+                jnp.minimum(m1, x1) + gap_open, y1
+            )  # Iy's (i-1, j) candidates, pre-combined
+            s_b2 = shift1(b2, BIG)
+            s_w1y = shift1(w1y_in, BIG)
+            s_bv = shift1(bv1, 0)
+
+            # bvec[i] = tok_b[t - i]: shift + inject tok_b[t] at i = 0.
+            for p in range(B):
+                sp_s[p] = jnp.full((R, LANES), tokb_ref[p, t], jnp.int32)
+            bvec = jnp.where(pos0, sp_s[:, :, :], s_bv)
+
+            sub = jnp.where(avec == bvec, cmatch, cmismatch)
+            mt = jnp.minimum(s_b2 + sub, BIG)
+            xt = jnp.minimum(
+                jnp.minimum(jnp.minimum(m1, y1) + gap_open, x1) + dcost, BIG
+            )
+            yt = jnp.minimum(s_w1y + icost, BIG)
+
+            # Row-0 boundary at (0, t): (BIG, go + t*d, BIG); column-0 at
+            # (t, 0): (BIG, BIG, go + t*ic) — closed forms of the uniform
+            # scheme's accumulating boundaries (fill_scan.default_boundary).
+            maskt = pos == t
+            row0x = gap_open + t * dcost
+            col0y = gap_open + t * icost
+            mt = jnp.where(pos0 | maskt, BIG, mt)
+            xt = jnp.where(pos0, row0x, jnp.where(maskt, BIG, xt))
+            yt = jnp.where(maskt, col0y, jnp.where(pos0, BIG, yt))
+
+            for p in range(B):
+                for k in range(2):
+
+                    @pl.when(t == caps_ref[p, k])
+                    def _(p=p, k=k):
+                        out_ref[p, k, 0] = mt[p]
+                        out_ref[p, k, 1] = xt[p]
+                        out_ref[p, k, 2] = yt[p]
+
+            b2_s[:, :, :] = jnp.minimum(jnp.minimum(m1, x1), y1)
+            m1_s[:, :, :] = mt
+            x1_s[:, :, :] = xt
+            y1_s[:, :, :] = yt
+            bv_s[:, :, :] = bvec
+            return 0
+
+        jax.lax.fori_loop(1, tmax + 1, one_wave, 0)
+
+    return kernel
+
+
+def uniform_scheme_params(cost_mat, gap_id) -> tuple[int, int, int, int] | None:
+    """(cmatch, cmismatch, dcost, icost) if the costing matrix is uniform
+    (one match cost, one mismatch cost, one gap-extension cost per
+    direction — the reference's simple-scheme family), else None."""
+    import numpy as np
+
+    cm = np.asarray(cost_mat)
+    g = int(gap_id)
+    A = cm.shape[0]
+    idx = [c for c in range(A) if c != g]
+    if not idx:
+        return None
+    sub = cm[np.ix_(idx, idx)]
+    diag = np.diag(sub)
+    off = sub[~np.eye(len(idx), dtype=bool)]
+    drow = cm[g, idx]
+    icol = cm[idx, g]
+    if len(set(diag.tolist())) != 1:
+        return None
+    if off.size and len(set(off.tolist())) != 1:
+        return None
+    if len(set(drow.tolist())) != 1 or len(set(icol.tolist())) != 1:
+        return None
+    cmatch = int(diag[0])
+    cmismatch = int(off[0]) if off.size else cmatch
+    return cmatch, cmismatch, int(drow[0]), int(icol[0])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def wave_split_fill_cost(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m_true,
+    n_true,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Meet-in-the-middle over the CROSSING ANTI-DIAGONAL (uniform schemes).
+
+    Forward wavefront to T = (m+n)//2 and reversed wavefront to
+    m+n-T+1, stacked as one 2-problem kernel call; the optimal cost is
+    recovered by a Myers-Miller join over the frontier:
+
+      * a path whose last cell with t <= T lies ON T crosses at some
+        (i, T-i) arriving in level L and leaving in L' —
+        ``F_L + G_L' - go*[L = L' in {Ix, Iy}]``;
+      * otherwise it jumps T-1 -> T+1 with a diagonal move —
+        ``F_L(i, T-1-i) + G_M(m-i, n-T+1+i)`` (G_M's first forward move
+        IS that diagonal).
+
+    True lengths are traced (one compile per padded buffer grid).
+    Exactness vs the direct fill is property-tested on random pairs.
+    """
+    mcap = tok_a_ext.shape[0] - 1
+    ncap = tok_b_ext.shape[0] - 1
+    R = max(1, -(-(mcap + 1) // LANES))
+    TC = mcap + ncap + 2
+
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+    gap_open_i = jnp.asarray(gap_open, jnp.int32)
+    tok_a_i = jnp.asarray(tok_a_ext, jnp.int32)
+    tok_b_i = jnp.asarray(tok_b_ext, jnp.int32)
+
+    T = (m_true + n_true) // 2
+    tmax = m_true + n_true - T + 1
+
+    # Per-problem tables: forward and both-sequences-reversed.
+    ks = jnp.arange(R * LANES, dtype=jnp.int32)
+    a0 = tok_a_i[jnp.minimum(ks, mcap)]
+    a1 = tok_a_i[jnp.clip(m_true + 1 - ks, 0, mcap)]
+    avec = jnp.stack([a0, a1]).reshape(2, R, LANES)
+    ts = jnp.arange(TC, dtype=jnp.int32)
+    b0 = tok_b_i[jnp.minimum(ts, ncap)]
+    b1 = tok_b_i[jnp.clip(n_true + 1 - ts, 0, ncap)]
+    tokb = jnp.stack([b0, b1])
+    caps = jnp.stack(
+        [
+            jnp.stack([T - 1, T]),
+            jnp.stack([tmax - 1, tmax]),
+        ]
+    ).astype(jnp.int32)
+    params = jnp.stack(
+        [
+            gap_open_i,
+            jnp.asarray(cmatch, jnp.int32),
+            jnp.asarray(cmismatch, jnp.int32),
+            jnp.asarray(dcost, jnp.int32),
+            jnp.asarray(icost, jnp.int32),
+            tmax,
+        ]
+    ).reshape(1, 6)
+
+    out = pl.pallas_call(
+        _make_wave_kernel(2),
+        out_shape=jax.ShapeDtypeStruct((2, 2, 3, R, LANES), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, R, LANES), jnp.int32),
+            pltpu.VMEM((2, R, LANES), jnp.int32),
+            pltpu.VMEM((2, R, LANES), jnp.int32),
+            pltpu.VMEM((2, R, LANES), jnp.int32),
+            pltpu.VMEM((2, R, LANES), jnp.int32),
+            pltpu.VMEM((2, R, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(params, caps, tokb, avec)
+
+    W = R * LANES
+    out = out.reshape(2, 2, 3, W)
+    F1, F2 = out[0, 0], out[0, 1]  # fwd waves T-1, T
+    G1, G2 = out[1, 0], out[1, 1]  # rev waves m+n-T, m+n-T+1
+
+    half_big = BIG // 2
+    ivec = jnp.arange(W, dtype=jnp.int32)
+
+    def flip(G):
+        return jnp.take(G, jnp.clip(m_true - ivec, 0, W - 1), axis=1)
+
+    g1 = flip(G1)
+    g2 = flip(G2)
+
+    valid1 = (ivec >= T - n_true) & (ivec <= jnp.minimum(T, m_true))
+    F2m = jnp.where(valid1, jnp.minimum(F2, half_big), half_big)
+    g1m = jnp.where(valid1, jnp.minimum(g1, half_big), half_big)
+    corr = jnp.zeros((3, 3), jnp.int32)
+    corr = corr.at[1, 1].set(gap_open_i)
+    corr = corr.at[2, 2].set(gap_open_i)
+    combo = F2m[:, None, :] + g1m[None, :, :] - corr[:, :, None]
+    term1 = jnp.min(combo)
+
+    valid2 = (ivec >= T - 1 - n_true) & (ivec <= jnp.minimum(T - 1, m_true))
+    F1m = jnp.where(valid2, jnp.minimum(F1, half_big), half_big)
+    g2M = jnp.where(valid2, jnp.minimum(g2[0], half_big), half_big)
+    term2 = jnp.min(F1m + g2M[None, :])
+
+    return jnp.minimum(term1, term2)
 
 
 def _make_strip_kernel(r_e: int, rb: int):

@@ -349,3 +349,76 @@ def test_strip_fill_block_matches_row_fill_col0full():
         ).final3
         assert (np.asarray(want_fin) == np.asarray(fin)[:, W]).all()
         assert (np.asarray(want.edge).T == np.asarray(edge)).all()
+
+
+def test_wave_split_fill_cost_matches_direct():
+    """Anti-diagonal meet-in-the-middle (uniform-scheme wavefront kernel +
+    crossing-diagonal Myers-Miller join) == direct fill cost on random
+    pairs, including gap-heavy extremes whose optimal path jumps the
+    crossing diagonal."""
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.utils.tokenize import encode_padded
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    params = fill_pallas.uniform_scheme_params(costing.values, alpha.gap_id)
+    assert params is not None
+    cma, cmm, d, ic = params
+
+    rng = np.random.default_rng(83)
+    cases = []
+    for _ in range(14):
+        m = int(rng.integers(2, 70))
+        n = int(rng.integers(2, 70))
+        cases.append(
+            (
+                "".join(rng.choice(list("ACGT"), m)),
+                "".join(rng.choice(list("ACGT"), n)),
+            )
+        )
+    # Gap-run extremes: optimal paths hug the matrix edges and jump the
+    # crossing anti-diagonal with long gap runs.
+    cases += [("AC", "AC" + "G" * 50), ("AC" + "G" * 50, "AC"),
+              ("A" * 40, "A" * 3), ("GATTACA", "GATTACA")]
+    for s1, s2 in cases:
+        m, n = len(s1), len(s2)
+        mp = 16 * -(-m // 16)
+        npd = 16 * -(-n // 16)
+        ta = jnp.asarray(encode_padded(alpha, s1, mp))
+        tb = jnp.asarray(encode_padded(alpha, s2, npd))
+        want = int(
+            np.asarray(
+                fill_rows.row_fill(
+                    ta, tb, cm, gid, go, None, None, m, n, want_moves=False
+                ).final3
+            ).min()
+        )
+        got = int(
+            fill_pallas.wave_split_fill_cost(
+                ta, tb, cma, cmm, d, ic, go, m, n, interpret=True
+            )
+        )
+        assert want == got, (s1, s2, want, got)
+
+
+def test_uniform_scheme_params_detection():
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    assert fill_pallas.uniform_scheme_params(
+        costing.values, alpha.gap_id
+    ) is not None
+    # BLOSUM matrices are NOT uniform -> wavefront must decline.
+    scoring = load_bundled_matrix("BLOSUM62")
+    b62 = scoring_mat_to_costing_mat(
+        scoring, max_score=int(scoring.values.max())
+    )
+    assert fill_pallas.uniform_scheme_params(
+        b62.values, b62.alphabet.gap_id
+    ) is None
