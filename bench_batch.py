@@ -25,6 +25,11 @@ def main() -> int:
         action="store_true",
         help="Use the moves-emitting kernel (traceback-capable fill).",
     )
+    parser.add_argument(
+        "--uniform",
+        action="store_true",
+        help="Use the uniform-scheme stacked kernel (simple schemes).",
+    )
     args = parser.parse_args()
 
     import jax
@@ -58,7 +63,19 @@ def main() -> int:
     n_true = jnp.full((B,), L, jnp.int32)
     tb = jnp.asarray(tok_b)
 
-    if args.with_moves:
+    if args.uniform:
+        prm = fill_pallas.uniform_scheme_params(
+            costing.values, alphabet.gap_id
+        )
+        cma, cmm, dco, ico = prm
+
+        def one(ta):
+            last = fill_pallas.stacked_uniform_fill_last_rows(
+                ta, tb, cma, cmm, dco, ico, gap_open, m_true, n_true
+            )
+            return jnp.sum(last)
+
+    elif args.with_moves:
 
         def one(ta):
             last, moves = fill_pallas.stacked_fill_with_moves(
@@ -96,7 +113,9 @@ def main() -> int:
     per = max((tk - t1) / (args.chain - 1), 1e-9)
     gcups = B * L * L / per / 1e9
 
-    mode = "moves" if args.with_moves else "cost"
+    mode = (
+        "uniform" if args.uniform else "moves" if args.with_moves else "cost"
+    )
     print(
         json.dumps(
             {

@@ -801,6 +801,21 @@ def _stacked_r(n: int, moves: bool) -> int:
     return r
 
 
+def _uniform_tile_size(batch: int, n: int) -> int:
+    """Pairs per uniform-kernel invocation (largest power of two fitting
+    the VMEM budget; 0 if < 8 — the uniform kernel's DMA needs a full
+    (B, 128) tile row)."""
+    r = max(1, -(-(n + 1) // LANES))
+    # 3 state + mtv + tokb + out(3) + ~5 live scan temporaries (a 256-pair
+    # 1 kb tile measured 18 MB of scoped VMEM against the 16 MB limit).
+    per_pair = 12 * r * LANES * 4
+    cap = STACKED_VMEM_BUDGET // per_pair
+    tile = 1
+    while tile * 2 <= min(cap, max(batch, 1), 256):
+        tile *= 2
+    return tile if tile >= 8 else 0
+
+
 def _stacked_tile_size(
     batch: int, n: int, alphabet_size: int, moves: bool = False
 ) -> int:
@@ -1018,6 +1033,38 @@ def batch_final3(
     n = tok_b_ext.shape[1] - 1
     A = cost_mat.shape[0]
 
+    # Uniform schemes ride the specialized kernel: no per-pair splat
+    # loops, no substitution table in VMEM — larger tiles, flat per-row
+    # cost in B (docs/PERF.md).
+    uni = uniform_scheme_params(cost_mat, gap_id)
+    tile_u = _uniform_tile_size(B, n) if uni is not None else 0
+    if tile_u >= 8:
+        cma, cmm, dco, ico = uni
+        outs = []
+        for lo in range(0, B, tile_u):
+            hi = min(lo + tile_u, B)
+            pad = tile_u - (hi - lo)
+            sl = slice(lo, hi)
+            ta, tb = tok_a_ext[sl], tok_b_ext[sl]
+            mt, nt = m_true[sl], n_true[sl]
+            if pad:
+                ta = jnp.concatenate(
+                    [ta, jnp.broadcast_to(ta[:1], (pad,) + ta.shape[1:])]
+                )
+                tb = jnp.concatenate(
+                    [tb, jnp.broadcast_to(tb[:1], (pad,) + tb.shape[1:])]
+                )
+                mt = jnp.concatenate([mt, jnp.broadcast_to(mt[:1], (pad,))])
+                nt = jnp.concatenate([nt, jnp.broadcast_to(nt[:1], (pad,))])
+            last = stacked_uniform_fill_last_rows(
+                ta, tb, cma, cmm, dco, ico, gap_open, mt, nt,
+                interpret=interpret,
+            )
+            idx = nt[:, None, None]
+            vals = jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
+            outs.append(vals[: hi - lo])
+        return jnp.concatenate(outs, axis=0)
+
     tile = _stacked_tile_size(B, n, A)
     if tile == 0:
         last = row_fill_last_rows_batch(
@@ -1054,6 +1101,210 @@ def batch_final3(
         vals = jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
         outs.append(vals[: hi - lo])
     return jnp.concatenate(outs, axis=0)
+
+
+def _make_stacked_uniform_kernel(B: int):
+    """Stacked cost-only kernel specialized to uniform ("simple") schemes.
+
+    The general stacked kernel's per-row cost at large B is dominated by
+    its 2B-iteration per-pair splat loop (dynamic substitution-row slice +
+    icost scalar splat per pair per row).  For uniform schemes all of it
+    collapses:
+
+    * substitution = one compare+select of the (static, VMEM-resident)
+      chunked seq_2 tokens against this row's seq_1 tokens;
+    * this row's seq_1 tokens arrive as a pre-broadcast (B, 128) lane row
+      DMA'd from an HBM (Mpad, B, 128) table, double-buffered one row
+      ahead — zero per-pair work;
+    * gap costs and boundaries are closed forms (go + j*d / go + i*ic).
+
+    Output rows are collected by a masked read-modify-write against a
+    per-pair m_true splat (no B predicated branches).  VMEM holds only
+    the three state arrays + tokens (~7 arrays), vs A+10 for the general
+    kernel — so much larger batches fit.  Requires B >= 8 (the DMA slices
+    a (B, 128) tile row).
+    """
+
+    def kernel(
+        params_ref,  # (1, 6) int32 SMEM: mmax, gap_open, cmatch,
+        #              cmismatch, dcost, icost
+        mt_ref,  # (B, 2) int32 SMEM: m_true, n_true per pair
+        tokb_ref,  # (B, R, 128) int32 VMEM: chunked seq_2 tokens
+        toka_rows_ref,  # (Mpad+3, B, 128) int32 HBM: row i's seq_1 tokens
+        out_ref,  # (B, 3, R, 128) int32 VMEM
+        m_s,  # state scratch (B, R, 128)
+        x_s,
+        y_s,
+        mtv_s,  # (B, R, 128): per-pair m_true splat
+        ta_s,  # (2, B, 128): DMA double buffer
+        sems,  # DMA (2,)
+    ):
+        R = tokb_ref.shape[1]
+        mmax = params_ref[0, 0]
+        gap_open = params_ref[0, 1]
+        cmatch = params_ref[0, 2]
+        cmismatch = params_ref[0, 3]
+        dcost = params_ref[0, 4]
+        icost = params_ref[0, 5]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 2)
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, R, LANES), 1)
+        jvec = row * LANES + lane  # global column j
+        mask0 = jvec == 0
+        rcol = row[:, :, :1]
+        big = jnp.full((B, R, LANES), BIG, jnp.int32)
+        dpref = jvec * dcost  # uniform horizontal gap prefix
+        tokb = tokb_ref[:, :, :]
+
+        def shift1(v):
+            sh = pltpu.roll(v, 1, axis=2)
+            carry = pltpu.roll(v[:, :, LANES - 1 :], 1, axis=1)
+            carry = jnp.where(rcol >= 1, carry, BIG)
+            return jnp.where(lane == 0, carry, sh)
+
+        def prefix_min_exclusive(p):
+            x = p
+            s = 1
+            while s < LANES:
+                sh = pltpu.roll(x, s, axis=2)
+                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
+                s *= 2
+            last = x[:, :, LANES - 1 :]
+            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=1), BIG)
+            s = 1
+            while s < R:
+                sh = pltpu.roll(c, s, axis=1)
+                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
+                s *= 2
+            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), big)
+            return jnp.minimum(xs, c)
+
+        # Per-pair m_true splats, once (not per row).
+        for b in range(B):
+            mtv_s[b] = jnp.full((R, LANES), mt_ref[b, 0], jnp.int32)
+        mtv = mtv_s[:, :, :]
+
+        # Uniform row-0 boundary: (BIG, go + j*d, BIG), corner (0,0,0).
+        row0x = jnp.where(mask0, 0, gap_open + dpref)
+        corner = jnp.where(mask0, 0, BIG)
+        m_s[:, :, :] = corner
+        x_s[:, :, :] = row0x
+        y_s[:, :, :] = corner
+
+        def dma(i, slot):
+            return pltpu.make_async_copy(
+                toka_rows_ref.at[i], ta_s.at[slot], sems.at[slot]
+            )
+
+        dma(1, 1).start()
+        dma(2, 0).start()
+
+        def one_row(i, _):
+            mp, xp, yp = m_s[:, :, :], x_s[:, :, :], y_s[:, :, :]
+            slot = jax.lax.rem(i, 2)
+            dma(i, slot).wait()
+            av = ta_s[slot]  # (B, 128): tok_a[b, i] in every lane
+            dma(i + 2, slot).start()
+            avr = jnp.broadcast_to(av[:, None, :], (B, R, LANES))
+            sub = jnp.where(tokb == avr, cmatch, cmismatch)
+
+            best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
+            mc = jnp.where(mask0, BIG, jnp.minimum(best + sub, BIG))
+            vy = jnp.minimum(jnp.minimum(mp, xp) + gap_open, yp)
+            c0y = gap_open + i * icost
+            yc = jnp.where(mask0, c0y, jnp.minimum(vy + icost, BIG))
+
+            h = jnp.minimum(mc, yc) + gap_open
+            ep = prefix_min_exclusive(h - dpref)
+            xc = jnp.where(mask0, BIG, jnp.minimum(dpref + ep, BIG))
+
+            m_s[:, :, :] = mc
+            x_s[:, :, :] = xc
+            y_s[:, :, :] = yc
+
+            hit = mtv == i
+            out_ref[:, 0] = jnp.where(hit, mc, out_ref[:, 0])
+            out_ref[:, 1] = jnp.where(hit, xc, out_ref[:, 1])
+            out_ref[:, 2] = jnp.where(hit, yc, out_ref[:, 2])
+            return 0
+
+        jax.lax.fori_loop(1, mmax + 1, one_row, 0)
+
+        # Let the last prefetches land before the kernel retires.
+        dma(mmax + 1, jax.lax.rem(mmax + 1, 2)).wait()
+        dma(mmax + 2, jax.lax.rem(mmax, 2)).wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def stacked_uniform_fill_last_rows(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Uniform-scheme stacked batched fill — same contract as
+    :func:`stacked_fill_last_rows` (B, 3, R*128), B >= 8."""
+    B, m1 = tok_a_ext.shape
+    n = tok_b_ext.shape[1] - 1
+    m = m1 - 1
+    R = max(1, -(-(n + 1) // LANES))
+
+    gap_open_i = jnp.asarray(gap_open, jnp.int32)
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+    tok_a_i = jnp.asarray(tok_a_ext, jnp.int32)
+    tok_b_i = jnp.asarray(tok_b_ext, jnp.int32)
+
+    tokb_c = _chunk(tok_b_i, R)  # pad tokens are BIG: never equal a real one
+    # (Mpad+3, B, 128): row i holds tok_a[:, i] broadcast over lanes (the
+    # +3 rows absorb the prefetch pipeline's overshoot).
+    toka_rows = jnp.pad(tok_a_i.T, ((0, 2), (0, 0)), mode="edge")
+    toka_rows = jnp.broadcast_to(toka_rows[:, :, None], (m + 3, B, LANES))
+
+    params = jnp.stack(
+        [
+            jnp.max(m_true),
+            gap_open_i,
+            jnp.asarray(cmatch, jnp.int32),
+            jnp.asarray(cmismatch, jnp.int32),
+            jnp.asarray(dcost, jnp.int32),
+            jnp.asarray(icost, jnp.int32),
+        ]
+    ).reshape(1, 6)
+    mt = jnp.stack([m_true, n_true], axis=-1)
+
+    out = pl.pallas_call(
+        _make_stacked_uniform_kernel(B),
+        out_shape=jax.ShapeDtypeStruct((B, 3, R, LANES), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((B, R, LANES), jnp.int32),
+            pltpu.VMEM((2, B, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(params, mt, tokb_c, toka_rows)
+
+    return out.reshape(B, 3, R * LANES)
 
 
 def _make_wave_kernel(B: int):

@@ -422,3 +422,35 @@ def test_uniform_scheme_params_detection():
     assert fill_pallas.uniform_scheme_params(
         b62.values, b62.alphabet.gap_id
     ) is None
+
+
+def test_uniform_stacked_matches_row_fill():
+    """The uniform-scheme stacked kernel (DMA token rows, closed-form
+    boundaries, masked output collection) matches the row fill on every
+    pair, including tile padding (B=9 -> two 8-wide tiles)."""
+    from globalign_tpu.ops import fill_rows
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(19)
+    B, M, N = 9, 40, 300  # multi-chunk width
+    tok_a, tok_b, mt, nt = _random_batch(rng, B, M, N, alpha)
+    want = np.asarray(
+        fill_rows.row_fill_batch(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+            jnp.asarray(mt), jnp.asarray(nt),
+        ).final3
+    )
+    got = np.asarray(
+        fill_pallas.batch_final3(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+            jnp.asarray(mt), jnp.asarray(nt), interpret=True,
+        )
+    )
+    assert fill_pallas._uniform_tile_size(B, N) >= 8  # uniform path taken
+    assert (want == got).all()
