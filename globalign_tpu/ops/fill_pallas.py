@@ -562,15 +562,6 @@ def _make_stacked_kernel(
             return jnp.minimum(xs, c)
 
         dpref = dpref_ref[:, :, :]
-        if want_moves:
-            # dcost(b_j) per packed position: recoverable from the prefix
-            # sums (D[j] - D[j-1] within chunks; exact because padding is
-            # constant BIG only past the true width, never read).
-            dsteps_all = dpref - jnp.where(
-                lane == 0,
-                jnp.where(rcol >= 1, pltpu.roll(dpref[:, :, LANES - 1 :], 1, axis=1), 0),
-                pltpu.roll(dpref, 1, axis=2),
-            )
 
         m_ref[:, :, :] = row0_ref[:, 0]
         x_ref[:, :, :] = row0_ref[:, 1]
@@ -591,12 +582,18 @@ def _make_stacked_kernel(
 
             c0yf = c0yf + icf  # column-0 Iy accumulator, all lanes
 
+            # min and shift commute: one fused shift replaces three.  Move
+            # provenance is computed IN PLACE by priority argmin (each
+            # cell's candidates live at j-1 of the adjacent rows) and
+            # shifted once, packed — the shifts, not the compares, are
+            # what the row loop pays for.
+            best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
             if want_moves:
-                mp_s, xp_s, yp_s = shift1(mp), shift1(xp), shift1(yp)
-                best = jnp.minimum(jnp.minimum(mp_s, xp_s), yp_s)
-            else:
-                # min and shift commute: one fused shift replaces three.
-                best = shift1(jnp.minimum(jnp.minimum(mp, xp), yp))
+                code_m_pre = jnp.where(
+                    (mp <= xp) & (mp <= yp),
+                    0,
+                    jnp.where(xp <= yp, 1, 2),
+                )
             mc = jnp.where(mask0, BIG, jnp.minimum(best + sub, BIG))
             vy = jnp.minimum(jnp.minimum(mp, xp) + gap_open, yp)
             yc = jnp.minimum(vy + icf, BIG)
@@ -617,25 +614,25 @@ def _make_stacked_kernel(
             y_ref[:, :, :] = yc
 
             if want_moves:
-                # Argmin provenance by exact equality, tie order M > Ix > Iy
-                # (identical to ops/fill_rows.py move recovery).
-                dstepsv = dsteps_all
-                code_m = jnp.where(
-                    mp_s == best, 0, jnp.where(xp_s == best, 1, 2)
-                )
+                # Same tie order M > Ix > Iy as ops/fill_rows.py; codes at
+                # real cells are identical to the equality-based recovery
+                # (cells whose value hit the BIG clamp can differ, but no
+                # optimal path visits one).  Column 0's shifted-in code is
+                # garbage — the walk handles j == 0 as boundary.
                 code_y = jnp.where(
                     mp + gap_open == vy,
                     0,
                     jnp.where(xp + gap_open == vy, 1, 2),
                 )
-                mc_s = shift1(mc)
-                xc_s = shift1(xc)
-                code_x = jnp.where(
-                    xc == mc_s + gap_open + dstepsv,
+                c0 = mc + gap_open
+                ycg = yc + gap_open
+                code_x_pre = jnp.where(
+                    (c0 <= xc) & (c0 <= ycg),
                     0,
-                    jnp.where(xc == xc_s + dstepsv, 1, 2),
+                    jnp.where(xc <= ycg, 1, 2),
                 )
-                code = (code_m + 4 * code_x + 16 * code_y).astype(jnp.uint8)
+                packed_s = shift1(code_m_pre + 4 * code_x_pre)
+                code = (packed_s + 16 * code_y).astype(jnp.uint8)
 
                 slot = jax.lax.rem(i, 2)
 
