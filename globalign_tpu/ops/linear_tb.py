@@ -28,6 +28,9 @@ working set exceeds VMEM replay via the row scan.
 
 from __future__ import annotations
 
+import functools
+
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -61,6 +64,13 @@ def _block_tokens(tok_a_ext: np.ndarray, i0: int, i1: int) -> jnp.ndarray:
     )
 
 
+@functools.partial(jax.jit, static_argnames=("width",))
+def _slice_cols(arr, start, width: int):
+    """Traced-start column window of a device move matrix (module-level so
+    every block of every run shares one compiled slice per array shape)."""
+    return jax.lax.dynamic_slice(arr, (0, start), (arr.shape[0], width))
+
+
 class _WindowedMoves:
     """Host view of a device-resident block move matrix, fetched in
     fixed-width column windows as the walk moves left.
@@ -71,23 +81,16 @@ class _WindowedMoves:
     """
 
     def __init__(self, dev_moves, window_cols: int = DEFAULT_WINDOW_COLS):
-        import jax
-
         self._dev = dev_moves  # (K+1, W) uint8 on device
         self._w = min(window_cols, dev_moves.shape[1])
         self._w0 = -1
         self._buf: np.ndarray | None = None
         self.fetches = 0
-        self._slice = jax.jit(
-            lambda a, s: jax.lax.dynamic_slice(
-                a, (0, s), (a.shape[0], self._w)
-            )
-        )
 
     def code(self, ii: int, jj: int) -> int:
         if self._buf is None or not (self._w0 <= jj < self._w0 + self._w):
             start = min(max(0, jj - self._w + 1), self._dev.shape[1] - self._w)
-            self._buf = np.asarray(self._slice(self._dev, start))
+            self._buf = np.asarray(_slice_cols(self._dev, start, self._w))
             self._w0 = start
             self.fetches += 1
         return int(self._buf[ii, jj - self._w0])

@@ -454,3 +454,43 @@ def test_uniform_stacked_matches_row_fill():
     )
     assert fill_pallas._uniform_tile_size(B, N) >= 8  # uniform path taken
     assert (want == got).all()
+
+
+@pytest.mark.parametrize("mmc,go,ge", [(5, 4, 3), (1, 7, 1), (9, 2, 6)])
+def test_wave_split_fill_cost_scheme_fuzz(mmc, go, ge):
+    """Wavefront meet-in-the-middle across different uniform costing
+    schemes (mismatch/gap-open/gap-extension combinations steer optimal
+    paths through very different crossing structures)."""
+    from globalign_tpu.config import resolve_scheme
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.utils.tokenize import encode_padded
+
+    rng = np.random.default_rng(mmc * 100 + go * 10 + ge)
+    s1 = "".join(rng.choice(list("ACGT"), 57))
+    s2 = "".join(rng.choice(list("ACGT"), 43))
+    scheme = resolve_scheme(
+        s1, s2, mismatch_cost=mmc, gap_open_cost=go, gap_extension_cost=ge
+    )
+    prm = fill_pallas.uniform_scheme_params(
+        scheme.costing.values, scheme.alphabet.gap_id
+    )
+    assert prm is not None
+    cma, cmm, d, ic = prm
+    cm = jnp.asarray(scheme.costing.values)
+    gid = jnp.int32(scheme.alphabet.gap_id)
+    ta = jnp.asarray(encode_padded(scheme.alphabet, s1, 64))
+    tb = jnp.asarray(encode_padded(scheme.alphabet, s2, 64))
+    want = int(
+        np.asarray(
+            fill_rows.row_fill(
+                ta, tb, cm, gid, jnp.int32(go), None, None,
+                len(s1), len(s2), want_moves=False,
+            ).final3
+        ).min()
+    )
+    got = int(
+        fill_pallas.wave_split_fill_cost(
+            ta, tb, cma, cmm, d, ic, go, len(s1), len(s2), interpret=True
+        )
+    )
+    assert want == got
