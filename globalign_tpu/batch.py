@@ -48,14 +48,17 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
-def _moves_ncols(n: int) -> int:
-    """Materialized move-matrix columns per pair for column extent ``n`` —
-    the stacked moves kernel's 8-aligned chunk padding included
-    (ops.fill_pallas._stacked_r), so the moves-budget math sees the real
-    bytes, not the logical n+1 width."""
-    from .ops.fill_pallas import LANES, _stacked_r
+def _moves_ncols(n: int, alphabet_size: int) -> int:
+    """Materialized move-matrix columns per pair for column extent ``n``,
+    sized for the backend the bucket actually uses: the stacked moves
+    kernel's 8-aligned chunk padding (ops.fill_pallas._stacked_r, minimum
+    1024 columns) when that kernel runs, else the row scan's logical
+    n + 1 — so CPU/fallback buckets are not budgeted 8x over."""
+    from .ops.fill_pallas import LANES, _stacked_r, _stacked_tile_size
 
-    return _stacked_r(n, moves=True) * LANES
+    if _use_pallas() and _stacked_tile_size(1, n, alphabet_size, moves=True) >= 1:
+        return _stacked_r(n, moves=True) * LANES
+    return n + 1
 
 
 def _pallas_moves(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true):
@@ -212,7 +215,7 @@ def align_pairs(
         # count, so short buckets round up to 1024 columns); budget per
         # pair on that width and split oversized buckets into sub-batches
         # rather than losing the batched path.
-        per_pair = (M + 1) * _moves_ncols(N)
+        per_pair = (M + 1) * _moves_ncols(N, scheme.alphabet.size)
         max_pairs = max(0, DEFAULT_BATCH_MOVES_BUDGET // max(1, per_pair))
         if max_pairs >= 1:
             for lo in range(0, len(indices), max_pairs):
@@ -225,7 +228,11 @@ def align_pairs(
         bucket_items = list(buckets.items())
 
     for (M, N), indices in bucket_items:
-        if with_traceback and (M + 1) * _moves_ncols(N) > DEFAULT_BATCH_MOVES_BUDGET:
+        if (
+            with_traceback
+            and (M + 1) * _moves_ncols(N, scheme.alphabet.size)
+            > DEFAULT_BATCH_MOVES_BUDGET
+        ):
             # A single pair's move matrix exceeds the budget; use the
             # checkpointed linear-space traceback (same deterministic path).
             from .ops.linear_tb import align_blocked

@@ -145,9 +145,10 @@ class GotohAligner:
 
     def _moves_bytes(self, m: int, n: int) -> int:
         """Bytes of move codes the full-matrix path would materialize —
-        the Pallas moves kernel's 8-aligned 128-lane column padding
-        included, so the budget check sees real bytes."""
-        if self.use_pallas:
+        sized for the backend align() actually dispatches to: the Pallas
+        moves kernel's 8-aligned 128-lane column padding when that kernel
+        fits, else the row scan's logical width."""
+        if self.use_pallas and self._moves_kernel_fits(n):
             from ..ops.fill_pallas import LANES, _stacked_r
 
             return (m + 1) * _stacked_r(self._pad_len(n), moves=True) * LANES

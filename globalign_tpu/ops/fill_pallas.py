@@ -60,6 +60,96 @@ def _chunk(x: jax.Array, r: int) -> jax.Array:
     return x.reshape(x.shape[:-1] + (r, LANES))
 
 
+def _tile_slice(arrays, lo: int, hi: int, tile: int) -> list:
+    """Slice each array's leading axis to [lo, hi) and pad to ``tile``
+    rows by replicating row 0 (a valid pair — callers drop pad results)."""
+    pad = tile - (hi - lo)
+    out = []
+    for a in arrays:
+        t = a[lo:hi]
+        if pad:
+            t = jnp.concatenate(
+                [t, jnp.broadcast_to(t[:1], (pad,) + t.shape[1:])]
+            )
+        out.append(t)
+    return out
+
+
+def _lane_ops(lane: jax.Array, row: jax.Array, radix: int = 2):
+    """Lane-shift and prefix-min primitives shared by every fill kernel.
+
+    ``lane``/``row`` are broadcasted iotas over the kernel's state shape —
+    (R, 128) for the single-pair kernels, (B, R, 128) for the stacked
+    ones; the lane axis is last, the chunk (sublane) axis second-to-last.
+    These helpers encode the engine's load-bearing boundary semantics
+    (BIG masking at lane shifts and cross-chunk carries) in ONE place; a
+    change here changes all kernels together (CLAUDE.md's semantics rule).
+
+    Returns ``(shift1, inclusive_scan, exclusive_combine,
+    prefix_min_exclusive)``:
+
+    * ``shift1(v, fill=BIG)`` — out[j] = v[j-1] in global column order,
+      out[0] = fill.
+    * ``inclusive_scan(p) -> (x, c)`` — in-chunk inclusive prefix-min +
+      exclusive cross-chunk carry.  ``radix`` > 2 trades serial roll
+      depth for parallel rolls within each step (rolls pipeline when
+      independent; scratch/micro4.py).
+    * ``exclusive_combine(x, c)`` — exclusive prefix-min from the scan
+      parts: min(masked-roll(x), c).
+    * ``prefix_min_exclusive(p)`` — the two composed: out[j] =
+      min_{j' < j} p[j'], out[0] = BIG (exact int scan).
+    """
+    ax_l = lane.ndim - 1
+    ax_r = lane.ndim - 2
+    R = lane.shape[ax_r]
+    big = jnp.full(lane.shape, BIG, jnp.int32)
+    rcol = row[..., :1]
+
+    def shift1(v, fill=BIG):
+        sh = pltpu.roll(v, 1, axis=ax_l)
+        carry = pltpu.roll(v[..., LANES - 1 :], 1, axis=ax_r)
+        carry = jnp.where(rcol >= 1, carry, fill)
+        return jnp.where(lane == 0, carry, sh)
+
+    def inclusive_scan(p):
+        x = p
+        s = 1
+        while s < LANES:
+            shifts = [k * s for k in range(1, radix) if k * s < LANES]
+            rolled = [pltpu.roll(x, sh, axis=ax_l) for sh in shifts]
+            terms = [x] + [
+                jnp.where(lane >= sh, r, big)
+                for sh, r in zip(shifts, rolled)
+            ]
+            while len(terms) > 1:
+                nxt = [
+                    jnp.minimum(terms[k], terms[k + 1])
+                    for k in range(0, len(terms) - 1, 2)
+                ]
+                if len(terms) % 2:
+                    nxt.append(terms[-1])
+                terms = nxt
+            x = terms[0]
+            s *= radix
+        last = x[..., LANES - 1 :]
+        c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=ax_r), BIG)
+        s = 1
+        while s < R:
+            sh = pltpu.roll(c, s, axis=ax_r)
+            c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
+            s *= 2
+        return x, c
+
+    def exclusive_combine(x, c):
+        xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=ax_l), big)
+        return jnp.minimum(xs, c)
+
+    def prefix_min_exclusive(p):
+        return exclusive_combine(*inclusive_scan(p))
+
+    return shift1, inclusive_scan, exclusive_combine, prefix_min_exclusive
+
+
 def _make_row_kernel(m_static: int, unroll: int, batch_smem: bool = False):
     """Kernel factory; the row loop computes ``unroll`` rows per trip.
 
@@ -99,33 +189,7 @@ def _make_row_kernel(m_static: int, unroll: int, batch_smem: bool = False):
         mask0 = (lane == 0) & (row == 0)  # global j == 0
         big = jnp.full((R, LANES), BIG, jnp.int32)
 
-        def shift1(x):
-            """out[j] = x[j-1] in global order, out[0] = BIG."""
-            sh = pltpu.roll(x, 1, axis=1)
-            carry = pltpu.roll(x[:, LANES - 1 :], 1, axis=0)  # (R, 1)
-            carry = jnp.where(row[:, :1] >= 1, carry, BIG)
-            return jnp.where(lane == 0, carry, sh)
-
-        def prefix_min_exclusive(p):
-            """out[j] = min_{j' < j} p[j'], out[0] = BIG (exact int scan)."""
-            x = p
-            s = 1
-            while s < LANES:  # inclusive cummin within each 128-lane chunk
-                sh = pltpu.roll(x, s, axis=1)
-                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
-                s *= 2
-            # Exclusive prefix-min of chunk minima across chunks (sublanes).
-            last = x[:, LANES - 1 :]  # (R, 1) inclusive chunk minima
-            rcol = row[:, :1]
-            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=0), BIG)
-            s = 1
-            while s < R:
-                sh = pltpu.roll(c, s, axis=0)
-                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
-                s *= 2
-            # Combine: within-chunk exclusive + cross-chunk carry.
-            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), big)
-            return jnp.minimum(xs, c)
+        shift1, _, _, prefix_min_exclusive = _lane_ops(lane, row)
 
         dpref = dpref_ref[:, :]
 
@@ -517,55 +581,26 @@ def _make_stacked_kernel(
         big = jnp.full((B, R, LANES), BIG, jnp.int32)
         rcol = row[:, :, :1]  # (B, R, 1)
 
-        def shift1(v):
-            sh = pltpu.roll(v, 1, axis=2)
-            carry = pltpu.roll(v[:, :, LANES - 1 :], 1, axis=1)
-            carry = jnp.where(rcol >= 1, carry, BIG)
-            return jnp.where(lane == 0, carry, sh)
-
-        def inclusive_scan(p):
-            """(x, c): in-chunk inclusive prefix-min + exclusive
-            cross-chunk carry; exclusive prefix = min(masked-roll(x), c),
-            inclusive = min(x, c).  ``radix`` > 2 trades serial roll depth
-            for parallel rolls within each step (rolls pipeline when
-            independent; scratch/micro4.py)."""
-            x = p
-            s = 1
-            while s < LANES:
-                shifts = [k * s for k in range(1, radix) if k * s < LANES]
-                rolled = [pltpu.roll(x, sh, axis=2) for sh in shifts]
-                terms = [x] + [
-                    jnp.where(lane >= sh, r, big)
-                    for sh, r in zip(shifts, rolled)
-                ]
-                while len(terms) > 1:
-                    nxt = [
-                        jnp.minimum(terms[k], terms[k + 1])
-                        for k in range(0, len(terms) - 1, 2)
-                    ]
-                    if len(terms) % 2:
-                        nxt.append(terms[-1])
-                    terms = nxt
-                x = terms[0]
-                s *= radix
-            last = x[:, :, LANES - 1 :]
-            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=1), BIG)
-            s = 1
-            while s < R:
-                sh = pltpu.roll(c, s, axis=1)
-                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
-                s *= 2
-            return x, c
-
-        def exclusive_combine(x, c):
-            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), big)
-            return jnp.minimum(xs, c)
+        shift1, inclusive_scan, exclusive_combine, _ = _lane_ops(
+            lane, row, radix=radix
+        )
 
         dpref = dpref_ref[:, :, :]
 
         m_ref[:, :, :] = row0_ref[:, 0]
         x_ref[:, :, :] = row0_ref[:, 1]
         y_ref[:, :, :] = row0_ref[:, 2]
+
+        # m_true == 0 (split_fill_cost's top half when m_true == 1): the
+        # row loop starts at 1, so its capture can never fire — the "last
+        # row" of a 0-row problem is the boundary row 0 itself.
+        for b in range(B):
+
+            @pl.when(params_ref[b, 0] == 0)
+            def _(b=b):
+                out_ref[b, 0] = row0_ref[b, 0]
+                out_ref[b, 1] = row0_ref[b, 1]
+                out_ref[b, 2] = row0_ref[b, 2]
 
         def one_row(i, c0yf):
             mp, xp, yp = m_ref[:, :, :], x_ref[:, :, :], y_ref[:, :, :]
@@ -982,17 +1017,9 @@ def batch_moves(
     moves_out = []
     for lo in range(0, B, tile):
         hi = min(lo + tile, B)
-        pad = tile - (hi - lo)
-        sl = slice(lo, hi)
-        ta = tok_a_ext[sl]
-        tb = tok_b_ext[sl]
-        mt = m_true[sl]
-        nt = n_true[sl]
-        if pad:
-            ta = jnp.concatenate([ta, jnp.broadcast_to(ta[:1], (pad,) + ta.shape[1:])])
-            tb = jnp.concatenate([tb, jnp.broadcast_to(tb[:1], (pad,) + tb.shape[1:])])
-            mt = jnp.concatenate([mt, jnp.broadcast_to(mt[:1], (pad,))])
-            nt = jnp.concatenate([nt, jnp.broadcast_to(nt[:1], (pad,))])
+        ta, tb, mt, nt = _tile_slice(
+            (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi, tile
+        )
         last, moves = stacked_fill_with_moves(
             ta, tb, cost_mat, gap_id, gap_open, mt, nt, interpret=interpret
         )
@@ -1040,19 +1067,9 @@ def batch_final3(
         outs = []
         for lo in range(0, B, tile_u):
             hi = min(lo + tile_u, B)
-            pad = tile_u - (hi - lo)
-            sl = slice(lo, hi)
-            ta, tb = tok_a_ext[sl], tok_b_ext[sl]
-            mt, nt = m_true[sl], n_true[sl]
-            if pad:
-                ta = jnp.concatenate(
-                    [ta, jnp.broadcast_to(ta[:1], (pad,) + ta.shape[1:])]
-                )
-                tb = jnp.concatenate(
-                    [tb, jnp.broadcast_to(tb[:1], (pad,) + tb.shape[1:])]
-                )
-                mt = jnp.concatenate([mt, jnp.broadcast_to(mt[:1], (pad,))])
-                nt = jnp.concatenate([nt, jnp.broadcast_to(nt[:1], (pad,))])
+            ta, tb, mt, nt = _tile_slice(
+                (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi, tile_u
+            )
             last = stacked_uniform_fill_last_rows(
                 ta, tb, cma, cmm, dco, ico, gap_open, mt, nt,
                 interpret=interpret,
@@ -1080,17 +1097,9 @@ def batch_final3(
     outs = []
     for lo in range(0, B, tile):
         hi = min(lo + tile, B)
-        pad = tile - (hi - lo)
-        sl = slice(lo, hi)
-        ta = tok_a_ext[sl]
-        tb = tok_b_ext[sl]
-        mt = m_true[sl]
-        nt = n_true[sl]
-        if pad:
-            ta = jnp.concatenate([ta, jnp.broadcast_to(ta[:1], (pad,) + ta.shape[1:])])
-            tb = jnp.concatenate([tb, jnp.broadcast_to(tb[:1], (pad,) + tb.shape[1:])])
-            mt = jnp.concatenate([mt, jnp.broadcast_to(mt[:1], (pad,))])
-            nt = jnp.concatenate([nt, jnp.broadcast_to(nt[:1], (pad,))])
+        ta, tb, mt, nt = _tile_slice(
+            (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi, tile
+        )
         last = stacked_fill_last_rows(
             ta, tb, cost_mat, gap_id, gap_open, mt, nt, interpret=interpret
         )
@@ -1153,28 +1162,7 @@ def _make_stacked_uniform_kernel(B: int):
         dpref = jvec * dcost  # uniform horizontal gap prefix
         tokb = tokb_ref[:, :, :]
 
-        def shift1(v):
-            sh = pltpu.roll(v, 1, axis=2)
-            carry = pltpu.roll(v[:, :, LANES - 1 :], 1, axis=1)
-            carry = jnp.where(rcol >= 1, carry, BIG)
-            return jnp.where(lane == 0, carry, sh)
-
-        def prefix_min_exclusive(p):
-            x = p
-            s = 1
-            while s < LANES:
-                sh = pltpu.roll(x, s, axis=2)
-                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
-                s *= 2
-            last = x[:, :, LANES - 1 :]
-            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=1), BIG)
-            s = 1
-            while s < R:
-                sh = pltpu.roll(c, s, axis=1)
-                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
-                s *= 2
-            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=2), big)
-            return jnp.minimum(xs, c)
+        shift1, _, _, prefix_min_exclusive = _lane_ops(lane, row)
 
         # Per-pair m_true splats, once (not per row).
         for b in range(B):
@@ -1187,6 +1175,12 @@ def _make_stacked_uniform_kernel(B: int):
         m_s[:, :, :] = corner
         x_s[:, :, :] = row0x
         y_s[:, :, :] = corner
+        # Seed the output with row 0: the masked collection below only
+        # read-modify-writes at i == m_true, so this both initializes the
+        # buffer and makes m_true == 0 return its boundary row.
+        out_ref[:, 0] = corner
+        out_ref[:, 1] = row0x
+        out_ref[:, 2] = corner
 
         def dma(i, slot):
             return pltpu.make_async_copy(
@@ -1366,12 +1360,7 @@ def _make_wave_kernel(B: int):
         rcol = row[:, :, :1]
         big = jnp.full((B, R, LANES), BIG, jnp.int32)
 
-        def shift1(v, fill):
-            """out[i] = v[i-1]; out[0] = fill (overwritten by injection)."""
-            sh = pltpu.roll(v, 1, axis=2)
-            carry = pltpu.roll(v[:, :, LANES - 1 :], 1, axis=1)
-            carry = jnp.where(rcol >= 1, carry, fill)
-            return jnp.where(lane == 0, carry, sh)
+        shift1, _, _, _ = _lane_ops(lane, row)
 
         avec = avec_ref[:, :, :]
 
@@ -1382,6 +1371,18 @@ def _make_wave_kernel(B: int):
         y1_s[:, :, :] = zero0
         b2_s[:, :, :] = big
         bv_s[:, :, :] = jnp.zeros((B, R, LANES), jnp.int32)
+
+        # A capture wave of 0 (tiny pairs: the split wave T-1 hits the
+        # corner when m+n <= 3) can never fire inside the loop, which
+        # starts at t = 1 — write the wave-0 state for it up front.
+        for p in range(B):
+            for k in range(2):
+
+                @pl.when(caps_ref[p, k] == 0)
+                def _(p=p, k=k):
+                    out_ref[p, k, 0] = zero0[p]
+                    out_ref[p, k, 1] = zero0[p]
+                    out_ref[p, k, 2] = zero0[p]
 
         def one_wave(t, _):
             m1, x1, y1 = m1_s[:, :, :], x1_s[:, :, :], y1_s[:, :, :]
@@ -1444,9 +1445,16 @@ def _make_wave_kernel(B: int):
 def uniform_scheme_params(cost_mat, gap_id) -> tuple[int, int, int, int] | None:
     """(cmatch, cmismatch, dcost, icost) if the costing matrix is uniform
     (one match cost, one mismatch cost, one gap-extension cost per
-    direction — the reference's simple-scheme family), else None."""
+    direction — the reference's simple-scheme family), else None.
+
+    Returns None when called under a trace (e.g. from the mesh-sharded
+    fill inside shard_map, where the matrix is a tracer): the dispatch
+    then stays on the scheme-generic kernels.
+    """
     import numpy as np
 
+    if isinstance(cost_mat, jax.core.Tracer) or isinstance(gap_id, jax.core.Tracer):
+        return None
     cm = np.asarray(cost_mat)
     g = int(gap_id)
     A = cm.shape[0]
@@ -1642,29 +1650,7 @@ def _make_strip_kernel(r_e: int, rb: int):
         big = jnp.full((R, LANES), BIG, jnp.int32)
         zeros5 = jnp.zeros((5, LANES), jnp.int32)
 
-        def shift1(x):
-            sh = pltpu.roll(x, 1, axis=1)
-            carry = pltpu.roll(x[:, LANES - 1 :], 1, axis=0)
-            carry = jnp.where(row[:, :1] >= 1, carry, BIG)
-            return jnp.where(lane == 0, carry, sh)
-
-        def prefix_min_exclusive(p):
-            x = p
-            s = 1
-            while s < LANES:
-                sh = pltpu.roll(x, s, axis=1)
-                x = jnp.minimum(x, jnp.where(lane >= s, sh, big))
-                s *= 2
-            last = x[:, LANES - 1 :]
-            rcol = row[:, :1]
-            c = jnp.where(rcol >= 1, pltpu.roll(last, 1, axis=0), BIG)
-            s = 1
-            while s < R:
-                sh = pltpu.roll(c, s, axis=0)
-                c = jnp.minimum(c, jnp.where(rcol >= s, sh, BIG))
-                s *= 2
-            xs = jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), big)
-            return jnp.minimum(xs, c)
+        shift1, _, _, prefix_min_exclusive = _lane_ops(lane, row)
 
         dpref = dpref_ref[:, :]
         m_s[:, :] = row0_ref[0]
@@ -1888,7 +1874,7 @@ def wavefront_fill_cost(
         n_true = n
     if split is None:
         split = (
-            isinstance(m_true, int) and isinstance(n_true, int) and m_true >= 2
+            isinstance(m_true, int) and isinstance(n_true, int) and m_true >= 1
         )
     if not split:
         last = row_fill_last_rows(
@@ -1933,7 +1919,7 @@ def split_fill_cost(
     interpret: bool = False,
     fast: bool = False,
 ) -> jax.Array:
-    """Meet-in-the-middle optimal cost (scalar int32); requires m >= 2.
+    """Meet-in-the-middle optimal cost (scalar int32); any m, n >= 1.
 
     Math: split seq_1 at ``mid``.  Forward-fill the top half and
     forward-fill the REVERSED bottom half against reversed seq_2 — two
@@ -2018,6 +2004,19 @@ def split_fill_cost(
     G = jnp.minimum(last[1], half_big)
     Gj = jnp.where(
         valid, jnp.take(G, jnp.clip(n_true - jw, 0, wp - 1), axis=1), half_big
+    )
+
+    # A zero-row half (m_true <= 1) contributes its boundary row, whose
+    # corner holds 0 in ALL three lanes; the Ix/Iy "levels" there are
+    # fictitious (no gap run reaches the corner), and leaving them with
+    # the gap-continuation correction would undercount by gap_open.  Mask
+    # those lanes to the sentinel; the M lane (no correction) stays.
+    lane3 = jnp.arange(3, dtype=jnp.int32)[:, None]
+    F = jnp.where((lane3 >= 1) & (jw[None, :] == 0) & (mid == 0), half_big, F)
+    Gj = jnp.where(
+        (lane3 >= 1) & (jw[None, :] == n_true) & (m_true - mid == 0),
+        half_big,
+        Gj,
     )
 
     combo = F[:, None, :] + Gj[None, :, :]  # (L, L', j)

@@ -29,6 +29,14 @@ from ..ops import fill_rows
 BATCH_AXIS = "pairs"
 
 
+def _put(a, sharding) -> jax.Array:
+    """Host array -> device array under ``sharding``; works identically in
+    single- and multi-host runs (each process materializes only the shards
+    of its addressable devices from the host-replicated full batch)."""
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+
 def make_pair_mesh(devices=None) -> Mesh:
     """1-D mesh over all (or the given) devices, batch axis ``pairs``."""
     if devices is None:
@@ -110,23 +118,18 @@ def _sharded_moves_jit(
         if tile:
             from ..ops.fill_pallas import stacked_fill_with_moves
 
+            from ..ops.fill_pallas import _tile_slice
+
             finals, movess = [], []
             for lo in range(0, Bl, tile):
                 hi = min(lo + tile, Bl)
-                pad = tile - (hi - lo)
-
-                def grab(a):
-                    t = a[lo:hi]
-                    if pad:
-                        t = jnp.concatenate(
-                            [t, jnp.broadcast_to(t[:1], (pad,) + t.shape[1:])]
-                        )
-                    return t
-
-                last, moves = stacked_fill_with_moves(
-                    grab(ta), grab(tb), cm, gi, go, grab(mt), grab(nt)
+                tat, tbt, mtt, ntt = _tile_slice(
+                    (ta, tb, mt, nt), lo, hi, tile
                 )
-                idx = grab(nt)[:, None, None]
+                last, moves = stacked_fill_with_moves(
+                    tat, tbt, cm, gi, go, mtt, ntt
+                )
+                idx = ntt[:, None, None]
                 vals = jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
                 finals.append(vals[: hi - lo])
                 movess.append(moves[: hi - lo])
@@ -139,8 +142,8 @@ def _sharded_moves_jit(
             final3 = res.final3
             moves = res.moves
         # Final lanes are tiny — gather them so every host reads all pairs;
-        # move matrices are O(m*n) per pair and stay SHARDED (each host
-        # walks only the pairs whose moves it can address).
+        # move matrices are O(m*n) per pair and stay SHARDED across the
+        # mesh's devices (the host fetch below reads them shard-wise).
         gathered = jax.lax.all_gather(final3, BATCH_AXIS, axis=0, tiled=True)
         return gathered, moves
 
@@ -171,29 +174,39 @@ def sharded_fill_moves(
     (W is the backend's padded move-row width, >= N+1; layout "row").
     Lifts the round-1 cost-only restriction on sharded batches: a
     production many-pair run with tracebacks now uses every chip.
+
+    Requires a PROCESS-LOCAL mesh: the O(m*n) move matrices stay sharded
+    on device and the host fetch can only read addressable shards.
+    Multi-host runs shard *chunks* over processes (runner + multihost)
+    and give each process a mesh over its local devices — exactly what
+    ``batch_cli --distributed --shard`` does.
     """
+    if any(
+        d.process_index != jax.process_index()
+        for d in mesh.devices.flat
+    ):
+        raise ValueError(
+            "sharded_fill_moves needs a process-local mesh (the sharded "
+            "move matrices are fetched to THIS host); multi-host runs "
+            "split chunks over processes and use a local mesh per host "
+            "(see globalign_tpu.parallel.multihost)."
+        )
     batch = tok_a.shape[0]
     (tok_a, tok_b, m_true, n_true), padded = pad_batch_to_mesh(
         (tok_a, tok_b, m_true, n_true), batch, mesh
     )
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
-    def put(a):
-        a = np.asarray(a)
-        return jax.make_array_from_callback(
-            a.shape, sharding, lambda idx: a[idx]
-        )
-
     use_pallas = jax.devices()[0].platform not in ("cpu",)
     final3, moves = _sharded_moves_jit(
         mesh,
-        put(tok_a),
-        put(tok_b),
+        _put(tok_a, sharding),
+        _put(tok_b, sharding),
         jnp.asarray(cost_mat),
         jnp.asarray(gap_id),
         jnp.asarray(gap_open),
-        put(np.asarray(m_true, np.int32)),
-        put(np.asarray(n_true, np.int32)),
+        _put(np.asarray(m_true, np.int32), sharding),
+        _put(np.asarray(n_true, np.int32), sharding),
         use_pallas=use_pallas,
     )
     return np.asarray(final3)[:batch], np.asarray(moves)[:batch]
@@ -218,21 +231,12 @@ def sharded_fill_costs(
         (tok_a, tok_b, m_true, n_true), batch, mesh
     )
 
-    # make_array_from_callback works identically in single- and multi-host
-    # runs: each process materializes only the shards of its addressable
-    # devices from the (host-replicated) full batch.
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
-    def put(a):
-        a = np.asarray(a)
-        return jax.make_array_from_callback(
-            a.shape, sharding, lambda idx: a[idx]
-        )
-
-    tok_a = put(tok_a)
-    tok_b = put(tok_b)
-    m_d = put(np.asarray(m_true, np.int32))
-    n_d = put(np.asarray(n_true, np.int32))
+    tok_a = _put(tok_a, sharding)
+    tok_b = _put(tok_b, sharding)
+    m_d = _put(np.asarray(m_true, np.int32), sharding)
+    n_d = _put(np.asarray(n_true, np.int32), sharding)
 
     use_pallas = jax.devices()[0].platform not in ("cpu",)
     final3, _total_cells = _sharded_costs_jit(

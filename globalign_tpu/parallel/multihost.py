@@ -42,9 +42,12 @@ def initialize(
 ) -> tuple[int, int]:
     """Join (or start) the multi-process JAX runtime; returns (pid, count).
 
-    Safe to call more than once and in single-process runs (arguments all
-    None on a platform with no auto-detection leaves JAX single-process;
-    TPU pods auto-detect everything from the metadata server).
+    Calling this is the explicit opt-in to multi-process mode (the CLI's
+    ``--distributed``), so ``jax.distributed.initialize`` ALWAYS runs:
+    with arguments all None it auto-detects the cluster (TPU pod metadata
+    server, SLURM, ...) and raises loudly on platforms with nothing to
+    detect — better than silently running every chunk on every host.
+    Safe to call more than once (later calls return the cached runtime).
     """
     import jax
 
@@ -59,16 +62,9 @@ def initialize(
             kwargs["process_id"] = int(process_id)
         if local_device_ids is not None:
             kwargs["local_device_ids"] = local_device_ids
-        if kwargs or _env_configured():
-            jax.distributed.initialize(**kwargs)
+        jax.distributed.initialize(**kwargs)
         _initialized = True
     return jax.process_index(), jax.process_count()
-
-
-def _env_configured() -> bool:
-    import os
-
-    return bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
 
 
 def process_info() -> tuple[int, int]:

@@ -175,25 +175,28 @@ class BatchRunner:
         """
         if not self.output.exists():
             return
+
         # Stream line-by-line (outputs can be multi-GB at the runner's
-        # million-pair scale — never load the file into memory).
+        # million-pair scale — never load the file into memory), and only
+        # rewrite at all when something must be dropped: the common clean
+        # resume is one read pass, no tmp copy.
+        def keep(line: str) -> bool:
+            try:
+                idx = int(line.split("\t", 1)[0])
+            except (ValueError, IndexError):
+                return False
+            return idx // self.chunk_pairs in done
+
+        with self.output.open() as src:
+            if all(keep(line) for line in src):
+                return
+
         tmp = self.output.with_suffix(self.output.suffix + ".tmp")
-        dropped = 0
         with self.output.open() as src, tmp.open("w") as dst:
             for line in src:
-                try:
-                    idx = int(line.split("\t", 1)[0])
-                except (ValueError, IndexError):
-                    dropped += 1
-                    continue
-                if idx // self.chunk_pairs in done:
+                if keep(line):
                     dst.write(line if line.endswith("\n") else line + "\n")
-                else:
-                    dropped += 1
-        if dropped:
-            tmp.replace(self.output)
-        else:
-            tmp.unlink()
+        tmp.replace(self.output)
 
     @staticmethod
     def _pairs_digest(chunk) -> str:

@@ -172,11 +172,18 @@ def test_split_fill_cost_matches_direct(pad):
     gid = jnp.int32(alpha.gap_id)
     go = jnp.int32(4)
     rng = np.random.default_rng(61)
-    for _ in range(8):
-        m = int(rng.integers(2, 70))
-        n = int(rng.integers(1, 70))
-        s1 = "".join(rng.choice(list("ACGT"), m))
-        s2 = "".join(rng.choice(list("ACGT"), n))
+    # m == 1 (mid == 0: the top half is the zero-row boundary problem)
+    # and other tiny shapes regressed silently once -> keep them pinned.
+    tiny = [("A", "C"), ("A", "CG"), ("G", "AC"), ("A", "CGTA")]
+    sizes = [(int(rng.integers(2, 70)), int(rng.integers(1, 70))) for _ in range(8)]
+    for s1, s2 in tiny + [
+        (
+            "".join(rng.choice(list("ACGT"), m)),
+            "".join(rng.choice(list("ACGT"), n)),
+        )
+        for m, n in sizes
+    ]:
+        m, n = len(s1), len(s2)
         mp = m if pad is None else pad * -(-m // pad)
         npad = n if pad is None else pad * -(-n // pad)
         ta = jnp.asarray(encode_padded(alpha, s1, mp))
@@ -385,6 +392,9 @@ def test_wave_split_fill_cost_matches_direct():
     # crossing anti-diagonal with long gap runs.
     cases += [("AC", "AC" + "G" * 50), ("AC" + "G" * 50, "AC"),
               ("A" * 40, "A" * 3), ("GATTACA", "GATTACA")]
+    # Tiny pairs: m+n <= 3 makes the capture wave T-1 == 0, which the
+    # wave loop itself never reaches (regressed silently once).
+    cases += [("A", "C"), ("A", "A"), ("AC", "G"), ("G", "AC"), ("A", "CG")]
     for s1, s2 in cases:
         m, n = len(s1), len(s2)
         mp = 16 * -(-m // 16)
@@ -494,3 +504,29 @@ def test_wave_split_fill_cost_scheme_fuzz(mmc, go, ge):
         )
     )
     assert want == got
+
+
+def test_batch_final3_traceable_with_traced_scheme():
+    """batch_final3 must stay traceable when the cost matrix and gap id
+    are tracers — exactly what the mesh-sharded fill does inside
+    shard_map on TPU (the uniform-scheme dispatch must decline, not
+    crash)."""
+    import jax
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    rng = np.random.default_rng(23)
+    tok_a, tok_b, mt, nt = _random_batch(rng, 4, 20, 30, alpha)
+
+    def f(cm, gi, go):
+        return fill_pallas.batch_final3(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gi, go,
+            jnp.asarray(mt), jnp.asarray(nt), interpret=True,
+        )
+
+    jaxpr = jax.make_jaxpr(f)(
+        jnp.asarray(costing.values), jnp.int32(alpha.gap_id), jnp.int32(4)
+    )
+    assert jaxpr is not None

@@ -253,4 +253,4 @@ def test_batch_cli_shard_cigar(tmp_path):
     row = out.read_text().splitlines()[0].split("\t")
     # idx, cost, score, three alignment lines, cigar
     assert row[1] == "7" and row[2] == "0"
-    assert row[6] in ("1=1I2=", "1=1D2=".replace("D", "I"))
+    assert row[6] == "1=1I2="
