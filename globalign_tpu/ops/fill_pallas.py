@@ -1040,6 +1040,7 @@ def batch_final3(
     n_true,
     *,
     interpret: bool = False,
+    uniform: tuple[int, int, int, int] | None = None,
 ) -> jax.Array:
     """(B, 3) final DP lanes per pair — batched cost-only entry point.
 
@@ -1048,6 +1049,12 @@ def batch_final3(
     v5e); the grid-per-pair kernel otherwise (long pairs / huge alphabets).
     Short tails are padded by replicating pair 0 and the pad results
     dropped.
+
+    ``uniform`` pre-resolves the uniform-scheme dispatch for callers that
+    trace this function with a traced cost matrix (the mesh-sharded fill
+    inside shard_map): the in-trace auto-detection must decline there, so
+    the host resolves :func:`uniform_scheme_params` on the concrete
+    matrix and passes the result through the jit boundary statically.
     """
     tok_a_ext = jnp.asarray(tok_a_ext)
     tok_b_ext = jnp.asarray(tok_b_ext)
@@ -1060,7 +1067,9 @@ def batch_final3(
     # Uniform schemes ride the specialized kernel: no per-pair splat
     # loops, no substitution table in VMEM — larger tiles, flat per-row
     # cost in B (docs/PERF.md).
-    uni = uniform_scheme_params(cost_mat, gap_id)
+    uni = uniform if uniform is not None else uniform_scheme_params(
+        cost_mat, gap_id
+    )
     tile_u = _uniform_tile_size(B, n) if uni is not None else 0
     if tile_u >= 8:
         cma, cmm, dco, ico = uni

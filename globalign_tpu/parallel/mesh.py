@@ -61,10 +61,12 @@ def pad_batch_to_mesh(arrays, batch: int, mesh: Mesh) -> tuple[list, int]:
     return out, padded
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "use_pallas", "uniform")
+)
 def _sharded_costs_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
-    use_pallas=False,
+    use_pallas=False, uniform=None,
 ):
     spec_b = P(BATCH_AXIS)
 
@@ -72,7 +74,9 @@ def _sharded_costs_jit(
         if use_pallas:
             from ..ops.fill_pallas import batch_final3
 
-            final3 = batch_final3(ta, tb, cm, gi, go, mt, nt)
+            # cm/gi are tracers here, so the uniform-scheme dispatch is
+            # resolved by the HOST (sharded_fill_costs) and arrives static.
+            final3 = batch_final3(ta, tb, cm, gi, go, mt, nt, uniform=uniform)
         else:
             final3 = fill_rows.row_fill_batch(
                 ta, tb, cm, gi, go, mt, nt, want_moves=False
@@ -239,8 +243,17 @@ def sharded_fill_costs(
     n_d = _put(np.asarray(n_true, np.int32), sharding)
 
     use_pallas = jax.devices()[0].platform not in ("cpu",)
+    # The uniform-scheme kernel dispatch needs a CONCRETE matrix; resolve
+    # it here (host) and ship the result through the jit statically, since
+    # inside shard_map the matrix is a tracer and detection must decline.
+    uniform = None
+    if use_pallas:
+        from ..ops.fill_pallas import uniform_scheme_params
+
+        uniform = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
     final3, _total_cells = _sharded_costs_jit(
         mesh, tok_a, tok_b, jnp.asarray(cost_mat), jnp.asarray(gap_id),
         jnp.asarray(gap_open), m_d, n_d, use_pallas=use_pallas,
+        uniform=uniform,
     )
     return np.asarray(final3)[:batch]

@@ -530,3 +530,46 @@ def test_batch_final3_traceable_with_traced_scheme():
         jnp.asarray(costing.values), jnp.int32(alpha.gap_id), jnp.int32(4)
     )
     assert jaxpr is not None
+
+
+def test_batch_final3_static_uniform_dispatch():
+    """The mesh-sharded cost path resolves the uniform scheme on the host
+    and passes it statically; with ``uniform=`` given, batch_final3 must
+    take the uniform kernel even under a trace, and stay exact."""
+    import jax
+
+    from globalign_tpu.ops import fill_rows
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    uni = fill_pallas.uniform_scheme_params(costing.values, alpha.gap_id)
+    assert uni is not None
+    rng = np.random.default_rng(29)
+    B, M, N = 9, 30, 200
+    tok_a, tok_b, mt, nt = _random_batch(rng, B, M, N, alpha)
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    want = np.asarray(
+        fill_rows.row_fill_batch(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+            jnp.asarray(mt), jnp.asarray(nt),
+        ).final3
+    )
+    got = np.asarray(
+        fill_pallas.batch_final3(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), cm, gid, go,
+            jnp.asarray(mt), jnp.asarray(nt), interpret=True, uniform=uni,
+        )
+    )
+    assert (want == got).all()
+    # Still traceable with a traced matrix when uniform is pre-resolved.
+    jaxpr = jax.make_jaxpr(
+        lambda c, g, o: fill_pallas.batch_final3(
+            jnp.asarray(tok_a), jnp.asarray(tok_b), c, g, o,
+            jnp.asarray(mt), jnp.asarray(nt), interpret=True, uniform=uni,
+        )
+    )(cm, gid, go)
+    assert jaxpr is not None
