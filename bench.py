@@ -9,8 +9,11 @@ measured throughput of its interpreted fill is ~1e-3 GCUPS on one CPU core
 
 Timing protocol: the per-call wall clock through the remote-TPU tunnel is
 dominated by a ~35 ms host<->device round trip, so the kernel is timed by
-slope — K chained fills (distinct inputs, summed outputs) inside one jit vs
-one fill, fetched once:  t_kernel = (t_K - t_1) / (K - 1).
+slope — K chained fills (distinct inputs, summed outputs) inside one jit,
+fetched once, at two chain lengths:  t_kernel = (t_hi - t_lo) / (hi - lo).
+Both chain points are > 1 so each measurement is kernel-dominated and the
+residual tunnel jitter (a few ms per fetch) divides by the 10-call gap;
+each point takes the best of ``--repeats`` runs.
 
 Usage: python bench.py [--m 10000 --n 10000] [--repeats 4] [--backend auto]
 """
@@ -28,8 +31,9 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--m", type=int, default=10_000)
     parser.add_argument("--n", type=int, default=10_000)
-    parser.add_argument("--repeats", type=int, default=4)
-    parser.add_argument("--chain", type=int, default=8)
+    parser.add_argument("--repeats", type=int, default=6)
+    parser.add_argument("--chain_lo", type=int, default=2)
+    parser.add_argument("--chain", type=int, default=12)
     parser.add_argument(
         "--backend", choices=["auto", "scan", "rows", "pallas"], default="auto"
     )
@@ -132,9 +136,9 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = measure(1)
-    tk = measure(args.chain)
-    per = max((tk - t1) / (args.chain - 1), 1e-9)
+    t_lo = measure(args.chain_lo)
+    t_hi = measure(args.chain)
+    per = max((t_hi - t_lo) / (args.chain - args.chain_lo), 1e-9)
     gcups = args.m * args.n / per / 1e9
 
     print(
