@@ -48,14 +48,13 @@ from .traceback import (
 
 DEFAULT_BLOCK_ROWS = 512
 
-# Columns fetched per host window during the replay walk.  The walk visits
-# a narrow, monotonically left-moving band of each block, so shipping the
-# whole (K x n) move matrix to the host wastes nearly all of the transfer
-# (at 30 kb that is ~1 GB through a ~35 ms-latency link, and it dominated
-# the round-1 end-to-end wall-clock).  Windows are re-fetched leftward on
-# demand; each fetch is one dynamic-slice + one host transfer.
-DEFAULT_WINDOW_COLS = 2048
-
+# Adaptive block sizing cap: each replay block materializes (K+1) x W move
+# bytes on DEVICE (streamed to HBM by the kernel, never all in VMEM), and
+# each block's walk pays at least one host window fetch (~35 ms through
+# the tunnelled-TPU link this repo documents).  Growing K until the block
+# move buffer hits this budget minimizes blocks (host round trips) at a
+# bounded HBM cost.
+DEFAULT_BLOCK_MOVES_BYTES = 64 * 1024 * 1024
 
 def _block_tokens(tok_a_ext: np.ndarray, i0: int, i1: int) -> jnp.ndarray:
     """1-origin token buffer for global rows i0+1..i1 (dummy entry 0)."""
@@ -64,46 +63,73 @@ def _block_tokens(tok_a_ext: np.ndarray, i0: int, i1: int) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("width",))
-def _slice_cols(arr, start, width: int):
-    """Traced-start column window of a device move matrix (module-level so
-    every block of every run shares one compiled slice per array shape)."""
-    return jax.lax.dynamic_slice(arr, (0, start), (arr.shape[0], width))
+# Backward-walk move ops (the per-step OUTPUT of the device walk; the
+# host rebuilds the aligned strings from these alone).
+OP_DIAG = 0  # consume one char of each sequence
+OP_LEFT = 1  # gap in seq_1 (consume seq_2[j-1])
+OP_UP = 2  # gap in seq_2 (consume seq_1[i-1])
 
 
-class _WindowedMoves:
-    """Host view of a device-resident block move matrix, fetched in
-    fixed-width column windows as the walk moves left.
+@jax.jit
+def _walk_block(moves, j_entry, level_entry):
+    """Walk one replay block's move codes ON DEVICE, bottom row to top.
 
-    ``j`` only decreases during a block walk, so a miss fetches the window
-    ENDING at the requested column; the dynamic-slice start is traced (one
-    compiled slice per array shape, not one remote compile per fetch).
+    The move matrices are O(K x n) and the link to a tunnelled TPU is
+    bandwidth-poor (~tens of MB/s measured; docs/PERF.md), so fetching
+    them — even in column windows — dominates end-to-end wall clock.
+    The walk itself is a trivial serial recurrence, so run it where the
+    moves live: a ``lax.while_loop`` from the block's bottom row to its
+    top that records one op byte per step.  Only the O(K + n) op tape
+    ever crosses to the host.
+
+    Same level semantics as the full-matrix walker
+    (ops/traceback.traceback_moves): code bits [0:2]=M, [2:4]=Ix,
+    [4:6]=Iy predecessor levels; column 0 forces boundary up-moves
+    without consuming a code (reference globaligner.py:562-581).
+
+    Returns ``(ops, count, j_exit, level_exit)``; entry scalars may be
+    device values, so chained block walks dispatch without host syncs.
     """
+    K = moves.shape[0] - 1
+    L = K + moves.shape[1]  # i decreases K times, j fewer than W times
 
-    def __init__(self, dev_moves, window_cols: int = DEFAULT_WINDOW_COLS):
-        self._dev = dev_moves  # (K+1, W) uint8 on device
-        self._w = min(window_cols, dev_moves.shape[1])
-        self._w0 = -1
-        self._buf: np.ndarray | None = None
-        self.fetches = 0
+    def cond(st):
+        return st[0] > 0
 
-    def code(self, ii: int, jj: int) -> int:
-        if self._buf is None or not (self._w0 <= jj < self._w0 + self._w):
-            start = min(max(0, jj - self._w + 1), self._dev.shape[1] - self._w)
-            self._buf = np.asarray(_slice_cols(self._dev, start, self._w))
-            self._w0 = start
-            self.fetches += 1
-        return int(self._buf[ii, jj - self._w0])
+    def body(st):
+        i_l, j, level, t, ops = st
+        code = moves[i_l, j].astype(jnp.int32)
+        boundary = j == 0
+        is_m = level == 0
+        is_x = level == 1
+        op = jnp.where(
+            boundary,
+            OP_UP,
+            jnp.where(is_m, OP_DIAG, jnp.where(is_x, OP_LEFT, OP_UP)),
+        )
+        nl = jnp.where(
+            is_m, code & 3, jnp.where(is_x, (code >> 2) & 3, (code >> 4) & 3)
+        )
+        nl = jnp.where(boundary, level, nl)
+        di = jnp.where(op == OP_LEFT, 0, 1)
+        dj = jnp.where(op == OP_UP, 0, 1)
+        ops = jax.lax.dynamic_update_index_in_dim(
+            ops, op.astype(jnp.uint8), t, 0
+        )
+        return (i_l - di, j - dj, nl, t + 1, ops)
 
-
-class _HostMoves:
-    """Uniform accessor over an already-host-resident move matrix."""
-
-    def __init__(self, arr: np.ndarray):
-        self._arr = arr
-
-    def code(self, ii: int, jj: int) -> int:
-        return int(self._arr[ii, jj])
+    _, j, level, t, ops = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.int32(K),
+            jnp.asarray(j_entry, jnp.int32),
+            jnp.asarray(level_entry, jnp.int32),
+            jnp.int32(0),
+            jnp.zeros((L,), jnp.uint8),
+        ),
+    )
+    return ops, t, j, level
 
 
 def align_blocked(
@@ -115,7 +141,7 @@ def align_blocked(
     seq_1: str,
     seq_2: str,
     *,
-    block_rows: int = DEFAULT_BLOCK_ROWS,
+    block_rows: int | None = None,
     use_pallas: bool | None = None,
 ) -> Traceback:
     """Full alignment with O(n * (m/K + K)) memory (see module docstring).
@@ -126,18 +152,26 @@ def align_blocked(
             is ignored.
         cost_mat / gap_id / gap_open: the costing scheme.
         seq_1 / seq_2: the original strings (for emitting aligned text).
-        block_rows: checkpoint interval K.
+        block_rows: checkpoint interval K; default adaptive — grow blocks
+            until one block's move buffer reaches
+            ``DEFAULT_BLOCK_MOVES_BYTES`` (fewer blocks = fewer host
+            round trips during the replay walk, each >= one window fetch).
         use_pallas: force the checkpoint-pass backend; default auto
             (Pallas on TPU, row scan elsewhere).
     """
     m = len(seq_1)
     n = len(seq_2)
-    K = max(1, block_rows)
     tok_a_np = np.asarray(tok_a_ext)[: m + 1]
     # seq_2 is padded up to a 256 grid so differently-sized inputs reuse the
     # same compiled block fills (padded columns never feed real cells; the
     # result is read at column n).
     nq = max(256, 256 * -(-(n + 1) // 256)) - 1
+    if block_rows is None:
+        block_rows = max(
+            DEFAULT_BLOCK_ROWS,
+            min(m, DEFAULT_BLOCK_MOVES_BYTES // (nq + 1)),
+        )
+    K = max(1, block_rows)
     tok_b_np = np.zeros((nq + 1,), np.int32)
     tok_b_np[: n + 1] = np.asarray(tok_b_ext)[: n + 1]
 
@@ -196,25 +230,26 @@ def align_blocked(
     cost = int(final3.min())
 
     # ---- replay pass -----------------------------------------------------
-    out_1: list[str] = []
-    mid: list[str] = []
-    out_2: list[str] = []
+    # Each block is re-filled WITH move codes on its backend, then walked
+    # ON DEVICE (_walk_block); consecutive walks chain through device
+    # scalars, so the whole replay dispatches without a host sync and the
+    # only host traffic is the final O(m + n) op tapes.
+    if use_pallas:
+        from .fill_pallas import _stacked_tile_size
 
-    i, j = m, n
-    level = int(final3.argmin())
+        use_pallas = (
+            _stacked_tile_size(
+                1, nq, int(np.asarray(cost_mat).shape[0]), moves=True
+            )
+            >= 1
+        )
 
+    j_dev = jnp.int32(n)
+    level_dev = jnp.int32(int(final3.argmin()))
+    tapes = []  # (ops, count) per block, walk order (bottom block first)
     for b in range(nblocks - 1, -1, -1):
         i0, i1 = bounds[b], bounds[b + 1]
-        if i <= i0:
-            continue
         ta_blk = _block_tokens(tok_a_np, i0, i1)
-        if use_pallas:
-            from .fill_pallas import _stacked_tile_size
-
-            use_pallas = (
-                _stacked_tile_size(1, nq, int(np.asarray(cost_mat).shape[0]),
-                                   moves=True) >= 1
-            )
         if use_pallas:
             # Replay at stacked-kernel speed (B=1) with the checkpoint row
             # as row 0 and the global column-0 Iy value at the block's top
@@ -237,55 +272,56 @@ def align_blocked(
                     jnp.int32,
                 ),
             )
-            # Moves stay device-resident; the walk fetches column windows
-            # on demand instead of shipping the whole block to the host.
-            moves = _WindowedMoves(moves_d[0])
+            moves_blk = moves_d[0]
         else:
             col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
             col0_blk = jnp.stack([col0y_blk, col0y_blk, col0y_blk])
-            moves_np = np.asarray(
-                row_fill(
-                    ta_blk,
-                    tok_b,
-                    cost_mat,
-                    gap_id,
-                    gap_open,
-                    row0=checkpoints[b],
-                    col0=col0_blk,
-                    want_moves=True,
-                ).moves
-            )
-            moves = _HostMoves(moves_np)
+            moves_blk = row_fill(
+                ta_blk,
+                tok_b,
+                cost_mat,
+                gap_id,
+                gap_open,
+                row0=checkpoints[b],
+                col0=col0_blk,
+                want_moves=True,
+            ).moves
+        ops, count, j_dev, level_dev = _walk_block(moves_blk, j_dev, level_dev)
+        tapes.append((ops, count))
 
-        while i > i0:
-            if j == 0:
-                # Column 0: only vertical boundary moves remain
-                # (reference globaligner.py:562-581).
-                out_1.append(seq_1[i - 1])
-                mid.append(GAP_GLYPH)
-                out_2.append(GAP_CHAR)
-                i -= 1
-                continue
-            code = moves.code(i - i0, j)
-            if level == LEVEL_M:
+    # One sync: start every tape's host copy, then materialize them all.
+    for ops, count in tapes:
+        try:
+            ops.copy_to_host_async()
+        except Exception:  # pragma: no cover - backend without async copy
+            pass
+    tapes_np = [
+        np.asarray(ops)[: int(np.asarray(count))] for ops, count in tapes
+    ]
+
+    # ---- host assembly from the op tapes --------------------------------
+    out_1: list[str] = []
+    mid: list[str] = []
+    out_2: list[str] = []
+    i, j = m, n
+    for ops_np in tapes_np:
+        for op in ops_np:
+            if op == OP_DIAG:
                 a, bch = seq_1[i - 1], seq_2[j - 1]
                 out_1.append(a)
                 mid.append(MATCH_GLYPH if a == bch else MISMATCH_GLYPH)
                 out_2.append(bch)
-                level = code & 3
                 i -= 1
                 j -= 1
-            elif level == LEVEL_IX:
+            elif op == OP_LEFT:
                 out_1.append(GAP_CHAR)
                 mid.append(GAP_GLYPH)
                 out_2.append(seq_2[j - 1])
-                level = (code >> 2) & 3
                 j -= 1
             else:
                 out_1.append(seq_1[i - 1])
                 mid.append(GAP_GLYPH)
                 out_2.append(GAP_CHAR)
-                level = (code >> 4) & 3
                 i -= 1
 
     # Row 0: only horizontal moves remain (globaligner.py:542-561).

@@ -157,21 +157,47 @@ def test_blocked_pallas_replay_equals_full(monkeypatch):
         assert t_full == t_blk
 
 
-def test_windowed_moves_matches_direct():
-    """The on-demand window fetcher returns exactly the underlying codes
-    for any monotonically-left walk, with a bounded number of fetches."""
-    import jax.numpy as jnp
-
-    from globalign_tpu.ops.linear_tb import _WindowedMoves
-
-    rng = np.random.default_rng(3)
-    arr = rng.integers(0, 64, size=(17, 5000), dtype=np.uint8)
-    wm = _WindowedMoves(jnp.asarray(arr), window_cols=256)
-    j = 4990
-    i = 0
-    while j > 0:
-        assert wm.code(i, j) == arr[i, j]
-        i = (i + 1) % 17
-        j -= int(rng.integers(1, 40))
-    # Walk spans < 5000 columns; every fetch advances the window left.
-    assert wm.fetches <= 5000 // 256 + 2
+def test_device_walk_matches_host_walker():
+    """_walk_block's op tape over a full move matrix reproduces the host
+    walker's move sequence exactly (minus the row-0 tail it leaves to the
+    caller), for random pairs and levels."""
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(11)
+    for _ in range(5):
+        m = int(rng.integers(1, 60))
+        n = int(rng.integers(1, 60))
+        s1 = "".join(rng.choice(list("ACGT"), m))
+        s2 = "".join(rng.choice(list("ACGT"), n))
+        ta = jnp.asarray(encode_padded(alpha, s1, m))
+        tb = jnp.asarray(encode_padded(alpha, s2, n))
+        r = fill_rows.row_fill(ta, tb, cm, gid, go, want_moves=True)
+        t_full = traceback_moves(
+            np.asarray(r.moves), s1, s2, np.asarray(r.final3), "row"
+        )
+        level0 = int(np.asarray(r.final3).argmin())
+        ops, count, j_exit, _ = linear_tb._walk_block(
+            jnp.asarray(r.moves), jnp.int32(n), jnp.int32(level0)
+        )
+        ops_np = np.asarray(ops)[: int(count)]
+        # Expected ops: walk order (bottom-up) = reversed aligned columns,
+        # truncated before the row-0 horizontal tail.
+        exp = []
+        for a, b in zip(t_full.seq_1_aligned, t_full.seq_2_aligned):
+            if a != "-" and b != "-":
+                exp.append(linear_tb.OP_DIAG)
+            elif a == "-":
+                exp.append(linear_tb.OP_LEFT)
+            else:
+                exp.append(linear_tb.OP_UP)
+        exp.reverse()
+        # The device walk stops at i == 0, leaving j_exit row-0 LEFT moves
+        # (the caller's row-0 tail) out of the tape.
+        j_exit = int(np.asarray(j_exit))
+        assert all(op == linear_tb.OP_LEFT for op in exp[len(exp) - j_exit:])
+        assert ops_np.tolist() == exp[: len(exp) - j_exit]
