@@ -1,0 +1,402 @@
+"""Cell-per-lane strip kernel: the latency-floor breaker for uniform schemes.
+
+Every row-scan kernel in :mod:`fill_pallas` pays a fixed ~1 us serial
+chain per DP row (the lane-doubling prefix-min: 7+ dependent cross-lane
+rolls), so single-pair throughput plateaus near 18 GCUPS at 10 kb no
+matter how the rows are batched or split (docs/PERF.md roofline study).
+This kernel removes the prefix scan entirely:
+
+* seq_2's columns are cut into ``w``-wide strips; strip ``s`` of every
+  pair maps to one vector LANE of the ``(R, 128)`` state tiles (strip id
+  = chunk * 128 + lane, same flattened order as the other kernels).
+* Each strip advances ONE cell per step, row-major: an outer wave loop
+  over DP rows with an unrolled inner loop over the ``w`` in-strip
+  columns.  All state updates are elementwise int32 VPU ops over every
+  strip at once — the only step-to-step dependency left is the
+  horizontal Gotoh chain *within* a strip,
+
+      Ix[i,j] = min(min(M, Iy)[i,j-1] + open, Ix[i,j-1]) + d,
+
+  i.e. one ``min`` and one ``add`` of serial latency per step instead of
+  a ~1 us scan per row.
+* Adjacent strips exchange their one-column edges by a single lane shift
+  per wave.  Strips are skewed TWO rows apart (strip s works row
+  ``i - 2s`` during wave ``g = i - 1 + 2s``), so the shifted edge a strip
+  consumes was produced a full wave earlier — cross-lane roll latency
+  stays off the critical chain.
+* The wavefront needs each strip's current seq_1 token.  Tokens enter at
+  every pair's strip 0 (DMA-staged from an HBM inject table in
+  ``_STAGE``-wave blocks) and ride the same per-wave lane shift down the
+  strip pipeline — no gathers anywhere in the loop.
+* Previous-row values (the vertical/diagonal inputs) live in two
+  ``(w, R, 128)`` VMEM ring buffers indexed by the *static* unrolled
+  phase — ``zbuf`` holds min(M,Ix,Iy) and ``vbuf`` holds
+  min(M+open, Ix+open, Iy) of the row above, which is all the next row
+  ever reads (reference recurrence: globaligner.py:366-392).
+
+Per-pair true lengths are TRACED: a per-strip ``m_true`` splat gates a
+masked read-modify-write of the output row (same idiom as the stacked
+kernels), and ``n_true`` picks the final column on the host side.
+
+Restrictions: uniform ("simple") costing schemes only — one match cost,
+one mismatch cost, one gap-extension cost per direction (the family
+:func:`fill_pallas.uniform_scheme_params` recognizes; general matrices
+would need an in-loop gather).  Cost-only: no move codes are emitted
+(the traceback path keeps the row kernels, whose moves mode is nearly
+free).  Exactness is pinned bit-for-bit against the ``fill_scan`` oracle
+by tests/test_fill_lanes.py.
+
+Replaces the reference's interpreted fill (globaligner.py:366-392) on
+the cost path for simple schemes at a ~4x higher throughput ceiling than
+the scan kernels (the VPU issue rate, not the roll-latency floor).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fill_scan import BIG
+from .fill_pallas import LANES, _lane_ops
+
+DEFAULT_W = 8
+_STAGE = 64  # inject rows staged per DMA block
+
+
+def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int):
+    """Build the kernel for ``w``-wide strips, ``R`` lane-chunks of
+    strips, ``S_p`` strips per pair, inject tile width ``Rw``."""
+
+    def kernel(
+        params_ref,  # (1, 6) SMEM: waves G, gap_open, cmatch, cmismatch,
+        #              dcost, icost
+        btab_ref,  # (w, R, 128) VMEM: seq_2 token of strip s, phase p
+        mtrue_ref,  # (R, 128) VMEM: per-strip m_true (-1 on pad strips)
+        inj_hbm,  # (G_rows, Rw, 128) int32 HBM: per-wave seq_1 tokens
+        #           entering at each pair's strip 0
+        out_ref,  # (3, w, R, 128) VMEM: (M, Ix, Iy) of row m_true
+        a1,  # (R, 128) scratch: seq_1 token pipeline, waves g-1 / g-2
+        a2,
+        em1,  # end-of-row edge histories (M, Ix, Iy), waves g-1 / g-2
+        em2,
+        ex1,
+        ex2,
+        ey1,
+        ey2,
+        z1,  # end-of-row min3 histories, waves g-1 / g-2 / g-3
+        z2,
+        z3,
+        zbuf_s,  # (w, R, 128): prev-row min3(M,Ix,Iy), slot k = local col k+1
+        vbuf_s,  # (w, R, 128): prev-row min(M+go,Ix+go,Iy), same slots
+        stage_s,  # (2, _STAGE, Rw, 128): inject DMA double buffer
+        sems,  # DMA (2,)
+    ):
+        G = params_ref[0, 0]
+        go = params_ref[0, 1]
+        cmatch = params_ref[0, 2]
+        cmismatch = params_ref[0, 3]
+        d = params_ref[0, 4]
+        ic = params_ref[0, 5]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        s_t = row * LANES + lane  # flat strip id
+        q_t = jax.lax.rem(s_t, S_p)  # strip index within its pair
+        q0 = q_t == 0
+        j0_t = q_t * w  # pair-local column before the strip's first
+        mtrue = mtrue_ref[:, :]
+        big = jnp.full((R, LANES), BIG, jnp.int32)
+
+        shift1, _, _, _ = _lane_ops(lane, row)
+
+        # Row-0 boundary seeds: z(0,j) = go + j*d, v(0,j) = 2*go + j*d
+        # (j >= 1; reference make_dp_array, globaligner.py:756-821).
+        for p in range(w):
+            jloc = j0_t + (p + 1)
+            zbuf_s[p] = go + jloc * d
+            vbuf_s[p] = 2 * go + jloc * d
+            out_ref[0, p] = big
+            out_ref[1, p] = go + jloc * d
+            out_ref[2, p] = big
+
+        def dma(blk, slot):
+            return pltpu.make_async_copy(
+                inj_hbm.at[pl.ds(blk * _STAGE, _STAGE)],
+                stage_s.at[slot],
+                sems.at[slot],
+            )
+
+        dma(0, 0).start()
+        dma(1, 1).start()
+
+        def wave(g, _):
+            blk = jax.lax.div(g, _STAGE)
+            slot = jax.lax.rem(blk, 2)
+
+            @pl.when(jax.lax.rem(g, _STAGE) == 0)
+            def _stage():
+                dma(blk, slot).wait()
+
+                @pl.when(blk >= 1)
+                def _next():
+                    # Block blk-1 is fully consumed; its slot is free.
+                    dma(blk + 1, jax.lax.rem(blk + 1, 2)).start()
+
+            inj = stage_s[slot, jax.lax.rem(g, _STAGE)]
+            if Rw == 1:
+                a_inj = jnp.broadcast_to(inj, (R, LANES))
+            else:
+                a_inj = inj
+
+            i_t = (g + 1) - 2 * q_t  # this strip's DP row this wave
+            active = i_t >= 1
+            hit = (i_t == mtrue) & active
+
+            # Edges from the left neighbor, produced >= 1 wave ago (the
+            # 2-row skew), or the column-0 boundary for strip 0 of each
+            # pair: (BIG, BIG, go + i*ic), diag z(i-1, 0).
+            a_cur = jnp.where(q0, a_inj, shift1(a2[:, :], fill=0))
+            mp = jnp.where(q0, big, shift1(em2[:, :]))
+            xp = jnp.where(q0, big, shift1(ex2[:, :]))
+            yp = jnp.where(q0, go + i_t * ic, shift1(ey2[:, :]))
+            zdiag0 = jnp.where(
+                i_t == 1,
+                jnp.where(q0, 0, go + j0_t * d),
+                jnp.where(q0, go + (i_t - 1) * ic, shift1(z3[:, :])),
+            )
+
+            z_prev = zdiag0  # placeholder; overwritten at p == 0
+            for p in range(w):
+                zdiag = zdiag0 if p == 0 else zbuf_s[p - 1]
+                vprev = vbuf_s[p]
+                sub = jnp.where(a_cur == btab_ref[p], cmatch, cmismatch)
+                m_new = zdiag + sub
+                y_new = vprev + ic
+                x_new = jnp.minimum(jnp.minimum(mp, yp) + go, xp) + d
+                z_new = jnp.minimum(
+                    jnp.minimum(jnp.minimum(m_new, x_new), y_new), BIG
+                )
+                v_new = jnp.minimum(
+                    jnp.minimum(
+                        jnp.minimum(m_new, x_new) + go, y_new
+                    ),
+                    BIG,
+                )
+                if p >= 1:
+                    # The slot just read as zdiag now takes this row's
+                    # value for the same column (computed last phase).
+                    zbuf_s[p - 1] = jnp.where(active, z_prev, zdiag)
+                vbuf_s[p] = jnp.where(active, v_new, vprev)
+                out_ref[0, p] = jnp.where(hit, m_new, out_ref[0, p])
+                out_ref[1, p] = jnp.where(hit, x_new, out_ref[1, p])
+                out_ref[2, p] = jnp.where(hit, y_new, out_ref[2, p])
+                mp, xp, yp, z_prev = m_new, x_new, y_new, z_new
+
+            # Rotate the edge/token histories (g-2 <- g-1 <- g).
+            z3[:, :] = z2[:, :]
+            z2[:, :] = z1[:, :]
+            z1[:, :] = z_prev
+            em2[:, :] = em1[:, :]
+            em1[:, :] = mp
+            ex2[:, :] = ex1[:, :]
+            ex1[:, :] = xp
+            ey2[:, :] = ey1[:, :]
+            ey1[:, :] = yp
+            a2[:, :] = a1[:, :]
+            a1[:, :] = a_cur
+            return 0
+
+        jax.lax.fori_loop(0, G, wave, 0)
+
+        # Drain the last prefetched block before the kernel retires.
+        lastblk = jax.lax.div(jnp.maximum(G - 1, 0), _STAGE) + 1
+        dma(lastblk, jax.lax.rem(lastblk, 2)).wait()
+
+    return kernel
+
+
+def _lanes_geometry(B: int, n_pad: int, w: int) -> tuple[int, int]:
+    """(strips per pair, lane-chunks R) for padded seq_2 length n_pad."""
+    S_p = max(1, -(-n_pad // w))
+    R = max(1, -(-(B * S_p) // LANES))
+    return S_p, R
+
+
+def lanes_vmem_bytes(B: int, n_pad: int, w: int = DEFAULT_W) -> int:
+    """Approximate kernel VMEM working set (budget check for dispatch)."""
+    S_p, R = _lanes_geometry(B, n_pad, w)
+    Rw = 1 if B == 1 else R
+    tile = R * LANES * 4
+    return (11 + 2 * w + 3 * w + w) * tile + 2 * _STAGE * Rw * LANES * 4
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def lanes_batch_final3(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+) -> jax.Array:
+    """(B, 3) final DP lanes per pair — same contract as
+    :func:`fill_pallas.stacked_uniform_fill_last_rows` read at n_true.
+
+    Args:
+        tok_a_ext / tok_b_ext: (B, m+1) / (B, n+1) int32 1-origin tokens.
+        cmatch..icost / gap_open: uniform-scheme costs (host ints).
+        m_true / n_true: (B,) traced true lengths (<= padded shapes).
+        w: static strip width (4-16; 8 is the measured sweet spot).
+    """
+    B, m1 = tok_a_ext.shape
+    n_pad = tok_b_ext.shape[1] - 1
+    m_pad = m1 - 1
+    S_p, R = _lanes_geometry(B, n_pad, w)
+    Rw = 1 if B == 1 else R
+
+    go = jnp.asarray(gap_open, jnp.int32)
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+    tok_a_i = jnp.asarray(tok_a_ext, jnp.int32)
+    tok_b_i = jnp.asarray(tok_b_ext, jnp.int32)
+
+    s_flat = jnp.arange(R * LANES, dtype=jnp.int32)
+    pair = s_flat // S_p  # pad strips (pair >= B) clip below
+    valid_strip = pair < B
+    pairc = jnp.minimum(pair, B - 1)
+    q = s_flat % S_p
+
+    # Per-strip seq_2 tokens per phase: btab[p, s] = tok_b[pair, q*w+p+1]
+    # (clipped reads past n_pad feed garbage strips only).
+    ps = jnp.arange(w, dtype=jnp.int32)
+    jloc = q[None, :] * w + ps[:, None] + 1  # (w, S)
+    btab = tok_b_i[pairc[None, :], jnp.minimum(jloc, n_pad)]
+    btab = btab.reshape(w, R, LANES)
+
+    mtrue_tile = jnp.where(valid_strip, m_true[pairc], -1).reshape(R, LANES)
+
+    # Inject table: wave g's seq_1 tokens at each pair's strip 0.
+    # (Floor of 1 keeps the DMA start/wait pairing balanced at G == 0.)
+    G = jnp.maximum(jnp.max(m_true) + 2 * (S_p - 1), 1)  # traced wave count
+    G_cap = m_pad + 2 * (S_p - 1)  # static worst case
+    nblocks = -(-max(1, G_cap) // _STAGE)
+    G_rows = (nblocks + 2) * _STAGE
+    toka_pad = jnp.pad(
+        tok_a_i, ((0, 0), (0, max(0, G_rows + 1 - m1))), mode="edge"
+    )[:, 1 : G_rows + 1]
+    if B == 1:
+        # One pair: every strip-0 lane takes the same token, so a
+        # single broadcast row suffices (the kernel re-broadcasts the
+        # (1, 128) staged tile across chunks).
+        inj = jnp.broadcast_to(toka_pad[0][:, None, None], (G_rows, 1, LANES))
+    else:
+        inj = toka_pad[pairc.reshape(R, LANES)[:Rw], :].transpose(2, 0, 1)
+    inj = inj + jnp.zeros((1, 1, 1), jnp.int32)  # materialize the broadcast
+
+    params = jnp.stack(
+        [
+            G,
+            go,
+            jnp.asarray(cmatch, jnp.int32),
+            jnp.asarray(cmismatch, jnp.int32),
+            jnp.asarray(dcost, jnp.int32),
+            jnp.asarray(icost, jnp.int32),
+        ]
+    ).reshape(1, 6)
+
+    out = pl.pallas_call(
+        _make_lane_kernel(w, R, S_p, Rw),
+        out_shape=jax.ShapeDtypeStruct((3, w, R, LANES), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.int32)
+            for _ in range(11)
+        ]
+        + [
+            pltpu.VMEM((w, R, LANES), jnp.int32),
+            pltpu.VMEM((w, R, LANES), jnp.int32),
+            pltpu.VMEM((2, _STAGE, Rw, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(params, btab, mtrue_tile, inj)
+
+    # out[l, p, r, lane] -> per-pair flat columns: strip s covers pair
+    # columns q*w+1 .. q*w+w, phase p = in-strip offset.
+    flat = out.transpose(0, 2, 3, 1).reshape(3, R * LANES * w)
+    flat = flat[:, : B * S_p * w].reshape(3, B, S_p * w)
+    col = jnp.clip(n_true - 1, 0, S_p * w - 1)
+    final3 = jnp.take_along_axis(
+        flat, col[None, :, None], axis=2
+    )[:, :, 0].T  # (B, 3)
+    # n_true == 0 reduces to the column-0 boundary of row m_true:
+    # (BIG, BIG, go + m*ic), or the (0, 0, 0) corner when m_true == 0.
+    m0 = m_true == 0
+    b0 = jnp.stack(
+        [
+            jnp.where(m0, 0, BIG),
+            jnp.where(m0, 0, BIG),
+            jnp.where(m0, 0, go + m_true * jnp.asarray(icost, jnp.int32)),
+        ],
+        axis=-1,
+    )
+    return jnp.where((n_true == 0)[:, None], b0, final3)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+def lanes_fill_cost(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m_true=None,
+    n_true=None,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+) -> jax.Array:
+    """Scalar optimal cost of one pair (uniform schemes, any m, n >= 0).
+
+    Single-pair entry: (m+1,) / (n+1,) token buffers, traced true
+    lengths (defaulting to the buffer capacities).
+    """
+    mcap = tok_a_ext.shape[0] - 1
+    ncap = tok_b_ext.shape[0] - 1
+    if m_true is None:
+        m_true = mcap
+    if n_true is None:
+        n_true = ncap
+    final3 = lanes_batch_final3(
+        jnp.asarray(tok_a_ext)[None, :],
+        jnp.asarray(tok_b_ext)[None, :],
+        cmatch,
+        cmismatch,
+        dcost,
+        icost,
+        gap_open,
+        jnp.asarray(m_true, jnp.int32)[None],
+        jnp.asarray(n_true, jnp.int32)[None],
+        w=w,
+        interpret=interpret,
+    )
+    return jnp.min(final3[0])

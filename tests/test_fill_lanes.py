@@ -1,0 +1,157 @@
+"""Cell-per-lane strip kernel (ops/fill_lanes) correctness, interpret mode.
+
+Pins ``lanes_batch_final3`` / ``lanes_fill_cost`` bit-for-bit to the
+scheme-generic stacked kernel (itself pinned to the ``fill_scan`` oracle)
+on uniform costing schemes, including asymmetric gap-extension costs,
+traced true lengths below the padded caps, and the zero-length boundary
+rows the kernel special-cases on the host side.
+
+Replaces the reference's interpreted fill (globaligner.py:366-392) on the
+uniform-scheme cost path; the semantics pinned here are the reference's.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from globalign_tpu.ops import fill_lanes, fill_pallas
+from globalign_tpu.ops.fill_scan import BIG
+
+
+def _uniform_costing(A, cmatch, cmismatch, dcost, icost):
+    """Costing matrix over 1-origin tokens 1..A with gap id A+1."""
+    gid = A + 1
+    cm = np.full((A + 2, A + 2), cmismatch, np.int32)
+    np.fill_diagonal(cm, cmatch)
+    cm[gid, :] = dcost
+    cm[:, gid] = icost
+    cm[gid, gid] = 0
+    return cm, gid
+
+
+def _expected_final3(ta, tb, cm, gid, go, mt, nt):
+    """Generic-kernel final3 with host-handled zero-length boundaries."""
+    B = ta.shape[0]
+    mt2 = np.maximum(mt, 1)
+    nt2 = np.maximum(nt, 1)
+    want = np.array(
+        fill_pallas.batch_final3(
+            jnp.asarray(ta),
+            jnp.asarray(tb),
+            jnp.asarray(cm),
+            jnp.int32(gid),
+            jnp.int32(go),
+            jnp.asarray(mt2),
+            jnp.asarray(nt2),
+            interpret=True,
+        )
+    )
+    d = int(cm[gid, 0])
+    ic = int(cm[0, gid])
+    for b in range(B):
+        if mt[b] == 0 and nt[b] == 0:
+            want[b] = (0, 0, 0)
+        elif nt[b] == 0:
+            want[b] = (BIG, BIG, go + mt[b] * ic)
+        elif mt[b] == 0:
+            want[b] = (BIG, go + nt[b] * d, BIG)
+    return want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_lanes_batch_matches_generic_kernel(seed):
+    rng = np.random.default_rng(seed)
+    for _ in range(8):
+        B = int(rng.integers(1, 7))
+        m_pad = int(rng.integers(1, 70))
+        n_pad = int(rng.integers(1, 70))
+        w = int(rng.choice([4, 8, 16]))
+        A = int(rng.integers(2, 6))
+        cmatch = int(rng.integers(0, 3))
+        cmis = cmatch + int(rng.integers(1, 7))
+        d = int(rng.integers(1, 6))
+        ic = int(rng.integers(1, 6))
+        go = int(rng.integers(0, 6))
+        ta = rng.integers(1, A + 1, (B, m_pad + 1)).astype(np.int32)
+        tb = rng.integers(1, A + 1, (B, n_pad + 1)).astype(np.int32)
+        ta[:, 0] = 0
+        tb[:, 0] = 0
+        mt = rng.integers(0, m_pad + 1, B).astype(np.int32)
+        nt = rng.integers(0, n_pad + 1, B).astype(np.int32)
+        cm, gid = _uniform_costing(A, cmatch, cmis, d, ic)
+        got = np.asarray(
+            fill_lanes.lanes_batch_final3(
+                jnp.asarray(ta),
+                jnp.asarray(tb),
+                cmatch,
+                cmis,
+                d,
+                ic,
+                go,
+                jnp.asarray(mt),
+                jnp.asarray(nt),
+                w=w,
+                interpret=True,
+            )
+        )
+        want = _expected_final3(ta, tb, cm, gid, go, mt, nt)
+        assert (got == want).all(), (B, m_pad, n_pad, w, go, d, ic, got, want)
+
+
+def test_lanes_multi_stage_blocks():
+    """m large enough that the seq_1 inject pipeline spans several DMA
+    blocks (_STAGE = 64 waves per block)."""
+    rng = np.random.default_rng(7)
+    m, n = 200, 150
+    ta = rng.integers(1, 5, (1, m + 1)).astype(np.int32)
+    tb = rng.integers(1, 5, (1, n + 1)).astype(np.int32)
+    ta[:, 0] = 0
+    tb[:, 0] = 0
+    cm, gid = _uniform_costing(4, 0, 5, 3, 2)
+    got = np.asarray(
+        fill_lanes.lanes_batch_final3(
+            jnp.asarray(ta),
+            jnp.asarray(tb),
+            0,
+            5,
+            3,
+            2,
+            4,
+            jnp.asarray([m], np.int32),
+            jnp.asarray([n], np.int32),
+            w=8,
+            interpret=True,
+        )
+    )
+    want = _expected_final3(
+        ta, tb, cm, gid, 4, np.array([m]), np.array([n])
+    )
+    assert (got == want).all()
+
+
+def test_lanes_fill_cost_single_pair():
+    """Scalar entry point, true lengths below buffer capacity."""
+    rng = np.random.default_rng(3)
+    for m, n in [(1, 1), (1, 40), (40, 1), (9, 33), (65, 64)]:
+        cap_m, cap_n = m + int(rng.integers(0, 5)), n + int(rng.integers(0, 5))
+        ta = rng.integers(1, 5, (cap_m + 1,)).astype(np.int32)
+        tb = rng.integers(1, 5, (cap_n + 1,)).astype(np.int32)
+        ta[0] = 0
+        tb[0] = 0
+        got = int(
+            fill_lanes.lanes_fill_cost(
+                jnp.asarray(ta), jnp.asarray(tb), 0, 5, 3, 3, 4, m, n,
+                interpret=True,
+            )
+        )
+        cm, gid = _uniform_costing(4, 0, 5, 3, 3)
+        want3 = _expected_final3(
+            ta[None, : m + 1],
+            tb[None, : n + 1],
+            cm,
+            gid,
+            4,
+            np.array([m]),
+            np.array([n]),
+        )
+        assert got == int(want3[0].min())
