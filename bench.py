@@ -38,8 +38,11 @@ def main() -> int:
         "--backend", choices=["auto", "scan", "rows", "pallas"], default="auto"
     )
     parser.add_argument(
-        "--kernel", choices=["fast", "base", "wave"], default="base",
-        help="Stacked-kernel variant for the pallas backend (A/B).",
+        "--kernel", choices=["lanes", "fast", "base", "wave"],
+        default="lanes",
+        help="Pallas kernel variant (A/B). 'lanes' = the cell-per-lane "
+        "strip kernel (no prefix-scan chain; the fast path for uniform "
+        "schemes); 'base'/'fast'/'wave' = the scan-based kernels.",
     )
     args = parser.parse_args()
 
@@ -80,7 +83,24 @@ def main() -> int:
     if backend == "pallas":
         from globalign_tpu.ops import fill_pallas
 
-        if args.kernel == "wave":
+        if args.kernel == "lanes":
+            from globalign_tpu.ops import fill_lanes
+
+            prm = fill_pallas.uniform_scheme_params(
+                costing.values, alphabet.gap_id
+            )
+            cma, cmm, dco, ico = (int(v) for v in prm)
+            w = fill_lanes.pick_w(1, args.m, args.n)
+
+            def one(ta):
+                # Cell-per-lane strip kernel: no per-row prefix-scan
+                # chain; strips advance one cell per wave with a single
+                # lane shift of cross-strip edges (docs/PERF.md).
+                return fill_lanes.lanes_fill_cost(
+                    ta, tb, cma, cmm, dco, ico, 4, args.m, args.n, w=w
+                )
+
+        elif args.kernel == "wave":
             prm = fill_pallas.uniform_scheme_params(
                 costing.values, alphabet.gap_id
             )

@@ -1041,6 +1041,7 @@ def batch_final3(
     *,
     interpret: bool = False,
     uniform: tuple[int, int, int, int] | None = None,
+    gap_open_static: int | None = None,
 ) -> jax.Array:
     """(B, 3) final DP lanes per pair — batched cost-only entry point.
 
@@ -1070,6 +1071,36 @@ def batch_final3(
     uni = uniform if uniform is not None else uniform_scheme_params(
         cost_mat, gap_id
     )
+
+    # Uniform schemes with a host-concrete gap_open take the cell-per-
+    # lane strip kernel: no per-row prefix-scan chain at all, ~8x the
+    # throughput of the scan-based kernels (docs/PERF.md).
+    go_int = gap_open_static
+    if go_int is None and not isinstance(gap_open, jax.core.Tracer):
+        go_int = int(gap_open)
+    # interpret mode (CPU tests) skips the lanes dispatch: its doubled
+    # wave loops are slow to compile on the XLA CPU interpreter, and the
+    # kernel is pinned directly by tests/test_fill_lanes.py.
+    if uni is not None and go_int is not None and not interpret:
+        from . import fill_lanes
+
+        m_pad = tok_a_ext.shape[1] - 1
+        w = fill_lanes.pick_w(B, m_pad, n)
+        tile_l = fill_lanes.lanes_tile_size(B, n, w)
+        cma, cmm, dco, ico = (int(v) for v in uni)
+        outs = []
+        for lo in range(0, B, tile_l):
+            hi = min(lo + tile_l, B)
+            ta, tb, mt, nt = _tile_slice(
+                (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi, tile_l
+            )
+            vals = fill_lanes.lanes_batch_final3(
+                ta, tb, cma, cmm, dco, ico, go_int, mt, nt,
+                w=w, interpret=interpret,
+            )
+            outs.append(vals[: hi - lo])
+        return jnp.concatenate(outs, axis=0)
+
     tile_u = _uniform_tile_size(B, n) if uni is not None else 0
     if tile_u >= 8:
         cma, cmm, dco, ico = uni
@@ -1881,6 +1912,31 @@ def wavefront_fill_cost(
         m_true = m
     if n_true is None:
         n_true = n
+    # Uniform schemes ride the cell-per-lane strip kernel (true final
+    # lanes, no prefix-scan chain, ~8x the split kernel at 10 kb —
+    # docs/PERF.md); the scan-based paths below serve general matrices.
+    uni = uniform_scheme_params(cost_mat, gap_id)
+    if (
+        uni is not None
+        and not isinstance(gap_open, jax.core.Tracer)
+        and not interpret
+    ):
+        from . import fill_lanes
+
+        cma, cmm, dco, ico = (int(v) for v in uni)
+        # w is picked from the PADDED extents so every true length on
+        # one padded grid reuses one compiled executable.
+        w = fill_lanes.pick_w(1, max(m, 1), n)
+        final3 = fill_lanes.lanes_batch_final3(
+            jnp.asarray(tok_a_ext)[None, :],
+            jnp.asarray(tok_b_ext)[None, :],
+            cma, cmm, dco, ico, int(gap_open),
+            jnp.asarray(m_true, jnp.int32)[None],
+            jnp.asarray(n_true, jnp.int32)[None],
+            w=w, interpret=interpret,
+        )
+        return final3[0]
+
     if split is None:
         split = (
             isinstance(m_true, int) and isinstance(n_true, int) and m_true >= 1

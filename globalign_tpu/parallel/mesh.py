@@ -62,11 +62,11 @@ def pad_batch_to_mesh(arrays, batch: int, mesh: Mesh) -> tuple[list, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "use_pallas", "uniform")
+    jax.jit, static_argnames=("mesh", "use_pallas", "uniform", "gap_open_static")
 )
 def _sharded_costs_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
-    use_pallas=False, uniform=None,
+    use_pallas=False, uniform=None, gap_open_static=None,
 ):
     spec_b = P(BATCH_AXIS)
 
@@ -74,9 +74,12 @@ def _sharded_costs_jit(
         if use_pallas:
             from ..ops.fill_pallas import batch_final3
 
-            # cm/gi are tracers here, so the uniform-scheme dispatch is
+            # cm/gi/go are tracers here, so the uniform-scheme dispatch is
             # resolved by the HOST (sharded_fill_costs) and arrives static.
-            final3 = batch_final3(ta, tb, cm, gi, go, mt, nt, uniform=uniform)
+            final3 = batch_final3(
+                ta, tb, cm, gi, go, mt, nt, uniform=uniform,
+                gap_open_static=gap_open_static,
+            )
         else:
             final3 = fill_rows.row_fill_batch(
                 ta, tb, cm, gi, go, mt, nt, want_moves=False
@@ -255,5 +258,6 @@ def sharded_fill_costs(
         mesh, tok_a, tok_b, jnp.asarray(cost_mat), jnp.asarray(gap_id),
         jnp.asarray(gap_open), m_d, n_d, use_pallas=use_pallas,
         uniform=uniform,
+        gap_open_static=int(gap_open) if uniform is not None else None,
     )
     return np.asarray(final3)[:batch]

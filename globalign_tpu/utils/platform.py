@@ -25,6 +25,17 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> None
         return
     import jax
 
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return
+    if backend == "cpu":
+        # CPU executables are AOT-compiled for the exact host CPU; a
+        # persistent cache read back on a migrated VM can SIGILL (dev
+        # machines here move between hosts).  CPU compiles are seconds —
+        # cache only the remote-accelerator binaries, which cost minutes.
+        return
+
     path = Path(
         cache_dir
         or os.environ.get("GLOBALIGN_TPU_CACHE_DIR")
