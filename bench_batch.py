@@ -30,6 +30,12 @@ def main() -> int:
         action="store_true",
         help="Use the uniform-scheme stacked kernel (simple schemes).",
     )
+    parser.add_argument(
+        "--stacked",
+        action="store_true",
+        help="Use the scheme-generic stacked kernel (the pre-lanes "
+        "cost default; kept for A/B).",
+    )
     args = parser.parse_args()
 
     import jax
@@ -84,13 +90,30 @@ def main() -> int:
             # Consume a slice of moves so the DMA stream is not dead code.
             return jnp.sum(last) + jnp.sum(moves[:, 1].astype(jnp.int32))
 
-    else:
+    elif args.stacked:
 
         def one(ta):
             last = fill_pallas.stacked_fill_last_rows(
                 ta, tb, cost_mat, gap_id, gap_open, m_true, n_true
             )
             return jnp.sum(last)
+
+    else:
+        # Default cost mode: the cell-per-lane strip kernel (the
+        # dispatched fast path for uniform schemes, docs/PERF.md).
+        from globalign_tpu.ops import fill_lanes
+
+        prm = fill_pallas.uniform_scheme_params(
+            costing.values, alphabet.gap_id
+        )
+        cma, cmm, dco, ico = (int(v) for v in prm)
+        w = fill_lanes.pick_w(B, L, L)
+
+        def one(ta):
+            vals = fill_lanes.lanes_batch_final3(
+                ta, tb, cma, cmm, dco, ico, 4, m_true, n_true, w=w
+            )
+            return jnp.sum(vals)
 
     @functools.partial(jax.jit, static_argnames=("k",))
     def run_k(tas, k):
@@ -114,7 +137,10 @@ def main() -> int:
     gcups = B * L * L / per / 1e9
 
     mode = (
-        "uniform" if args.uniform else "moves" if args.with_moves else "cost"
+        "uniform" if args.uniform
+        else "moves" if args.with_moves
+        else "stacked" if args.stacked
+        else "lanes"
     )
     print(
         json.dumps(
