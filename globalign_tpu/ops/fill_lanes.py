@@ -89,17 +89,13 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
         inj_hbm,  # (G_rows, Rw, 128) int32 HBM: per-wave seq_1 tokens
         #           entering at each pair's strip 0
         out_ref,  # (3, w, R, 128) VMEM: (M, Ix, Iy) of row m_true
-        a1,  # (R, 128) scratch: seq_1 token pipeline, waves g-1 / g-2
-        a2,
-        em1,  # end-of-row edge histories (M, Ix, Iy), waves g-1 / g-2
-        em2,
-        ex1,
-        ex2,
-        ey1,
-        ey2,
-        z1,  # end-of-row min3 histories, waves g-1 / g-2 / g-3
-        z2,
-        z3,
+        ah,  # (2, R, 128) scratch ring: seq_1 token pipeline; slot g%2
+        #     holds wave g-2's value until wave g overwrites it (read
+        #     before write), so no per-wave copy-rotation is needed
+        emh,  # (2, R, 128) end-of-row edge history rings (M, Ix, Iy)
+        exh,
+        eyh,
+        zh,  # (3, R, 128) end-of-row min3 history ring (g-3 at slot g%3)
         zbuf_s,  # (w, R, 128): prev-row min3(M,Ix,Iy), slot k = local col k+1
         vbuf_s,  # (w, R, 128): prev-row min(M+go,Ix+go,Iy), same slots
         stage_s,  # (2, _STAGE, Rw, 128): inject DMA double buffer
@@ -167,18 +163,22 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
 
                 i_t = (g + 1) - 2 * q_t  # this strip's DP row this wave
                 active = i_t >= 1
+                g2 = jax.lax.rem(g, 2)
+                g3 = jax.lax.rem(g, 3)
 
                 # Edges from the left neighbor, produced >= 1 wave ago
                 # (the 2-row skew), or the column-0 boundary for strip 0
                 # of each pair: (BIG, BIG, go + i*ic), diag z(i-1, 0).
-                a_cur = jnp.where(q0, a_inj, shift1(a2[:, :], fill=0))
-                mp0 = jnp.where(q0, big, shift1(em2[:, :]))
-                xp0 = jnp.where(q0, big, shift1(ex2[:, :]))
-                yp0 = jnp.where(q0, go + i_t * ic, shift1(ey2[:, :]))
+                # Ring slot g%2 still holds wave g-2's value (g%3 ->
+                # g-3) because this wave's store happens after the read.
+                a_cur = jnp.where(q0, a_inj, shift1(ah[g2], fill=0))
+                mp0 = jnp.where(q0, big, shift1(emh[g2]))
+                xp0 = jnp.where(q0, big, shift1(exh[g2]))
+                yp0 = jnp.where(q0, go + i_t * ic, shift1(eyh[g2]))
                 zdiag0 = jnp.where(
                     i_t == 1,
                     jnp.where(q0, 0, go + j0_t * d),
-                    jnp.where(q0, go + (i_t - 1) * ic, shift1(z3[:, :])),
+                    jnp.where(q0, go + (i_t - 1) * ic, shift1(zh[g3])),
                 )
 
                 hit = (i_t == mtrue) & active
@@ -209,18 +209,12 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
                         out_ref[2, p] = jnp.where(hit, y_new, out_ref[2, p])
                     mp, xp, yp, z_prev = m_new, x_new, y_new, z_new
 
-                # Rotate the edge/token histories (g-2 <- g-1 <- g).
-                z3[:, :] = z2[:, :]
-                z2[:, :] = z1[:, :]
-                z1[:, :] = z_prev
-                em2[:, :] = em1[:, :]
-                em1[:, :] = mp
-                ex2[:, :] = ex1[:, :]
-                ex1[:, :] = xp
-                ey2[:, :] = ey1[:, :]
-                ey1[:, :] = yp
-                a2[:, :] = a1[:, :]
-                a1[:, :] = a_cur
+                # Publish wave g into the rings (read slots free now).
+                zh[g3] = z_prev
+                emh[g2] = mp
+                exh[g2] = xp
+                eyh[g2] = yp
+                ah[g2] = a_cur
                 return 0
 
             return wave
@@ -415,8 +409,11 @@ def lanes_batch_final3(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((R, LANES), jnp.int32)
-            for _ in range(11)
+            pltpu.VMEM((2, R, LANES), jnp.int32),  # ah
+            pltpu.VMEM((2, R, LANES), jnp.int32),  # emh
+            pltpu.VMEM((2, R, LANES), jnp.int32),  # exh
+            pltpu.VMEM((2, R, LANES), jnp.int32),  # eyh
+            pltpu.VMEM((3, R, LANES), jnp.int32),  # zh
         ]
         + [
             pltpu.VMEM((w, R, LANES), jnp.int32),

@@ -47,8 +47,12 @@ free).  Exactness is pinned bit-for-bit against the ``fill_scan`` oracle
 by tests/test_fill_lanes.py.
 
 Replaces the reference's interpreted fill (globaligner.py:366-392) on
-the cost path for simple schemes at a ~4x higher throughput ceiling than
-the scan kernels (the VPU issue rate, not the roll-latency floor).
+the cost path for simple schemes.  Measured on v5e (within-one-run
+slope A/B, docs/PERF.md): ~2x the meet-in-the-middle scan kernel on a
+single 10 kb pair (~36 vs ~18 GCUPS), and 5-20x the stacked scan
+kernel on the batch axis (64 x 1 kb: ~140-400 GCUPS vs 19 — the per-row
+roll-throughput bound is gone; throughput scales with occupied
+sublane tiles).
 """
 
 from __future__ import annotations
@@ -67,13 +71,19 @@ DEFAULT_W = 8
 _STAGE = 64  # inject rows staged per DMA block
 
 
-def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int):
+def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
     """Build the kernel for ``w``-wide strips, ``R`` lane-chunks of
-    strips, ``S_p`` strips per pair, inject tile width ``Rw``."""
+    strips, ``S_p`` strips per pair, inject tile width ``Rw``.
+
+    ``clamp`` keeps the per-phase ``min(..., BIG)`` saturation of the
+    oracle recurrence; the host drops it (2 fewer VPU ops per cell)
+    whenever ``BIG + path-cost headroom`` provably fits int32 — the
+    clamp only ever binds on values a BIG boundary seeded, and those
+    stay bit-identical at every reachable cell either way."""
 
     def kernel(
-        params_ref,  # (1, 6) SMEM: waves G, gap_open, cmatch, cmismatch,
-        #              dcost, icost
+        params_ref,  # (1, 8) SMEM: waves G, gap_open, cmatch, cmismatch,
+        #              dcost, icost, m_min, m_max
         btab_ref,  # (w, R, 128) VMEM: seq_2 token of strip s, phase p
         mtrue_ref,  # (R, 128) VMEM: per-strip m_true (-1 on pad strips)
         inj_hbm,  # (G_rows, Rw, 128) int32 HBM: per-wave seq_1 tokens
@@ -101,6 +111,8 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int):
         cmismatch = params_ref[0, 3]
         d = params_ref[0, 4]
         ic = params_ref[0, 5]
+        m_min = params_ref[0, 6]
+        m_max = params_ref[0, 7]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
@@ -133,84 +145,96 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int):
         dma(0, 0).start()
         dma(1, 1).start()
 
-        def wave(g, _):
-            blk = jax.lax.div(g, _STAGE)
-            slot = jax.lax.rem(blk, 2)
+        def make_wave(do_capture):
+            def wave(g, _):
+                blk = jax.lax.div(g, _STAGE)
+                slot = jax.lax.rem(blk, 2)
 
-            @pl.when(jax.lax.rem(g, _STAGE) == 0)
-            def _stage():
-                dma(blk, slot).wait()
+                @pl.when(jax.lax.rem(g, _STAGE) == 0)
+                def _stage():
+                    dma(blk, slot).wait()
 
-                @pl.when(blk >= 1)
-                def _next():
-                    # Block blk-1 is fully consumed; its slot is free.
-                    dma(blk + 1, jax.lax.rem(blk + 1, 2)).start()
+                    @pl.when(blk >= 1)
+                    def _next():
+                        # Block blk-1 is fully consumed; its slot is free.
+                        dma(blk + 1, jax.lax.rem(blk + 1, 2)).start()
 
-            inj = stage_s[slot, jax.lax.rem(g, _STAGE)]
-            if Rw == 1:
-                a_inj = jnp.broadcast_to(inj, (R, LANES))
-            else:
-                a_inj = inj
+                inj = stage_s[slot, jax.lax.rem(g, _STAGE)]
+                if Rw == 1:
+                    a_inj = jnp.broadcast_to(inj, (R, LANES))
+                else:
+                    a_inj = inj
 
-            i_t = (g + 1) - 2 * q_t  # this strip's DP row this wave
-            active = i_t >= 1
-            hit = (i_t == mtrue) & active
+                i_t = (g + 1) - 2 * q_t  # this strip's DP row this wave
+                active = i_t >= 1
 
-            # Edges from the left neighbor, produced >= 1 wave ago (the
-            # 2-row skew), or the column-0 boundary for strip 0 of each
-            # pair: (BIG, BIG, go + i*ic), diag z(i-1, 0).
-            a_cur = jnp.where(q0, a_inj, shift1(a2[:, :], fill=0))
-            mp = jnp.where(q0, big, shift1(em2[:, :]))
-            xp = jnp.where(q0, big, shift1(ex2[:, :]))
-            yp = jnp.where(q0, go + i_t * ic, shift1(ey2[:, :]))
-            zdiag0 = jnp.where(
-                i_t == 1,
-                jnp.where(q0, 0, go + j0_t * d),
-                jnp.where(q0, go + (i_t - 1) * ic, shift1(z3[:, :])),
-            )
-
-            z_prev = zdiag0  # placeholder; overwritten at p == 0
-            for p in range(w):
-                zdiag = zdiag0 if p == 0 else zbuf_s[p - 1]
-                vprev = vbuf_s[p]
-                sub = jnp.where(a_cur == btab_ref[p], cmatch, cmismatch)
-                m_new = zdiag + sub
-                y_new = vprev + ic
-                x_new = jnp.minimum(jnp.minimum(mp, yp) + go, xp) + d
-                z_new = jnp.minimum(
-                    jnp.minimum(jnp.minimum(m_new, x_new), y_new), BIG
+                # Edges from the left neighbor, produced >= 1 wave ago
+                # (the 2-row skew), or the column-0 boundary for strip 0
+                # of each pair: (BIG, BIG, go + i*ic), diag z(i-1, 0).
+                a_cur = jnp.where(q0, a_inj, shift1(a2[:, :], fill=0))
+                mp0 = jnp.where(q0, big, shift1(em2[:, :]))
+                xp0 = jnp.where(q0, big, shift1(ex2[:, :]))
+                yp0 = jnp.where(q0, go + i_t * ic, shift1(ey2[:, :]))
+                zdiag0 = jnp.where(
+                    i_t == 1,
+                    jnp.where(q0, 0, go + j0_t * d),
+                    jnp.where(q0, go + (i_t - 1) * ic, shift1(z3[:, :])),
                 )
-                v_new = jnp.minimum(
-                    jnp.minimum(
-                        jnp.minimum(m_new, x_new) + go, y_new
-                    ),
-                    BIG,
-                )
-                if p >= 1:
-                    # The slot just read as zdiag now takes this row's
-                    # value for the same column (computed last phase).
-                    zbuf_s[p - 1] = jnp.where(active, z_prev, zdiag)
-                vbuf_s[p] = jnp.where(active, v_new, vprev)
-                out_ref[0, p] = jnp.where(hit, m_new, out_ref[0, p])
-                out_ref[1, p] = jnp.where(hit, x_new, out_ref[1, p])
-                out_ref[2, p] = jnp.where(hit, y_new, out_ref[2, p])
-                mp, xp, yp, z_prev = m_new, x_new, y_new, z_new
 
-            # Rotate the edge/token histories (g-2 <- g-1 <- g).
-            z3[:, :] = z2[:, :]
-            z2[:, :] = z1[:, :]
-            z1[:, :] = z_prev
-            em2[:, :] = em1[:, :]
-            em1[:, :] = mp
-            ex2[:, :] = ex1[:, :]
-            ex1[:, :] = xp
-            ey2[:, :] = ey1[:, :]
-            ey1[:, :] = yp
-            a2[:, :] = a1[:, :]
-            a1[:, :] = a_cur
-            return 0
+                hit = (i_t == mtrue) & active
+                mp, xp, yp = mp0, xp0, yp0
+                z_prev = zdiag0  # placeholder; overwritten at p == 0
+                for p in range(w):
+                    zdiag = zdiag0 if p == 0 else zbuf_s[p - 1]
+                    vprev = vbuf_s[p]
+                    sub = jnp.where(a_cur == btab_ref[p], cmatch, cmismatch)
+                    m_new = zdiag + sub
+                    y_new = vprev + ic
+                    x_new = jnp.minimum(jnp.minimum(mp, yp) + go, xp) + d
+                    mx = jnp.minimum(m_new, x_new)
+                    z_new = jnp.minimum(mx, y_new)
+                    v_new = jnp.minimum(mx + go, y_new)
+                    if clamp:
+                        z_new = jnp.minimum(z_new, BIG)
+                        v_new = jnp.minimum(v_new, BIG)
+                    if p >= 1:
+                        # The slot just read as zdiag now takes this
+                        # row's value for the same column (computed
+                        # last phase).
+                        zbuf_s[p - 1] = jnp.where(active, z_prev, zdiag)
+                    vbuf_s[p] = jnp.where(active, v_new, vprev)
+                    if do_capture:
+                        out_ref[0, p] = jnp.where(hit, m_new, out_ref[0, p])
+                        out_ref[1, p] = jnp.where(hit, x_new, out_ref[1, p])
+                        out_ref[2, p] = jnp.where(hit, y_new, out_ref[2, p])
+                    mp, xp, yp, z_prev = m_new, x_new, y_new, z_new
 
-        jax.lax.fori_loop(0, G, wave, 0)
+                # Rotate the edge/token histories (g-2 <- g-1 <- g).
+                z3[:, :] = z2[:, :]
+                z2[:, :] = z1[:, :]
+                z1[:, :] = z_prev
+                em2[:, :] = em1[:, :]
+                em1[:, :] = mp
+                ex2[:, :] = ex1[:, :]
+                ex1[:, :] = xp
+                ey2[:, :] = ey1[:, :]
+                ey1[:, :] = yp
+                a2[:, :] = a1[:, :]
+                a1[:, :] = a_cur
+                return 0
+
+            return wave
+
+        # No strip can hit its m_true row before wave m_min - 1, so the
+        # prefix of the wave range runs a light body with no output
+        # read-modify-write at all — 3x(load, select, store) per phase
+        # saved on ~(m_min / G) of the waves (~89% for a square
+        # single pair).  Two SEQUENTIAL uniform fori_loops keep Mosaic's
+        # software pipelining (a per-wave pl.when branch measured 5x
+        # slower than this).
+        cap_lo = jnp.clip(m_min - 1, 0, G)
+        jax.lax.fori_loop(0, cap_lo, make_wave(False), 0)
+        jax.lax.fori_loop(cap_lo, G, make_wave(True), 0)
 
         # Drain the last prefetched block before the kernel retires.
         lastblk = jax.lax.div(jnp.maximum(G - 1, 0), _STAGE) + 1
@@ -234,7 +258,55 @@ def lanes_vmem_bytes(B: int, n_pad: int, w: int = DEFAULT_W) -> int:
     return (11 + 2 * w + 3 * w + w) * tile + 2 * _STAGE * Rw * LANES * 4
 
 
-@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+# Per-kernel VMEM allowance (same scoped-VMEM ceiling the stacked
+# kernels budget against, fill_pallas.STACKED_VMEM_BUDGET rationale).
+LANES_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def pick_w(B: int, m: int, n_pad: int) -> int:
+    """Strip width minimizing the issue-bound instruction model:
+    waves x (phases x ops x sublane-tiles + per-wave overhead).
+
+    The kernel is VPU issue-bound (docs/PERF.md): each phase op covers
+    all strips while R <= 8 sublanes, then splits into ceil(R/8) tiles;
+    drain waves scale with strips-per-pair.  Validated against the
+    measured w-sweep at 1 kb / 10 kb on v5e.
+    """
+    c_phase, c_wave = 17, 15
+    best_cost, best_w = None, DEFAULT_W
+    # Besides powers of two, consider the width that fills the 8
+    # sublanes exactly (strips ~ 1024): every VPU op then covers all
+    # strips in ONE (8, 128) tile — the issue-bound optimum.
+    w_full = min(32, max(4, -(-B * n_pad // 1024)))
+    # w caps at 32: the kernel unrolls w phases twice (light + capture
+    # loop), so wider strips inflate Mosaic code size for little gain.
+    for w in (4, 8, 16, 32, w_full):
+        S_p, R = _lanes_geometry(B, n_pad, w)
+        tiles = -(-R // 8)
+        cost = (m + 2 * (S_p - 1)) * (w * c_phase * tiles + c_wave)
+        if best_cost is None or cost < best_cost:
+            best_cost, best_w = cost, w
+    return best_w
+
+
+def lanes_tile_size(B: int, n_pad: int, w: int) -> int:
+    """Largest per-call pair count whose working set fits the VMEM
+    budget (the batch dispatcher splits bigger batches into tiles)."""
+    if lanes_vmem_bytes(B, n_pad, w) <= LANES_VMEM_BUDGET:
+        return B
+    t = B
+    while t > 1 and lanes_vmem_bytes(t, n_pad, w) > LANES_VMEM_BUDGET:
+        t //= 2
+    return t
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w", "interpret",
+        "force_clamp",
+    ),
+)
 def lanes_batch_final3(
     tok_a_ext: jax.Array,
     tok_b_ext: jax.Array,
@@ -248,13 +320,17 @@ def lanes_batch_final3(
     *,
     w: int = DEFAULT_W,
     interpret: bool = False,
+    force_clamp: bool | None = None,
 ) -> jax.Array:
     """(B, 3) final DP lanes per pair — same contract as
     :func:`fill_pallas.stacked_uniform_fill_last_rows` read at n_true.
 
     Args:
         tok_a_ext / tok_b_ext: (B, m+1) / (B, n+1) int32 1-origin tokens.
-        cmatch..icost / gap_open: uniform-scheme costs (host ints).
+        cmatch..icost / gap_open: uniform-scheme costs (STATIC host
+            ints — the scheme is part of the compiled executable, which
+            lets the host prove int32 overflow headroom and drop the
+            kernel's per-phase BIG clamps).
         m_true / n_true: (B,) traced true lengths (<= padded shapes).
         w: static strip width (4-16; 8 is the measured sweet spot).
     """
@@ -263,6 +339,18 @@ def lanes_batch_final3(
     m_pad = m1 - 1
     S_p, R = _lanes_geometry(B, n_pad, w)
     Rw = 1 if B == 1 else R
+
+    # Unclamped values are BIG plus a path cost bounded by per-step edge
+    # costs over at most G_cap + n_pad + 2 steps; drop the clamps only
+    # when that provably fits int32 (always, for realistic schemes).
+    step = max(
+        abs(int(cmatch)), abs(int(cmismatch)), abs(int(dcost)),
+        abs(int(icost)),
+    ) + abs(int(gap_open))
+    worst = (m_pad + 2 * (S_p - 1) + n_pad + 2) * step
+    clamp = int(BIG) + worst >= 2**31
+    if force_clamp is not None:  # test hook: pin either kernel variant
+        clamp = force_clamp
 
     go = jnp.asarray(gap_open, jnp.int32)
     m_true = jnp.asarray(m_true, jnp.int32)
@@ -311,11 +399,13 @@ def lanes_batch_final3(
             jnp.asarray(cmismatch, jnp.int32),
             jnp.asarray(dcost, jnp.int32),
             jnp.asarray(icost, jnp.int32),
+            jnp.min(m_true),
+            jnp.max(m_true),
         ]
-    ).reshape(1, 6)
+    ).reshape(1, 8)
 
     out = pl.pallas_call(
-        _make_lane_kernel(w, R, S_p, Rw),
+        _make_lane_kernel(w, R, S_p, Rw, clamp),
         out_shape=jax.ShapeDtypeStruct((3, w, R, LANES), jnp.int32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -360,7 +450,12 @@ def lanes_batch_final3(
     return jnp.where((n_true == 0)[:, None], b0, final3)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w", "interpret",
+    ),
+)
 def lanes_fill_cost(
     tok_a_ext: jax.Array,
     tok_b_ext: jax.Array,
