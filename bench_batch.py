@@ -19,7 +19,8 @@ def main() -> int:
     parser.add_argument("--pairs", type=int, default=64)
     parser.add_argument("--len", dest="length", type=int, default=1024)
     parser.add_argument("--repeats", type=int, default=4)
-    parser.add_argument("--chain", type=int, default=4)
+    parser.add_argument("--chain", type=int, default=24)
+    parser.add_argument("--chain_lo", type=int, default=2)
     parser.add_argument(
         "--with_moves",
         action="store_true",
@@ -131,9 +132,12 @@ def main() -> int:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t1 = measure(1)
+    # Both chain points > 1 and a wide gap: the lanes kernel finishes
+    # 64 x 1 kb in ~0.3 ms, far below the ~35 ms tunnel jitter, so the
+    # slope needs many kernel-dominated calls to resolve.
+    t1 = measure(args.chain_lo)
     tk = measure(args.chain)
-    per = max((tk - t1) / (args.chain - 1), 1e-9)
+    per = max((tk - t1) / (args.chain - args.chain_lo), 1e-9)
     gcups = B * L * L / per / 1e9
 
     mode = (

@@ -31,6 +31,7 @@ MODULES = [
     "globalign_tpu.ops.fill_scan",
     "globalign_tpu.ops.fill_rows",
     "globalign_tpu.ops.fill_pallas",
+    "globalign_tpu.ops.fill_lanes",
     "globalign_tpu.ops.linear_tb",
     "globalign_tpu.ops.traceback",
     "globalign_tpu.ops.transforms",

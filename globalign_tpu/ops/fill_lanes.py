@@ -82,8 +82,8 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
     stay bit-identical at every reachable cell either way."""
 
     def kernel(
-        params_ref,  # (1, 8) SMEM: waves G, gap_open, cmatch, cmismatch,
-        #              dcost, icost, m_min, m_max
+        params_ref,  # (1, 7) SMEM: waves G, gap_open, cmatch, cmismatch,
+        #              dcost, icost, m_min
         btab_ref,  # (w, R, 128) VMEM: seq_2 token of strip s, phase p
         mtrue_ref,  # (R, 128) VMEM: per-strip m_true (-1 on pad strips)
         inj_hbm,  # (G_rows, Rw, 128) int32 HBM: per-wave seq_1 tokens
@@ -96,7 +96,8 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
         exh,
         eyh,
         zh,  # (3, R, 128) end-of-row min3 history ring (g-3 at slot g%3)
-        zbuf_s,  # (w, R, 128): prev-row min3(M,Ix,Iy), slot k = local col k+1
+        zbuf_s,  # (w-1, R, 128): prev-row min3(M,Ix,Iy), slot k = local
+        #          col k+1; the strip's LAST column travels via zh instead
         vbuf_s,  # (w, R, 128): prev-row min(M+go,Ix+go,Iy), same slots
         stage_s,  # (2, _STAGE, Rw, 128): inject DMA double buffer
         sems,  # DMA (2,)
@@ -108,7 +109,6 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
         d = params_ref[0, 4]
         ic = params_ref[0, 5]
         m_min = params_ref[0, 6]
-        m_max = params_ref[0, 7]
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
@@ -125,7 +125,8 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
         # (j >= 1; reference make_dp_array, globaligner.py:756-821).
         for p in range(w):
             jloc = j0_t + (p + 1)
-            zbuf_s[p] = go + jloc * d
+            if p < w - 1:
+                zbuf_s[p] = go + jloc * d
             vbuf_s[p] = 2 * go + jloc * d
             out_ref[0, p] = big
             out_ref[1, p] = go + jloc * d
@@ -394,9 +395,8 @@ def lanes_batch_final3(
             jnp.asarray(dcost, jnp.int32),
             jnp.asarray(icost, jnp.int32),
             jnp.min(m_true),
-            jnp.max(m_true),
         ]
-    ).reshape(1, 8)
+    ).reshape(1, 7)
 
     out = pl.pallas_call(
         _make_lane_kernel(w, R, S_p, Rw, clamp),
@@ -416,7 +416,7 @@ def lanes_batch_final3(
             pltpu.VMEM((3, R, LANES), jnp.int32),  # zh
         ]
         + [
-            pltpu.VMEM((w, R, LANES), jnp.int32),
+            pltpu.VMEM((max(w - 1, 1), R, LANES), jnp.int32),
             pltpu.VMEM((w, R, LANES), jnp.int32),
             pltpu.VMEM((2, _STAGE, Rw, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -1073,8 +1073,8 @@ def batch_final3(
     )
 
     # Uniform schemes with a host-concrete gap_open take the cell-per-
-    # lane strip kernel: no per-row prefix-scan chain at all, ~8x the
-    # throughput of the scan-based kernels (docs/PERF.md).
+    # lane strip kernel: no per-row prefix-scan chain at all — ~2x the
+    # scan kernels single-pair, 5-20x on the batch axis (docs/PERF.md).
     go_int = gap_open_static
     if go_int is None and not isinstance(gap_open, jax.core.Tracer):
         go_int = int(gap_open)
@@ -1087,19 +1087,30 @@ def batch_final3(
         m_pad = tok_a_ext.shape[1] - 1
         w = fill_lanes.pick_w(B, m_pad, n)
         tile_l = fill_lanes.lanes_tile_size(B, n, w)
-        cma, cmm, dco, ico = (int(v) for v in uni)
-        outs = []
-        for lo in range(0, B, tile_l):
-            hi = min(lo + tile_l, B)
-            ta, tb, mt, nt = _tile_slice(
-                (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi, tile_l
-            )
-            vals = fill_lanes.lanes_batch_final3(
-                ta, tb, cma, cmm, dco, ico, go_int, mt, nt,
-                w=w, interpret=interpret,
-            )
-            outs.append(vals[: hi - lo])
-        return jnp.concatenate(outs, axis=0)
+        if tile_l < B:
+            # The batch splits: re-pick the width for the tile the
+            # kernel will actually run (the model's S_p/R geometry
+            # changes with B), then re-fit the tile to that width.
+            w = fill_lanes.pick_w(tile_l, m_pad, n)
+            tile_l = fill_lanes.lanes_tile_size(tile_l, n, w)
+        if fill_lanes.lanes_vmem_bytes(tile_l, n, w) \
+                <= fill_lanes.LANES_VMEM_BUDGET:
+            cma, cmm, dco, ico = (int(v) for v in uni)
+            outs = []
+            for lo in range(0, B, tile_l):
+                hi = min(lo + tile_l, B)
+                ta, tb, mt, nt = _tile_slice(
+                    (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi, tile_l
+                )
+                vals = fill_lanes.lanes_batch_final3(
+                    ta, tb, cma, cmm, dco, ico, go_int, mt, nt,
+                    w=w, interpret=interpret,
+                )
+                outs.append(vals[: hi - lo])
+            return jnp.concatenate(outs, axis=0)
+        # else: even a single pair's working set exceeds the VMEM
+        # budget (megabase-scale n) — fall through to the scan chain,
+        # whose row fill handles any length.
 
     tile_u = _uniform_tile_size(B, n) if uni is not None else 0
     if tile_u >= 8:
@@ -1913,20 +1924,26 @@ def wavefront_fill_cost(
     if n_true is None:
         n_true = n
     # Uniform schemes ride the cell-per-lane strip kernel (true final
-    # lanes, no prefix-scan chain, ~8x the split kernel at 10 kb —
-    # docs/PERF.md); the scan-based paths below serve general matrices.
+    # lanes, no prefix-scan chain, 2x the split kernel at 10 kb by
+    # within-one-run A/B — docs/PERF.md); the scan-based paths below
+    # serve general matrices, and megabase-scale pairs whose lane
+    # working set would blow the VMEM budget.
     uni = uniform_scheme_params(cost_mat, gap_id)
-    if (
-        uni is not None
-        and not isinstance(gap_open, jax.core.Tracer)
-        and not interpret
-    ):
+    if uni is not None and not isinstance(gap_open, jax.core.Tracer) \
+            and not interpret:
         from . import fill_lanes
 
-        cma, cmm, dco, ico = (int(v) for v in uni)
         # w is picked from the PADDED extents so every true length on
         # one padded grid reuses one compiled executable.
         w = fill_lanes.pick_w(1, max(m, 1), n)
+        lanes_ok = (
+            fill_lanes.lanes_vmem_bytes(1, n, w)
+            <= fill_lanes.LANES_VMEM_BUDGET
+        )
+    else:
+        lanes_ok = False
+    if lanes_ok:
+        cma, cmm, dco, ico = (int(v) for v in uni)
         final3 = fill_lanes.lanes_batch_final3(
             jnp.asarray(tok_a_ext)[None, :],
             jnp.asarray(tok_b_ext)[None, :],

@@ -25,15 +25,22 @@ def enable_compilation_cache(cache_dir: str | os.PathLike | None = None) -> None
         return
     import jax
 
+    # CPU executables are AOT-compiled for the exact host CPU; a
+    # persistent cache read back on a migrated VM can SIGILL (dev
+    # machines here move between hosts).  CPU compiles are seconds —
+    # cache only the remote-accelerator binaries, which cost minutes.
+    # The configured-platform string is checked FIRST so that callers
+    # who opted out of the accelerator (jax.config jax_platforms="cpu",
+    # the axon-proof opt-out) are honored without initializing a
+    # backend; only when no explicit platform is set does this probe
+    # (and thereby lock in) the default backend.
     try:
-        backend = jax.default_backend()
+        plats = jax.config.jax_platforms
+        if plats and plats.split(",")[0].strip() == "cpu":
+            return
+        if jax.default_backend() == "cpu":
+            return
     except Exception:
-        return
-    if backend == "cpu":
-        # CPU executables are AOT-compiled for the exact host CPU; a
-        # persistent cache read back on a migrated VM can SIGILL (dev
-        # machines here move between hosts).  CPU compiles are seconds —
-        # cache only the remote-accelerator binaries, which cost minutes.
         return
 
     path = Path(

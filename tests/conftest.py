@@ -28,3 +28,19 @@ def cpu_mesh():
     from globalign_tpu.parallel.mesh import make_pair_mesh
 
     return make_pair_mesh()
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jax_executables():
+    """Drop compiled executables after every test module.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    past a cumulative LLVM-JIT code budget the NEXT compile segfaults
+    deterministically (observed in whichever module happens to cross the
+    line — bisected: any large-enough subset passes in isolation).
+    Releasing executables between modules keeps the resident jitted-code
+    footprint bounded; modules re-compile what they share, which is
+    seconds on CPU.
+    """
+    yield
+    jax.clear_caches()

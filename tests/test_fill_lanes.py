@@ -103,6 +103,32 @@ def test_lanes_batch_matches_generic_kernel(seed):
         assert (got == want).all(), (B, m_pad, n_pad, w, go, d, ic, got, want)
 
 
+def test_lanes_multi_chunk_geometry():
+    """R >= 2 lane-chunks: the cross-chunk edge-shift carry, the
+    (G_rows, R, 128) inject-table layout for Rw > 1, and the B == 1
+    broadcast staging with R > 1 (the production 10 kb shape) are only
+    reachable past 128 strips — pin both flavors at w=4 (small unrolled
+    code, see the LLVM-JIT note above)."""
+    rng = np.random.default_rng(9)
+    cm, gid = _uniform_costing(4, 1, 6, 2, 3)
+    for B, m_pad, n_pad in [(6, 25, 96), (1, 40, 600)]:
+        # B*ceil(n_pad/4) strips = 144 / 150 -> R = 2.
+        ta = rng.integers(1, 5, (B, m_pad + 1)).astype(np.int32)
+        tb = rng.integers(1, 5, (B, n_pad + 1)).astype(np.int32)
+        ta[:, 0] = 0
+        tb[:, 0] = 0
+        mt = rng.integers(1, m_pad + 1, B).astype(np.int32)
+        nt = rng.integers(1, n_pad + 1, B).astype(np.int32)
+        got = np.asarray(
+            fill_lanes.lanes_batch_final3(
+                jnp.asarray(ta), jnp.asarray(tb), 1, 6, 2, 3, 5,
+                jnp.asarray(mt), jnp.asarray(nt), w=4, interpret=True,
+            )
+        )
+        want = _expected_final3(ta, tb, cm, gid, 5, mt, nt)
+        assert (got == want).all(), (B, m_pad, n_pad, got, want)
+
+
 def test_lanes_multi_stage_blocks():
     """m large enough that the seq_1 inject pipeline spans several DMA
     blocks (_STAGE = 64 waves per block)."""
