@@ -143,11 +143,28 @@ class GotohAligner:
             final3 = self.fill(seq_1, seq_2, want_moves=False).final3
         return int(np.min(np.asarray(final3)))
 
+    def _uniform(self):
+        from ..ops.fill_pallas import uniform_scheme_params
+
+        return uniform_scheme_params(
+            self.scheme.costing.values, self.scheme.alphabet.gap_id
+        )
+
     def _moves_bytes(self, m: int, n: int) -> int:
         """Bytes of move codes the full-matrix path would materialize —
-        sized for the backend align() actually dispatches to: the Pallas
-        moves kernel's 8-aligned 128-lane column padding when that kernel
-        fits, else the row scan's logical width."""
+        sized for the backend align() actually dispatches to: the lane
+        kernel's skewed (wave, phase, strip) buffer for uniform schemes,
+        the stacked moves kernel's 8-aligned 128-lane column padding
+        when that kernel fits, else the row scan's logical width."""
+        if self.use_pallas and self._uniform() is not None:
+            from ..ops import fill_lanes
+
+            m_pad, n_pad = self._pad_len(m), self._pad_len(n)
+            w = fill_lanes.pick_w(1, m_pad, n_pad)
+            S_p, R = fill_lanes._lanes_geometry(1, n_pad, w, moves=True)
+            g_cap = m_pad + 2 * (S_p - 1)
+            nb = -(-max(1, g_cap) // fill_lanes.MBLK) + 1
+            return nb * fill_lanes.MBLK * w * R * 128
         if self.use_pallas and self._moves_kernel_fits(n):
             from ..ops.fill_pallas import LANES, _stacked_r
 
@@ -169,12 +186,16 @@ class GotohAligner:
                 seq_2,
                 use_pallas=self.use_pallas,
             )
-        elif self.use_pallas and self._moves_kernel_fits(n):
-            from ..ops.fill_pallas import stacked_fill_with_moves
+        elif self.use_pallas and (
+            self._uniform() is not None or self._moves_kernel_fits(n)
+        ):
+            # batch_moves dispatches the moves-emitting lane kernel for
+            # uniform schemes and the stacked moves kernel otherwise.
+            from ..ops.fill_pallas import batch_moves
 
             tok_a, tok_b = self._encode(seq_1, seq_2)
             with jax.named_scope("globalign.fill"):
-                last, moves = stacked_fill_with_moves(
+                res = batch_moves(
                     tok_a[None],
                     tok_b[None],
                     self._cost_mat,
@@ -183,13 +204,24 @@ class GotohAligner:
                     jnp.asarray([m], jnp.int32),
                     jnp.asarray([n], jnp.int32),
                 )
-            tb = traceback_moves(
-                np.asarray(moves[0]),
-                seq_1,
-                seq_2,
-                np.asarray(last[0][:, n]),
-                layout="row",
-            )
+            if res is not None:
+                final3_b, moves_b = res
+                tb = traceback_moves(
+                    moves_b[0],
+                    seq_1,
+                    seq_2,
+                    final3_b[0],
+                    layout="row",
+                )
+            else:  # neither kernel fits these shapes: row-scan path
+                res = self.fill(seq_1, seq_2, want_moves=True)
+                tb = traceback_moves(
+                    np.asarray(res.moves),
+                    seq_1,
+                    seq_2,
+                    np.asarray(res.final3),
+                    layout="row",
+                )
         else:
             res = self.fill(seq_1, seq_2, want_moves=True)
             tb = traceback_moves(

@@ -69,9 +69,12 @@ from .fill_pallas import LANES, _lane_ops
 
 DEFAULT_W = 8
 _STAGE = 64  # inject rows staged per DMA block
+MBLK = 8  # waves of move codes per outbound DMA block (moves mode)
 
 
-def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
+def _make_lane_kernel(
+    w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False
+):
     """Build the kernel for ``w``-wide strips, ``R`` lane-chunks of
     strips, ``S_p`` strips per pair, inject tile width ``Rw``.
 
@@ -79,29 +82,58 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
     oracle recurrence; the host drops it (2 fewer VPU ops per cell)
     whenever ``BIG + path-cost headroom`` provably fits int32 — the
     clamp only ever binds on values a BIG boundary seeded, and those
-    stay bit-identical at every reachable cell either way."""
+    stay bit-identical at every reachable cell either way.
 
-    def kernel(
-        params_ref,  # (1, 7) SMEM: waves G, gap_open, cmatch, cmismatch,
-        #              dcost, icost, m_min
-        btab_ref,  # (w, R, 128) VMEM: seq_2 token of strip s, phase p
-        mtrue_ref,  # (R, 128) VMEM: per-strip m_true (-1 on pad strips)
-        inj_hbm,  # (G_rows, Rw, 128) int32 HBM: per-wave seq_1 tokens
-        #           entering at each pair's strip 0
-        out_ref,  # (3, w, R, 128) VMEM: (M, Ix, Iy) of row m_true
-        ah,  # (2, R, 128) scratch ring: seq_1 token pipeline; slot g%2
-        #     holds wave g-2's value until wave g overwrites it (read
-        #     before write), so no per-wave copy-rotation is needed
-        emh,  # (2, R, 128) end-of-row edge history rings (M, Ix, Iy)
-        exh,
-        eyh,
-        zh,  # (3, R, 128) end-of-row min3 history ring (g-3 at slot g%3)
-        zbuf_s,  # (w-1, R, 128): prev-row min3(M,Ix,Iy), slot k = local
-        #          col k+1; the strip's LAST column travels via zh instead
-        vbuf_s,  # (w, R, 128): prev-row min(M+go,Ix+go,Iy), same slots
-        stage_s,  # (2, _STAGE, Rw, 128): inject DMA double buffer
-        sems,  # DMA (2,)
-    ):
+    ``moves`` additionally emits the packed argmin codes of every cell
+    (same bit layout and M > Ix > Iy tie order as ops/fill_rows.py,
+    reference traceback semantics globaligner.py:395-593): codes for a
+    cell's three DP levels are assembled from (a) the diagonal
+    predecessor's min3-argmin, carried in code buffers that travel
+    exactly like ``zbuf``/``zh``, (b) the in-phase Ix candidate
+    comparison, and (c) the above-cell's gap-open argmin carried like
+    ``vbuf``.  Codes stream to HBM in ``MBLK``-wave double-buffered
+    uint8 blocks in the kernel's skewed (wave, phase, strip) layout;
+    the host unskews to the row-major (m+1, ncols) walk layout.  Codes
+    of cells whose value involved a BIG boundary can differ from the
+    clamped row kernel's (no optimal path visits one — same caveat as
+    fill_pallas's stacked moves kernel)."""
+
+    def kernel(*refs):
+        if moves:
+            (
+                params_ref, btab_ref, mtrue_ref, inj_hbm,
+                out_ref, mv_hbm,
+                ah, emh, exh, eyh, zh, zbuf_s, vbuf_s, stage_s, sems,
+                zcb, vcb, zch, mst, osems,
+            ) = refs
+        else:
+            (
+                params_ref, btab_ref, mtrue_ref, inj_hbm,
+                out_ref,
+                ah, emh, exh, eyh, zh, zbuf_s, vbuf_s, stage_s, sems,
+            ) = refs
+        # params_ref: (1, 7) SMEM — waves G, gap_open, cmatch, cmismatch,
+        #   dcost, icost, m_min
+        # btab_ref: (w, R, 128) VMEM — seq_2 token of strip s, phase p
+        # mtrue_ref: (R, 128) VMEM — per-strip m_true (-1 on pad strips)
+        # inj_hbm: (G_rows, Rw, 128) int32 HBM — per-wave seq_1 tokens
+        #   entering at each pair's strip 0
+        # out_ref: (3, w, R, 128) VMEM — (M, Ix, Iy) of row m_true
+        # mv_hbm (moves): (NB*MBLK*w, R, 128) uint8 HBM — packed codes,
+        #   row blk*MBLK*w + grem*w + p = wave blk*MBLK+grem, phase p
+        # ah: (2, R, 128) scratch ring — seq_1 token pipeline; slot g%2
+        #   holds wave g-2's value until wave g overwrites it (read
+        #   before write), so no per-wave copy-rotation is needed
+        # emh/exh/eyh: (2, R, 128) end-of-row edge history rings
+        # zh: (3, R, 128) end-of-row min3 ring (g-3 at slot g%3)
+        # zbuf_s: (w-1, R, 128) — prev-row min3, slot k = local col k+1;
+        #   the strip's LAST column travels via zh instead
+        # vbuf_s: (w, R, 128) — prev-row min(M+go,Ix+go,Iy), same slots
+        # stage_s: (2, _STAGE, Rw, 128) inject DMA double buffer
+        # sems: inject DMA semaphores (2,)
+        # zcb/vcb/zch (moves): argmin-code twins of zbuf/vbuf/zh
+        # mst (moves): (2*MBLK*w, R, 128) uint8 outbound double buffer
+        # osems (moves): outbound DMA semaphores (2,)
         G = params_ref[0, 0]
         go = params_ref[0, 1]
         cmatch = params_ref[0, 2]
@@ -123,11 +155,18 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
 
         # Row-0 boundary seeds: z(0,j) = go + j*d, v(0,j) = 2*go + j*d
         # (j >= 1; reference make_dp_array, globaligner.py:756-821).
+        one = jnp.ones((R, LANES), jnp.int32)
         for p in range(w):
             jloc = j0_t + (p + 1)
             if p < w - 1:
                 zbuf_s[p] = go + jloc * d
+                if moves:
+                    # Row 0's min3 / gap-open argmin is Ix everywhere
+                    # (its triple is (BIG, go + j*d, BIG), j >= 1).
+                    zcb[p] = one
             vbuf_s[p] = 2 * go + jloc * d
+            if moves:
+                vcb[p] = one
             out_ref[0, p] = big
             out_ref[1, p] = go + jloc * d
             out_ref[2, p] = big
@@ -141,6 +180,15 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
 
         dma(0, 0).start()
         dma(1, 1).start()
+
+        if moves:
+
+            def odma(blk, slot):
+                return pltpu.make_async_copy(
+                    mst.at[pl.ds(slot * MBLK * w, MBLK * w)],
+                    mv_hbm.at[pl.ds(blk * MBLK * w, MBLK * w)],
+                    osems.at[slot],
+                )
 
         def make_wave(do_capture):
             def wave(g, _):
@@ -167,6 +215,17 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
                 g2 = jax.lax.rem(g, 2)
                 g3 = jax.lax.rem(g, 3)
 
+                if moves:
+                    mblk = jax.lax.div(g, MBLK)
+                    mslot = jax.lax.rem(mblk, 2)
+                    mrem = jax.lax.rem(g, MBLK)
+
+                    @pl.when((mrem == 0) & (mblk >= 2))
+                    def _mv_slot_free():
+                        # The copy that used this slot (block mblk-2)
+                        # must have drained before we overwrite it.
+                        odma(mblk - 2, mslot).wait()
+
                 # Edges from the left neighbor, produced >= 1 wave ago
                 # (the 2-row skew), or the column-0 boundary for strip 0
                 # of each pair: (BIG, BIG, go + i*ic), diag z(i-1, 0).
@@ -181,20 +240,63 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
                     jnp.where(q0, 0, go + j0_t * d),
                     jnp.where(q0, go + (i_t - 1) * ic, shift1(zh[g3])),
                 )
+                if moves:
+                    # Diagonal predecessor's min3-argmin for phase 0:
+                    # the row-0/col-0 boundary triples have fixed
+                    # argmins ((0,0,0) -> M at the corner, Ix along row
+                    # 0, Iy down column 0); interior comes from the
+                    # left neighbor's last-column code ring.
+                    czd0 = jnp.where(
+                        i_t == 1,
+                        jnp.where(q0, 0, 1),
+                        jnp.where(q0, 2, shift1(zch[g3])),
+                    )
 
                 hit = (i_t == mtrue) & active
                 mp, xp, yp = mp0, xp0, yp0
                 z_prev = zdiag0  # placeholder; overwritten at p == 0
+                cz_prev = None
                 for p in range(w):
                     zdiag = zdiag0 if p == 0 else zbuf_s[p - 1]
                     vprev = vbuf_s[p]
                     sub = jnp.where(a_cur == btab_ref[p], cmatch, cmismatch)
                     m_new = zdiag + sub
                     y_new = vprev + ic
-                    x_new = jnp.minimum(jnp.minimum(mp, yp) + go, xp) + d
+                    mpgo = jnp.minimum(mp, yp) + go
+                    x_new = jnp.minimum(mpgo, xp) + d
                     mx = jnp.minimum(m_new, x_new)
                     z_new = jnp.minimum(mx, y_new)
                     v_new = jnp.minimum(mx + go, y_new)
+                    if moves:
+                        czdiag = czd0 if p == 0 else zcb[p - 1]
+                        cvprev = vcb[p]
+                        # Ix candidates (M+go, Ix, Iy+go)+d at (i, j-1),
+                        # tie order M > Ix > Iy (fill_rows.py code_x).
+                        cmgo = mp + go
+                        cygo = yp + go
+                        c_x = jnp.where(
+                            (cmgo <= xp) & (cmgo <= cygo),
+                            0,
+                            jnp.where(xp <= cygo, 1, 2),
+                        )
+                        code = czdiag + 4 * c_x + 16 * cvprev
+                        mst[mslot * MBLK * w + mrem * w + p] = code.astype(
+                            jnp.uint8
+                        )
+                        c_z = jnp.where(
+                            m_new == z_new,
+                            0,
+                            jnp.where(x_new == z_new, 1, 2),
+                        )
+                        c_v = jnp.where(
+                            m_new + go == v_new,
+                            0,
+                            jnp.where(x_new + go == v_new, 1, 2),
+                        )
+                        if p >= 1:
+                            zcb[p - 1] = jnp.where(active, cz_prev, czdiag)
+                        vcb[p] = jnp.where(active, c_v, cvprev)
+                        cz_prev = c_z
                     if clamp:
                         z_new = jnp.minimum(z_new, BIG)
                         v_new = jnp.minimum(v_new, BIG)
@@ -216,6 +318,13 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
                 exh[g2] = xp
                 eyh[g2] = yp
                 ah[g2] = a_cur
+                if moves:
+                    zch[g3] = cz_prev
+
+                    @pl.when(mrem == MBLK - 1)
+                    def _mv_flush():
+                        odma(mblk, mslot).start()
+
                 return 0
 
             return wave
@@ -235,22 +344,54 @@ def _make_lane_kernel(w: int, R: int, S_p: int, Rw: int, clamp: bool):
         lastblk = jax.lax.div(jnp.maximum(G - 1, 0), _STAGE) + 1
         dma(lastblk, jax.lax.rem(lastblk, 2)).wait()
 
+        if moves:
+            # Flush the final partial code block, then drain the up-to-
+            # two outbound copies the in-loop waits never consumed (the
+            # wait at block b's first wave covers block b-2).
+            nfull = jax.lax.div(G, MBLK)
+            nb = jax.lax.div(G + MBLK - 1, MBLK)
+
+            @pl.when(jax.lax.rem(G, MBLK) != 0)
+            def _mv_tail():
+                odma(nfull, jax.lax.rem(nfull, 2)).start()
+
+            @pl.when(nb >= 2)
+            def _mv_drain2():
+                odma(nb - 2, jax.lax.rem(nb - 2, 2)).wait()
+
+            odma(nb - 1, jax.lax.rem(nb - 1, 2)).wait()
+
     return kernel
 
 
-def _lanes_geometry(B: int, n_pad: int, w: int) -> tuple[int, int]:
-    """(strips per pair, lane-chunks R) for padded seq_2 length n_pad."""
+def _lanes_geometry(
+    B: int, n_pad: int, w: int, moves: bool = False
+) -> tuple[int, int]:
+    """(strips per pair, lane-chunks R) for padded seq_2 length n_pad.
+
+    In moves mode R is 8-aligned: Mosaic requires uint8 DMA slices to be
+    tiling-aligned on the chunk axis (same constraint as
+    fill_pallas._stacked_r).  Extra chunks are pad strips (pair >= B),
+    masked like any other pad strip."""
     S_p = max(1, -(-n_pad // w))
     R = max(1, -(-(B * S_p) // LANES))
+    if moves:
+        R = -(-R // 8) * 8
     return S_p, R
 
 
-def lanes_vmem_bytes(B: int, n_pad: int, w: int = DEFAULT_W) -> int:
+def lanes_vmem_bytes(
+    B: int, n_pad: int, w: int = DEFAULT_W, moves: bool = False
+) -> int:
     """Approximate kernel VMEM working set (budget check for dispatch)."""
-    S_p, R = _lanes_geometry(B, n_pad, w)
+    S_p, R = _lanes_geometry(B, n_pad, w, moves)
     Rw = 1 if B == 1 else R
     tile = R * LANES * 4
-    return (11 + 2 * w + 3 * w + w) * tile + 2 * _STAGE * Rw * LANES * 4
+    total = (11 + 2 * w + 3 * w + w) * tile + 2 * _STAGE * Rw * LANES * 4
+    if moves:
+        # Code twins of zbuf/vbuf/zh plus the uint8 outbound staging.
+        total += (2 * w + 2) * tile + 2 * MBLK * w * R * LANES
+    return total
 
 
 # Per-kernel VMEM allowance (same scoped-VMEM ceiling the stacked
@@ -284,55 +425,37 @@ def pick_w(B: int, m: int, n_pad: int) -> int:
     return best_w
 
 
-def lanes_tile_size(B: int, n_pad: int, w: int) -> int:
+def lanes_tile_size(B: int, n_pad: int, w: int, moves: bool = False) -> int:
     """Largest per-call pair count whose working set fits the VMEM
     budget (the batch dispatcher splits bigger batches into tiles)."""
-    if lanes_vmem_bytes(B, n_pad, w) <= LANES_VMEM_BUDGET:
+    if lanes_vmem_bytes(B, n_pad, w, moves) <= LANES_VMEM_BUDGET:
         return B
     t = B
-    while t > 1 and lanes_vmem_bytes(t, n_pad, w) > LANES_VMEM_BUDGET:
+    while t > 1 and lanes_vmem_bytes(t, n_pad, w, moves) > LANES_VMEM_BUDGET:
         t //= 2
     return t
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w", "interpret",
-        "force_clamp",
-    ),
-)
-def lanes_batch_final3(
-    tok_a_ext: jax.Array,
-    tok_b_ext: jax.Array,
+def _lanes_run(
+    tok_a_ext,
+    tok_b_ext,
     cmatch,
     cmismatch,
     dcost,
     icost,
     gap_open,
-    m_true: jax.Array,
-    n_true: jax.Array,
-    *,
-    w: int = DEFAULT_W,
-    interpret: bool = False,
-    force_clamp: bool | None = None,
-) -> jax.Array:
-    """(B, 3) final DP lanes per pair — same contract as
-    :func:`fill_pallas.stacked_uniform_fill_last_rows` read at n_true.
-
-    Args:
-        tok_a_ext / tok_b_ext: (B, m+1) / (B, n+1) int32 1-origin tokens.
-        cmatch..icost / gap_open: uniform-scheme costs (STATIC host
-            ints — the scheme is part of the compiled executable, which
-            lets the host prove int32 overflow headroom and drop the
-            kernel's per-phase BIG clamps).
-        m_true / n_true: (B,) traced true lengths (<= padded shapes).
-        w: static strip width (4-16; 8 is the measured sweet spot).
-    """
+    m_true,
+    n_true,
+    w,
+    interpret,
+    force_clamp,
+    moves,
+):
+    """Shared kernel launch: (final3 (B, 3), skewed moves or None)."""
     B, m1 = tok_a_ext.shape
     n_pad = tok_b_ext.shape[1] - 1
     m_pad = m1 - 1
-    S_p, R = _lanes_geometry(B, n_pad, w)
+    S_p, R = _lanes_geometry(B, n_pad, w, moves)
     Rw = 1 if B == 1 else R
 
     # Unclamped values are BIG plus a path cost bounded by per-step edge
@@ -398,32 +521,50 @@ def lanes_batch_final3(
         ]
     ).reshape(1, 7)
 
-    out = pl.pallas_call(
-        _make_lane_kernel(w, R, S_p, Rw, clamp),
-        out_shape=jax.ShapeDtypeStruct((3, w, R, LANES), jnp.int32),
+    out_shapes = [jax.ShapeDtypeStruct((3, w, R, LANES), jnp.int32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    scratch = [
+        pltpu.VMEM((2, R, LANES), jnp.int32),  # ah
+        pltpu.VMEM((2, R, LANES), jnp.int32),  # emh
+        pltpu.VMEM((2, R, LANES), jnp.int32),  # exh
+        pltpu.VMEM((2, R, LANES), jnp.int32),  # eyh
+        pltpu.VMEM((3, R, LANES), jnp.int32),  # zh
+        pltpu.VMEM((max(w - 1, 1), R, LANES), jnp.int32),  # zbuf
+        pltpu.VMEM((w, R, LANES), jnp.int32),  # vbuf
+        pltpu.VMEM((2, _STAGE, Rw, LANES), jnp.int32),  # inject stage
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if moves:
+        # +1 block of slack: the tail flush writes a full MBLK block.
+        nb_cap = -(-max(1, G_cap) // MBLK) + 1
+        out_shapes.append(
+            jax.ShapeDtypeStruct((nb_cap * MBLK * w, R, LANES), jnp.uint8)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch += [
+            pltpu.VMEM((max(w - 1, 1), R, LANES), jnp.int32),  # zcb
+            pltpu.VMEM((w, R, LANES), jnp.int32),  # vcb
+            pltpu.VMEM((3, R, LANES), jnp.int32),  # zch
+            pltpu.VMEM((2 * MBLK * w, R, LANES), jnp.uint8),  # mst
+            pltpu.SemaphoreType.DMA((2,)),  # osems
+        ]
+
+    res = pl.pallas_call(
+        _make_lane_kernel(w, R, S_p, Rw, clamp, moves=moves),
+        out_shape=out_shapes,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, R, LANES), jnp.int32),  # ah
-            pltpu.VMEM((2, R, LANES), jnp.int32),  # emh
-            pltpu.VMEM((2, R, LANES), jnp.int32),  # exh
-            pltpu.VMEM((2, R, LANES), jnp.int32),  # eyh
-            pltpu.VMEM((3, R, LANES), jnp.int32),  # zh
-        ]
-        + [
-            pltpu.VMEM((max(w - 1, 1), R, LANES), jnp.int32),
-            pltpu.VMEM((w, R, LANES), jnp.int32),
-            pltpu.VMEM((2, _STAGE, Rw, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(params, btab, mtrue_tile, inj)
+    out = res[0]
+    mv = res[1] if moves else None
 
     # out[l, p, r, lane] -> per-pair flat columns: strip s covers pair
     # columns q*w+1 .. q*w+w, phase p = in-strip offset.
@@ -444,7 +585,120 @@ def lanes_batch_final3(
         ],
         axis=-1,
     )
-    return jnp.where((n_true == 0)[:, None], b0, final3)
+    return jnp.where((n_true == 0)[:, None], b0, final3), mv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w", "interpret",
+        "force_clamp",
+    ),
+)
+def lanes_batch_final3(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+) -> jax.Array:
+    """(B, 3) final DP lanes per pair — same contract as
+    :func:`fill_pallas.stacked_uniform_fill_last_rows` read at n_true.
+
+    Args:
+        tok_a_ext / tok_b_ext: (B, m+1) / (B, n+1) int32 1-origin tokens.
+        cmatch..icost / gap_open: uniform-scheme costs (STATIC host
+            ints — the scheme is part of the compiled executable, which
+            lets the host prove int32 overflow headroom and drop the
+            kernel's per-phase BIG clamps).
+        m_true / n_true: (B,) traced true lengths (<= padded shapes).
+        w: static strip width (4-16; 8 is the measured sweet spot).
+    """
+    final3, _ = _lanes_run(
+        jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
+        cmatch, cmismatch, dcost, icost, gap_open,
+        m_true, n_true, w, interpret, force_clamp, moves=False,
+    )
+    return final3
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w", "interpret",
+        "force_clamp",
+    ),
+)
+def lanes_batch_moves(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+):
+    """Traceback-capable batched fill: (final3 (B, 3), skewed moves).
+
+    ``moves`` comes back in the kernel's skewed device layout —
+    ``(G_rows * w, R, 128)`` uint8 where row ``g*w + p`` holds wave g,
+    phase p, and cell (i, j) of pair b lives at wave
+    ``g = i-1 + 2*((j-1)//w)``, phase ``(j-1) % w``, strip
+    ``b*S_p + (j-1)//w``.  Convert to the row-major walk layout with
+    :func:`lanes_moves_to_row` (plain numpy slice-copies on the host —
+    a device-side unskew gather measured ~8x slower than the fill
+    itself on v5e).  Codes at real cells are bit-identical to
+    :func:`fill_pallas.stacked_fill_with_moves` / the row scan; cells
+    beyond (m_true, n_true) or whose value involved a BIG boundary can
+    differ (no optimal path visits one).
+    """
+    final3, mv = _lanes_run(
+        jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
+        cmatch, cmismatch, dcost, icost, gap_open,
+        m_true, n_true, w, interpret, force_clamp, moves=True,
+    )
+    return final3, mv
+
+
+def lanes_moves_to_row(
+    mv: "np.ndarray", B: int, n_pad: int, w: int, m_pad: int
+):
+    """Host unskew of :func:`lanes_batch_moves` output to the row-major
+    walk layout: (B, m_pad+1, 1 + S_p*w) uint8, ``out[b, i, j]`` = code
+    of cell (i, j).  Row 0 / column 0 are zero-filled — the walk
+    short-circuits there without reading codes, exactly like the
+    reference's boundary shortcuts (globaligner.py:542-581).
+
+    Per strip q the map is a plain shift (rows 2q .. 2q+m_pad-1 of the
+    wave axis), so the whole conversion is S_p contiguous slice-copies.
+    """
+    import numpy as np
+
+    S_p, R = _lanes_geometry(B, n_pad, w, moves=True)
+    mv = np.asarray(mv)
+    G_rows = mv.shape[0] // w
+    skew = mv.reshape(G_rows, w, R * LANES)[:, :, : B * S_p]
+    skew = skew.reshape(G_rows, w, B, S_p)
+    out = np.zeros((B, m_pad + 1, 1 + S_p * w), np.uint8)
+    for q in range(S_p):
+        out[:, 1:, 1 + q * w : 1 + (q + 1) * w] = (
+            skew[2 * q : 2 * q + m_pad, :, :, q].transpose(2, 0, 1)
+        )
+    return out
 
 
 @functools.partial(

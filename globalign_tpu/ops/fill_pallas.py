@@ -1009,6 +1009,46 @@ def batch_moves(
     n = tok_b_ext.shape[1] - 1
     A = cost_mat.shape[0]
 
+    # Uniform schemes ride the moves-emitting lane kernel (2x the
+    # scan kernels single-pair, far more batched — docs/PERF.md);
+    # general matrices and interpret mode stay on the stacked kernel.
+    uni = uniform_scheme_params(cost_mat, gap_id)
+    if (
+        uni is not None
+        and not isinstance(gap_open, jax.core.Tracer)
+        and not interpret
+    ):
+        from . import fill_lanes
+
+        m_pad = tok_a_ext.shape[1] - 1
+        w = fill_lanes.pick_w(B, m_pad, n)
+        tile_l = fill_lanes.lanes_tile_size(B, n, w, moves=True)
+        if tile_l < B:
+            w = fill_lanes.pick_w(tile_l, m_pad, n)
+            tile_l = fill_lanes.lanes_tile_size(tile_l, n, w, moves=True)
+        if fill_lanes.lanes_vmem_bytes(tile_l, n, w, moves=True) \
+                <= fill_lanes.LANES_VMEM_BUDGET:
+            cma, cmm, dco, ico = (int(v) for v in uni)
+            finals, moves_out = [], []
+            for lo in range(0, B, tile_l):
+                hi = min(lo + tile_l, B)
+                ta, tb, mt, nt = _tile_slice(
+                    (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi, tile_l
+                )
+                vals, mv = fill_lanes.lanes_batch_moves(
+                    ta, tb, cma, cmm, dco, ico, int(gap_open), mt, nt,
+                    w=w, interpret=interpret,
+                )
+                rows = fill_lanes.lanes_moves_to_row(
+                    np.asarray(mv), ta.shape[0], n, w, ta.shape[1] - 1
+                )
+                finals.append(np.asarray(vals[: hi - lo]))
+                moves_out.append(rows[: hi - lo])
+            return (
+                np.concatenate(finals, axis=0),
+                np.concatenate(moves_out, axis=0),
+            )
+
     tile = _stacked_tile_size(B, n, A, moves=True)
     if tile == 0:
         return None

@@ -217,6 +217,31 @@ def test_dispatchers_route_uniform_schemes_to_lanes(monkeypatch):
     )
     assert len(calls) == 2 and out1.shape == (3,)
 
+    # batch_moves routes uniform schemes to the moves-emitting lane
+    # kernel (stub the kernel + unskew; selection only).
+    mv_calls = []
+
+    def stub_moves(ta, tb, *a, **k):
+        mv_calls.append(ta.shape)
+        return jnp.zeros((ta.shape[0], 3), jnp.int32), jnp.zeros(
+            (8, 1, 128), jnp.uint8
+        )
+
+    monkeypatch.setattr(fill_lanes, "lanes_batch_moves", stub_moves)
+    monkeypatch.setattr(
+        fill_lanes,
+        "lanes_moves_to_row",
+        lambda mv, Bq, npad, wq, mpad: np.zeros(
+            (Bq, mpad + 1, npad + 1), np.uint8
+        ),
+    )
+    resm = fill_pallas.batch_moves(
+        jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(cm), gid, 4,
+        jnp.asarray(mt), jnp.asarray(nt),
+    )
+    assert len(mv_calls) == 1 and resm is not None
+    assert resm[1].shape == (B, m_pad + 1, n_pad + 1)
+
     # Non-uniform scheme: lanes must decline (would hit the stub).
     cm_nu = cm.copy()
     cm_nu[1, 2] = 99
@@ -231,6 +256,60 @@ def test_dispatchers_route_uniform_schemes_to_lanes(monkeypatch):
         jnp.asarray(mt), jnp.asarray(nt), interpret=True,
     )
     assert len(calls) == 2
+
+
+def test_lanes_moves_match_row_kernel_and_walk():
+    """The moves-emitting lane kernel: codes at real cells bit-identical
+    to the row scan's, and the full traceback walk (alignment strings +
+    cost) identical — including a multi-chunk R=2 geometry and true
+    lengths below the padded caps."""
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.ops.traceback import traceback_moves
+
+    rng = np.random.default_rng(13)
+    letters = np.array(list("ACGT"))
+    for B, m_pad, n_pad, w in [(3, 22, 30, 4), (1, 17, 80, 4), (2, 40, 33, 8)]:
+        cm, gid = _uniform_costing(4, 0, 5, 3, 2)
+        go = 4
+        ta = rng.integers(1, 5, (B, m_pad + 1)).astype(np.int32)
+        tb = rng.integers(1, 5, (B, n_pad + 1)).astype(np.int32)
+        ta[:, 0] = 0
+        tb[:, 0] = 0
+        mt = rng.integers(1, m_pad + 1, B).astype(np.int32)
+        nt = rng.integers(1, n_pad + 1, B).astype(np.int32)
+        final3, mv = fill_lanes.lanes_batch_moves(
+            jnp.asarray(ta), jnp.asarray(tb), 0, 5, 3, 2, go,
+            jnp.asarray(mt), jnp.asarray(nt), w=w, interpret=True,
+        )
+        final3 = np.asarray(final3)
+        moves = fill_lanes.lanes_moves_to_row(
+            np.asarray(mv), B, n_pad, w, m_pad
+        )
+        want = _expected_final3(ta, tb, cm, gid, go, mt, nt)
+        assert (final3 == want).all()
+        for b in range(B):
+            m, n = int(mt[b]), int(nt[b])
+            res = fill_rows.row_fill(
+                jnp.asarray(ta[b, : m + 1]), jnp.asarray(tb[b, : n + 1]),
+                jnp.asarray(cm), jnp.int32(gid), jnp.int32(go),
+                want_moves=True,
+            )
+            ref_moves = np.asarray(res.moves)[: m + 1, : n + 1]
+            got_moves = moves[b, : m + 1, : n + 1]
+            # Codes at real cells (i, j >= 1) are bit-identical.
+            assert (got_moves[1:, 1:] == ref_moves[1:, 1:]).all(), (
+                B, m_pad, n_pad, w, b,
+            )
+            s1 = "".join(letters[ta[b, 1 : m + 1] - 1])
+            s2 = "".join(letters[tb[b, 1 : n + 1] - 1])
+            tb_got = traceback_moves(
+                moves[b], s1, s2, final3[b], layout="row"
+            )
+            tb_want = traceback_moves(
+                np.asarray(res.moves), s1, s2, np.asarray(res.final3),
+                layout="row",
+            )
+            assert tb_got == tb_want
 
 
 def test_lanes_fill_cost_single_pair():
