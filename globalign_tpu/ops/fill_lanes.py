@@ -425,6 +425,27 @@ def pick_w(B: int, m: int, n_pad: int) -> int:
     return best_w
 
 
+def lanes_plan(
+    B: int, m_pad: int, n_pad: int, moves: bool = False
+) -> tuple[int, int] | None:
+    """Dispatch plan ``(w, tile)`` for a (padded) batch geometry, or
+    None when even a single pair's working set exceeds the VMEM budget
+    (megabase-scale n — callers fall back to the scan kernels).
+
+    Deterministic in the padded shapes only, so a host wrapper and a
+    shard_map body recompute the identical plan."""
+    w = pick_w(B, m_pad, n_pad)
+    tile = lanes_tile_size(B, n_pad, w, moves)
+    if tile < B:
+        # The batch splits: re-pick the width for the tile the kernel
+        # actually runs, then re-fit the tile to that width.
+        w = pick_w(tile, m_pad, n_pad)
+        tile = lanes_tile_size(tile, n_pad, w, moves)
+    if lanes_vmem_bytes(tile, n_pad, w, moves) > LANES_VMEM_BUDGET:
+        return None
+    return w, tile
+
+
 def lanes_tile_size(B: int, n_pad: int, w: int, moves: bool = False) -> int:
     """Largest per-call pair count whose working set fits the VMEM
     budget (the batch dispatcher splits bigger batches into tiles)."""

@@ -1021,13 +1021,9 @@ def batch_moves(
         from . import fill_lanes
 
         m_pad = tok_a_ext.shape[1] - 1
-        w = fill_lanes.pick_w(B, m_pad, n)
-        tile_l = fill_lanes.lanes_tile_size(B, n, w, moves=True)
-        if tile_l < B:
-            w = fill_lanes.pick_w(tile_l, m_pad, n)
-            tile_l = fill_lanes.lanes_tile_size(tile_l, n, w, moves=True)
-        if fill_lanes.lanes_vmem_bytes(tile_l, n, w, moves=True) \
-                <= fill_lanes.LANES_VMEM_BUDGET:
+        plan = fill_lanes.lanes_plan(B, m_pad, n, moves=True)
+        if plan is not None:
+            w, tile_l = plan
             cma, cmm, dco, ico = (int(v) for v in uni)
             finals, moves_out = [], []
             for lo in range(0, B, tile_l):
@@ -1124,17 +1120,9 @@ def batch_final3(
     if uni is not None and go_int is not None and not interpret:
         from . import fill_lanes
 
-        m_pad = tok_a_ext.shape[1] - 1
-        w = fill_lanes.pick_w(B, m_pad, n)
-        tile_l = fill_lanes.lanes_tile_size(B, n, w)
-        if tile_l < B:
-            # The batch splits: re-pick the width for the tile the
-            # kernel will actually run (the model's S_p/R geometry
-            # changes with B), then re-fit the tile to that width.
-            w = fill_lanes.pick_w(tile_l, m_pad, n)
-            tile_l = fill_lanes.lanes_tile_size(tile_l, n, w)
-        if fill_lanes.lanes_vmem_bytes(tile_l, n, w) \
-                <= fill_lanes.LANES_VMEM_BUDGET:
+        plan = fill_lanes.lanes_plan(B, tok_a_ext.shape[1] - 1, n)
+        if plan is not None:
+            w, tile_l = plan
             cma, cmm, dco, ico = (int(v) for v in uni)
             outs = []
             for lo in range(0, B, tile_l):

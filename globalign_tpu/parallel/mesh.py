@@ -107,16 +107,56 @@ def _sharded_costs_jit(
     return fn(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "use_pallas"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "use_pallas", "uniform", "gap_open_static"),
+)
 def _sharded_moves_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
-    use_pallas=False,
+    use_pallas=False, uniform=None, gap_open_static=None,
 ):
     spec_b = P(BATCH_AXIS)
 
     def shard_fn(ta, tb, cm, gi, go, mt, nt):
         Bl = ta.shape[0]
         n = tb.shape[1] - 1
+        # Uniform schemes (host-resolved statics, like the cost path)
+        # ride the moves-emitting lane kernel; the SKEWED uint8 buffers
+        # come back per tile — the host unskews addressable shards with
+        # the identical lanes_plan (both sides recompute it from the
+        # padded shapes alone).
+        plan = None
+        if use_pallas and uniform is not None and gap_open_static is not None:
+            from ..ops import fill_lanes
+
+            plan = fill_lanes.lanes_plan(
+                Bl, ta.shape[1] - 1, n, moves=True
+            )
+        if plan is not None:
+            from ..ops import fill_lanes
+            from ..ops.fill_pallas import _tile_slice
+
+            w, tile_l = plan
+            cma, cmm, dco, ico = (int(v) for v in uniform)
+            finals, movess = [], []
+            for lo in range(0, Bl, tile_l):
+                hi = min(lo + tile_l, Bl)
+                tat, tbt, mtt, ntt = _tile_slice(
+                    (ta, tb, mt, nt), lo, hi, tile_l
+                )
+                vals, mv = fill_lanes.lanes_batch_moves(
+                    tat, tbt, cma, cmm, dco, ico, gap_open_static,
+                    mtt, ntt, w=w,
+                )
+                finals.append(vals[: hi - lo])
+                movess.append(mv[None])
+            final3 = jnp.concatenate(finals, axis=0)
+            moves = jnp.concatenate(movess, axis=0)  # (T, Gw, R, 128)
+            gathered = jax.lax.all_gather(
+                final3, BATCH_AXIS, axis=0, tiled=True
+            )
+            return gathered, moves
+
         tile = 0
         if use_pallas:
             from ..ops.fill_pallas import _stacked_tile_size
@@ -205,6 +245,22 @@ def sharded_fill_moves(
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
     use_pallas = jax.devices()[0].platform not in ("cpu",)
+    # Resolve the uniform-scheme dispatch on the host (shard_fn sees
+    # tracers) — identical to the cost path.
+    uniform = None
+    plan = None
+    D = mesh.devices.size
+    Bl = tok_a.shape[0] // D
+    m_pad = tok_a.shape[1] - 1
+    n_pad = tok_b.shape[1] - 1
+    if use_pallas:
+        from ..ops.fill_pallas import uniform_scheme_params
+
+        uniform = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
+        if uniform is not None:
+            from ..ops import fill_lanes
+
+            plan = fill_lanes.lanes_plan(Bl, m_pad, n_pad, moves=True)
     final3, moves = _sharded_moves_jit(
         mesh,
         _put(tok_a, sharding),
@@ -215,8 +271,30 @@ def sharded_fill_moves(
         _put(np.asarray(m_true, np.int32), sharding),
         _put(np.asarray(n_true, np.int32), sharding),
         use_pallas=use_pallas,
+        uniform=uniform if plan is not None else None,
+        gap_open_static=int(gap_open) if plan is not None else None,
     )
-    return np.asarray(final3)[:batch], np.asarray(moves)[:batch]
+    final3 = np.asarray(final3)[:batch]
+    if plan is not None:
+        # Lane-kernel moves arrive SKEWED, one (Gw, R, 128) uint8 buffer
+        # per tile per shard (leading axis sharded).  Unskew each tile
+        # on the host and reassemble the per-pair row-major layout.
+        from ..ops import fill_lanes
+
+        w, tile_l = plan
+        T = -(-Bl // tile_l)
+        mv = np.asarray(moves)  # (D*T, Gw, R, 128)
+        shards = []
+        for s in range(D):
+            rows = [
+                fill_lanes.lanes_moves_to_row(
+                    mv[s * T + t], tile_l, n_pad, w, m_pad
+                )
+                for t in range(T)
+            ]
+            shards.append(np.concatenate(rows, axis=0)[:Bl])
+        return final3, np.concatenate(shards, axis=0)[:batch]
+    return final3, np.asarray(moves)[:batch]
 
 
 def sharded_fill_costs(
