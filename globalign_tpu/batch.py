@@ -48,17 +48,33 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
-def _moves_ncols(n: int, alphabet_size: int) -> int:
-    """Materialized move-matrix columns per pair for column extent ``n``,
-    sized for the backend the bucket actually uses: the stacked moves
-    kernel's 8-aligned chunk padding (ops.fill_pallas._stacked_r, minimum
-    1024 columns) when that kernel runs, else the row scan's logical
-    n + 1 — so CPU/fallback buckets are not budgeted 8x over."""
-    from .ops.fill_pallas import LANES, _stacked_r, _stacked_tile_size
+def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
+    """Materialized move-code bytes per pair for an (m, n) bucket, sized
+    for the backend the bucket actually uses: the lane kernel's skewed
+    uint8 buffer for uniform schemes (amortized over a full tile — its
+    footprint is (m + 2*S_p)*w*S_p cells, NOT (m+1)*(n+1)), the stacked
+    moves kernel's 8-aligned chunk padding when that kernel runs, else
+    the row scan's logical (m+1)*(n+1)."""
+    from .ops.fill_pallas import (
+        LANES, _stacked_r, _stacked_tile_size, uniform_scheme_params,
+    )
 
-    if _use_pallas() and _stacked_tile_size(1, n, alphabet_size, moves=True) >= 1:
-        return _stacked_r(n, moves=True) * LANES
-    return n + 1
+    if _use_pallas():
+        uni = uniform_scheme_params(
+            scheme.costing.values, scheme.alphabet.gap_id
+        )
+        if uni is not None:
+            from .ops import fill_lanes
+
+            plan = fill_lanes.lanes_plan(128, m, n, moves=True)
+            if plan is not None:
+                w, tile = plan
+                return -(
+                    -fill_lanes.lanes_moves_bytes(tile, m, n, w) // tile
+                )
+        if _stacked_tile_size(1, n, scheme.alphabet.size, moves=True) >= 1:
+            return (m + 1) * _stacked_r(n, moves=True) * LANES
+    return (m + 1) * (n + 1)
 
 
 def _pallas_moves(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true):
@@ -210,12 +226,11 @@ def align_pairs(
         if not with_traceback:
             grouped.append(((M, N), indices))
             continue
-        # Move matrices are materialized with the stacked kernel's real
-        # padded width (its uint8 HBM DMA 8-aligns the 128-lane chunk
-        # count, so short buckets round up to 1024 columns); budget per
-        # pair on that width and split oversized buckets into sub-batches
-        # rather than losing the batched path.
-        per_pair = (M + 1) * _moves_ncols(N, scheme.alphabet.size)
+        # Budget per pair on the bytes the dispatched backend REALLY
+        # materializes (_moves_pair_bytes — lane-kernel skew, stacked
+        # chunk padding, or logical width) and split oversized buckets
+        # into sub-batches rather than losing the batched path.
+        per_pair = _moves_pair_bytes(M, N, scheme)
         max_pairs = max(0, DEFAULT_BATCH_MOVES_BUDGET // max(1, per_pair))
         if max_pairs >= 1:
             for lo in range(0, len(indices), max_pairs):
@@ -230,7 +245,7 @@ def align_pairs(
     for (M, N), indices in bucket_items:
         if (
             with_traceback
-            and (M + 1) * _moves_ncols(N, scheme.alphabet.size)
+            and _moves_pair_bytes(M, N, scheme)
             > DEFAULT_BATCH_MOVES_BUDGET
         ):
             # A single pair's move matrix exceeds the budget; use the

@@ -160,11 +160,9 @@ class GotohAligner:
             from ..ops import fill_lanes
 
             m_pad, n_pad = self._pad_len(m), self._pad_len(n)
-            w = fill_lanes.pick_w(1, m_pad, n_pad)
-            S_p, R = fill_lanes._lanes_geometry(1, n_pad, w, moves=True)
-            g_cap = m_pad + 2 * (S_p - 1)
-            nb = -(-max(1, g_cap) // fill_lanes.MBLK) + 1
-            return nb * fill_lanes.MBLK * w * R * 128
+            plan = fill_lanes.lanes_plan(1, m_pad, n_pad, moves=True)
+            if plan is not None:
+                return fill_lanes.lanes_moves_bytes(1, m_pad, n_pad, plan[0])
         if self.use_pallas and self._moves_kernel_fits(n):
             from ..ops.fill_pallas import LANES, _stacked_r
 

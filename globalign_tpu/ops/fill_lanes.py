@@ -425,12 +425,34 @@ def pick_w(B: int, m: int, n_pad: int) -> int:
     return best_w
 
 
+def lanes_moves_bytes(B: int, m_pad: int, n_pad: int, w: int) -> int:
+    """Exact size of the skewed uint8 code buffer one moves-mode kernel
+    call materializes — the single source of truth for ``_lanes_run``'s
+    out_shape, the aligner's moves budget, and the batch estimator."""
+    S_p, R = _lanes_geometry(B, n_pad, w, moves=True)
+    g_cap = m_pad + 2 * (S_p - 1)
+    nb_cap = -(-max(1, g_cap) // MBLK) + 1
+    return nb_cap * MBLK * w * R * LANES
+
+
+# Moves-mode dispatch guards.  The kernel runs m + 2*(S_p-1) waves for
+# m useful rows, so when the drain exceeds the rows (wide-short pairs,
+# e.g. m=32 x n=8192: ~6% wave efficiency) the stacked moves kernel is
+# both smaller and faster — decline.  Separately, cap the ABSOLUTE
+# skewed-buffer overhead: relative inflation is a bad proxy at small
+# sizes, where the 8-aligned R padding can be 6x of a few megabytes and
+# the lane kernel still wins 3-4x outright (measured, docs/PERF.md).
+MOVES_BYTES_INFLATION_CAP = 4.0
+MOVES_BYTES_ABS_FLOOR = 256 * 1024 * 1024
+
+
 def lanes_plan(
     B: int, m_pad: int, n_pad: int, moves: bool = False
 ) -> tuple[int, int] | None:
     """Dispatch plan ``(w, tile)`` for a (padded) batch geometry, or
     None when even a single pair's working set exceeds the VMEM budget
-    (megabase-scale n — callers fall back to the scan kernels).
+    (megabase-scale n — callers fall back to the scan kernels) or, in
+    moves mode, when the drain-wave or buffer-size guards above fire.
 
     Deterministic in the padded shapes only, so a host wrapper and a
     shard_map body recompute the identical plan."""
@@ -443,6 +465,17 @@ def lanes_plan(
         tile = lanes_tile_size(tile, n_pad, w, moves)
     if lanes_vmem_bytes(tile, n_pad, w, moves) > LANES_VMEM_BUDGET:
         return None
+    if moves:
+        S_p, _ = _lanes_geometry(tile, n_pad, w, moves=True)
+        if 2 * (S_p - 1) > m_pad:
+            return None
+        bytes_l = lanes_moves_bytes(tile, m_pad, n_pad, w)
+        row_major = tile * (m_pad + 1) * (n_pad + 1)
+        if (
+            bytes_l > MOVES_BYTES_INFLATION_CAP * row_major
+            and bytes_l > MOVES_BYTES_ABS_FLOOR
+        ):
+            return None
     return w, tile
 
 
@@ -556,10 +589,11 @@ def _lanes_run(
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if moves:
-        # +1 block of slack: the tail flush writes a full MBLK block.
-        nb_cap = -(-max(1, G_cap) // MBLK) + 1
+        # Sized by lanes_moves_bytes (single source of truth; includes
+        # +1 block of slack — the tail flush writes a full MBLK block).
+        mv_rows = lanes_moves_bytes(B, m_pad, n_pad, w) // (R * LANES)
         out_shapes.append(
-            jax.ShapeDtypeStruct((nb_cap * MBLK * w, R, LANES), jnp.uint8)
+            jax.ShapeDtypeStruct((mv_rows, R, LANES), jnp.uint8)
         )
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         scratch += [

@@ -1025,7 +1025,10 @@ def batch_moves(
         if plan is not None:
             w, tile_l = plan
             cma, cmm, dco, ico = (int(v) for v in uni)
-            finals, moves_out = [], []
+            # Dispatch EVERY tile's fill before the first (blocking,
+            # memcpy-bound) host unskew — JAX queues the kernels
+            # asynchronously, so tile t+1 fills while tile t unskews.
+            pending = []
             for lo in range(0, B, tile_l):
                 hi = min(lo + tile_l, B)
                 ta, tb, mt, nt = _tile_slice(
@@ -1035,11 +1038,14 @@ def batch_moves(
                     ta, tb, cma, cmm, dco, ico, int(gap_open), mt, nt,
                     w=w, interpret=interpret,
                 )
+                pending.append((vals, mv, hi - lo))
+            finals, moves_out = [], []
+            for vals, mv, keep in pending:
                 rows = fill_lanes.lanes_moves_to_row(
-                    np.asarray(mv), ta.shape[0], n, w, ta.shape[1] - 1
+                    np.asarray(mv), tile_l, n, w, m_pad
                 )
-                finals.append(np.asarray(vals[: hi - lo]))
-                moves_out.append(rows[: hi - lo])
+                finals.append(np.asarray(vals[:keep]))
+                moves_out.append(rows[:keep])
             return (
                 np.concatenate(finals, axis=0),
                 np.concatenate(moves_out, axis=0),

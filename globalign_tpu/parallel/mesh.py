@@ -151,6 +151,9 @@ def _sharded_moves_jit(
                 finals.append(vals[: hi - lo])
                 movess.append(mv[None])
             final3 = jnp.concatenate(finals, axis=0)
+            # Peak HBM holds every tile's skewed buffer at once — which
+            # lanes_plan's MOVES_INFLATION_CAP bounds at <= 2x the
+            # row-major moves the stacked path would materialize.
             moves = jnp.concatenate(movess, axis=0)  # (T, Gw, R, 128)
             gathered = jax.lax.all_gather(
                 final3, BATCH_AXIS, axis=0, tiled=True
@@ -213,8 +216,12 @@ def sharded_fill_moves(
     gap_open,
     m_true: np.ndarray,
     n_true: np.ndarray,
+    use_pallas: bool | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Traceback-capable batched fill, batch axis sharded across ``mesh``.
+
+    ``use_pallas`` overrides the platform auto-detection (tests exercise
+    the kernel-dispatch plumbing on the CPU mesh with stubbed kernels).
 
     Returns ``(final3 (B, 3), moves (B, M+1, W))`` host numpy, pad rows
     dropped — the same contract as :func:`..ops.fill_pallas.batch_moves`
@@ -244,7 +251,8 @@ def sharded_fill_moves(
     )
     sharding = NamedSharding(mesh, P(BATCH_AXIS))
 
-    use_pallas = jax.devices()[0].platform not in ("cpu",)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
     # Resolve the uniform-scheme dispatch on the host (shard_fn sees
     # tracers) — identical to the cost path.
     uniform = None

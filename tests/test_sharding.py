@@ -72,3 +72,70 @@ def test_sharded_traceback_matches_unsharded(cpu_mesh):
         assert s.seq_1_aligned == l.seq_1_aligned
         assert s.middle_part == l.middle_part
         assert s.seq_2_aligned == l.seq_2_aligned
+
+
+def test_sharded_lanes_moves_reassembly(cpu_mesh, monkeypatch):
+    """The sharded-traceback lane-kernel plumbing (skewed per-tile
+    buffers out of shard_map, host-side D*T unskew/reassembly, pad
+    trims) is only reachable on accelerators — exercise it on the CPU
+    mesh with stubbed kernels: the kernel stub stamps every tile's
+    buffer with its first pair's first token, the unskew stub fans the
+    stamp out per pair, so the reassembled moves pin the shard/tile/pair
+    bookkeeping exactly."""
+    import jax.numpy as jnp
+
+    from globalign_tpu.config import resolve_scheme
+    from globalign_tpu.ops import fill_lanes
+    from globalign_tpu.parallel import mesh as mesh_mod
+
+    scheme = resolve_scheme("ACGT", "ACGT")  # default scheme: uniform
+    B, m_pad, n_pad = 10, 12, 16  # 10 pairs over 8 devices: pad+drop
+    rng = np.random.default_rng(21)
+    tok_a = np.zeros((B, m_pad + 1), np.int32)
+    tok_b = np.zeros((B, n_pad + 1), np.int32)
+    tok_a[:, 1:] = rng.integers(1, 5, (B, m_pad))
+    tok_b[:, 1:] = rng.integers(1, 5, (B, n_pad))
+    m_true = np.full(B, m_pad, np.int32)
+    n_true = np.full(B, n_pad, np.int32)
+
+    plan = fill_lanes.lanes_plan(2, m_pad, n_pad, moves=True)  # Bl = 2
+    assert plan is not None
+    w, tile_l = plan
+
+    def stub_kernel(ta, tb, *a, **k):
+        vals = jnp.stack([ta[:, 1]] * 3, axis=-1)  # (tile, 3)
+        mv = jnp.broadcast_to(
+            ta[0, 1].astype(jnp.uint8), (8, 1, 128)
+        )  # stamped with the tile's first pair's first token
+        return vals, mv
+
+    def stub_unskew(mv, Bq, npad, wq, mpad):
+        assert (Bq, npad, wq, mpad) == (tile_l, n_pad, w, m_pad)
+        return np.full(
+            (Bq, mpad + 1, npad + 1), np.asarray(mv)[0, 0, 0], np.uint8
+        )
+
+    monkeypatch.setattr(fill_lanes, "lanes_batch_moves", stub_kernel)
+    monkeypatch.setattr(fill_lanes, "lanes_moves_to_row", stub_unskew)
+
+    final3, moves = mesh_mod.sharded_fill_moves(
+        cpu_mesh,
+        tok_a,
+        tok_b,
+        scheme.costing.values,
+        scheme.alphabet.gap_id,
+        scheme.gap_open_cost,
+        m_true,
+        n_true,
+        use_pallas=True,
+    )
+    assert final3.shape == (B, 3) and moves.shape == (B, m_pad + 1, n_pad + 1)
+    Bl = -(-B // 8)  # per-shard pairs after padding (16 total / 8)
+    for idx in range(B):
+        # final3 rides the all-gather: stamped with the pair's own token.
+        assert (final3[idx] == tok_a[idx, 1]).all(), idx
+        # moves ride the skewed per-tile buffers: stamped with the first
+        # pair of this pair's tile.
+        shard, off = divmod(idx, Bl)
+        tile_first = shard * Bl + (off // tile_l) * tile_l
+        assert (moves[idx] == tok_a[tile_first, 1]).all(), idx
