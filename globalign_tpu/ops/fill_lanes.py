@@ -101,14 +101,16 @@ def _make_lane_kernel(
     def kernel(*refs):
         if moves:
             (
-                params_ref, btab_ref, mtrue_ref, inj_hbm,
+                params_ref, btab_ref, mtrue_ref, zrow_ref, vrow_ref,
+                zj0_ref, c0t_ref, zcrow_ref, vcrow_ref, zcj0_ref, inj_hbm,
                 out_ref, mv_hbm,
                 ah, emh, exh, eyh, zh, zbuf_s, vbuf_s, stage_s, sems,
                 zcb, vcb, zch, mst, osems,
             ) = refs
         else:
             (
-                params_ref, btab_ref, mtrue_ref, inj_hbm,
+                params_ref, btab_ref, mtrue_ref, zrow_ref, vrow_ref,
+                zj0_ref, c0t_ref, inj_hbm,
                 out_ref,
                 ah, emh, exh, eyh, zh, zbuf_s, vbuf_s, stage_s, sems,
             ) = refs
@@ -116,6 +118,16 @@ def _make_lane_kernel(
         #   dcost, icost, m_min
         # btab_ref: (w, R, 128) VMEM — seq_2 token of strip s, phase p
         # mtrue_ref: (R, 128) VMEM — per-strip m_true (-1 on pad strips)
+        # zrow_ref / vrow_ref: (w, R, 128) VMEM — the ROW-0 boundary's
+        #   min3 / gap-opened min per strip column (the host builds them
+        #   from the global boundary formulas, or from an injected
+        #   checkpoint row for block replays)
+        # zj0_ref: (R, 128) VMEM — row-0 min3 at each strip's col j0
+        #   (the phase-0 diagonal of row 1; pair corners included)
+        # c0t_ref: (R, 128) VMEM — per-pair column-0 Iy seed (gap_open
+        #   globally; the block-top Iy for injected blocks):
+        #   Iy(i, 0) = c0t + i*icost
+        # zcrow_ref / vcrow_ref / zcj0_ref (moves): argmin-code twins
         # inj_hbm: (G_rows, Rw, 128) int32 HBM — per-wave seq_1 tokens
         #   entering at each pair's strip 0
         # out_ref: (3, w, R, 128) VMEM — (M, Ix, Iy) of row m_true
@@ -155,20 +167,19 @@ def _make_lane_kernel(
 
         # Row-0 boundary seeds: z(0,j) = go + j*d, v(0,j) = 2*go + j*d
         # (j >= 1; reference make_dp_array, globaligner.py:756-821).
-        one = jnp.ones((R, LANES), jnp.int32)
         for p in range(w):
-            jloc = j0_t + (p + 1)
             if p < w - 1:
-                zbuf_s[p] = go + jloc * d
+                zbuf_s[p] = zrow_ref[p]
                 if moves:
-                    # Row 0's min3 / gap-open argmin is Ix everywhere
-                    # (its triple is (BIG, go + j*d, BIG), j >= 1).
-                    zcb[p] = one
-            vbuf_s[p] = 2 * go + jloc * d
+                    zcb[p] = zcrow_ref[p]
+            vbuf_s[p] = vrow_ref[p]
             if moves:
-                vcb[p] = one
+                vcb[p] = vcrow_ref[p]
+            # Row-0 output seeds (returned only for m_true == 0 pairs,
+            # which injected-boundary callers never pass): (BIG, Ix, BIG)
+            # and Ix(0, j) == min3(0, j) on the global boundary.
             out_ref[0, p] = big
-            out_ref[1, p] = go + jloc * d
+            out_ref[1, p] = zrow_ref[p]
             out_ref[2, p] = big
 
         def dma(blk, slot):
@@ -234,21 +245,22 @@ def _make_lane_kernel(
                 a_cur = jnp.where(q0, a_inj, shift1(ah[g2], fill=0))
                 mp0 = jnp.where(q0, big, shift1(emh[g2]))
                 xp0 = jnp.where(q0, big, shift1(exh[g2]))
-                yp0 = jnp.where(q0, go + i_t * ic, shift1(eyh[g2]))
+                c0t = c0t_ref[:, :]
+                yp0 = jnp.where(q0, c0t + i_t * ic, shift1(eyh[g2]))
                 zdiag0 = jnp.where(
                     i_t == 1,
-                    jnp.where(q0, 0, go + j0_t * d),
-                    jnp.where(q0, go + (i_t - 1) * ic, shift1(zh[g3])),
+                    zj0_ref[:, :],
+                    jnp.where(q0, c0t + (i_t - 1) * ic, shift1(zh[g3])),
                 )
                 if moves:
                     # Diagonal predecessor's min3-argmin for phase 0:
-                    # the row-0/col-0 boundary triples have fixed
-                    # argmins ((0,0,0) -> M at the corner, Ix along row
-                    # 0, Iy down column 0); interior comes from the
-                    # left neighbor's last-column code ring.
+                    # row 1 reads the row-0 code table (corners
+                    # included), column 0's triple is (BIG, BIG, Iy) ->
+                    # Iy; interior comes from the left neighbor's
+                    # last-column code ring.
                     czd0 = jnp.where(
                         i_t == 1,
-                        jnp.where(q0, 0, 1),
+                        zcj0_ref[:, :],
                         jnp.where(q0, 2, shift1(zch[g3])),
                     )
 
@@ -463,20 +475,39 @@ def lanes_plan(
         # actually runs, then re-fit the tile to that width.
         w = pick_w(tile, m_pad, n_pad)
         tile = lanes_tile_size(tile, n_pad, w, moves)
-    if lanes_vmem_bytes(tile, n_pad, w, moves) > LANES_VMEM_BUDGET:
-        return None
-    if moves:
-        S_p, _ = _lanes_geometry(tile, n_pad, w, moves=True)
-        if 2 * (S_p - 1) > m_pad:
+    if not moves:
+        if lanes_vmem_bytes(tile, n_pad, w, moves) > LANES_VMEM_BUDGET:
             return None
-        bytes_l = lanes_moves_bytes(tile, m_pad, n_pad, w)
+        return w, tile
+
+    # Moves mode: the issue-model optimum may fail the drain guard
+    # (short blocks over wide rows — fewer, wider strips fix it), so
+    # choose the model-best width among the FEASIBLE candidates.
+    def feasible(wc):
+        if lanes_vmem_bytes(tile, n_pad, wc, moves=True) > LANES_VMEM_BUDGET:
+            return False
+        S_p, _ = _lanes_geometry(tile, n_pad, wc, moves=True)
+        if 2 * (S_p - 1) > m_pad:
+            return False
+        bytes_l = lanes_moves_bytes(tile, m_pad, n_pad, wc)
         row_major = tile * (m_pad + 1) * (n_pad + 1)
-        if (
+        return not (
             bytes_l > MOVES_BYTES_INFLATION_CAP * row_major
             and bytes_l > MOVES_BYTES_ABS_FLOOR
-        ):
-            return None
-    return w, tile
+        )
+
+    w_full = min(32, max(4, -(-tile * n_pad // 1024)))
+    best = None
+    for wc in sorted({4, 8, 16, 32, w_full, w}):
+        if not feasible(wc):
+            continue
+        S_p, R = _lanes_geometry(tile, n_pad, wc, moves=True)
+        cost = (m_pad + 2 * (S_p - 1)) * (wc * 17 * -(-R // 8) + 15)
+        if best is None or cost < best[0]:
+            best = (cost, wc)
+    if best is None:
+        return None
+    return best[1], tile
 
 
 def lanes_tile_size(B: int, n_pad: int, w: int, moves: bool = False) -> int:
@@ -504,8 +535,17 @@ def _lanes_run(
     interpret,
     force_clamp,
     moves,
+    row0=None,
+    col0y_top=None,
 ):
-    """Shared kernel launch: (final3 (B, 3), skewed moves or None)."""
+    """Shared kernel launch: (final3 (B, 3), skewed moves or None).
+
+    ``row0`` ((B, 3, >= n_pad+1) int32) and ``col0y_top`` ((B,) int32)
+    inject a block's boundary: the triple row above the block and the
+    column-0 Iy value at its top row (Iy(i, 0) = col0y_top + i*icost,
+    M/Ix stay BIG — the global column-0 structure, offset per block).
+    Injected callers must pass m_true >= 1 (the row-0 output seeds are
+    not re-derived from the injection)."""
     B, m1 = tok_a_ext.shape
     n_pad = tok_b_ext.shape[1] - 1
     m_pad = m1 - 1
@@ -544,6 +584,52 @@ def _lanes_run(
     btab = btab.reshape(w, R, LANES)
 
     mtrue_tile = jnp.where(valid_strip, m_true[pairc], -1).reshape(R, LANES)
+
+    # Row-0 boundary tables (reference make_dp_array,
+    # globaligner.py:756-821) — global formulas by default, or derived
+    # from the injected checkpoint row.  zrow/vrow feed the zbuf/vbuf
+    # seeds, zj0 is the phase-0 diagonal of row 1 (pair corners at the
+    # q == 0 strips), c0t seeds the column-0 Iy accumulator.
+    j0 = q * w  # (S,) column before each strip's first
+    dd = jnp.asarray(dcost, jnp.int32)
+    icc = jnp.asarray(icost, jnp.int32)
+    if row0 is None:
+        zrow = (go + jloc * dd).reshape(w, R, LANES)
+        vrow = (2 * go + jloc * dd).reshape(w, R, LANES)
+        zj0 = jnp.where(q == 0, 0, go + j0 * dd).reshape(R, LANES)
+        c0t = jnp.full((R, LANES), go, jnp.int32)
+        if moves:
+            # Row 0's min3 / gap-open argmin is Ix everywhere (triple
+            # (BIG, go + j*d, BIG), j >= 1); the corner (0,0,0) -> M.
+            one_t = jnp.ones((w, R, LANES), jnp.int32)
+            zcrow = one_t
+            vcrow = one_t
+            zcj0 = jnp.where(q == 0, 0, 1).reshape(R, LANES)
+    else:
+        r0 = jnp.asarray(row0, jnp.int32)[:, :, : n_pad + 1]
+        z0 = jnp.min(r0, axis=1)  # (B, n_pad+1) min3 of the row above
+        v0 = jnp.minimum(
+            jnp.minimum(r0[:, 0], r0[:, 1]) + go, r0[:, 2]
+        )
+        jc = jnp.minimum(jloc, n_pad)
+        zrow = z0[pairc[None, :], jc].reshape(w, R, LANES)
+        vrow = v0[pairc[None, :], jc].reshape(w, R, LANES)
+        j0c = jnp.minimum(j0, n_pad)
+        zj0 = z0[pairc, j0c].reshape(R, LANES)
+        c0t = jnp.asarray(col0y_top, jnp.int32)[pairc].reshape(R, LANES)
+        if moves:
+            # Argmin codes of the injected row, tie order M > Ix > Iy.
+            cz0 = jnp.where(
+                r0[:, 0] == z0, 0, jnp.where(r0[:, 1] == z0, 1, 2)
+            )
+            cv0 = jnp.where(
+                r0[:, 0] + go == v0,
+                0,
+                jnp.where(r0[:, 1] + go == v0, 1, 2),
+            )
+            zcrow = cz0[pairc[None, :], jc].reshape(w, R, LANES)
+            vcrow = cv0[pairc[None, :], jc].reshape(w, R, LANES)
+            zcj0 = cz0[pairc, j0c].reshape(R, LANES)
 
     # Inject table: wave g's seq_1 tokens at each pair's strip 0.
     # (Floor of 1 keeps the DMA start/wait pairing balanced at G == 0.)
@@ -604,20 +690,24 @@ def _lanes_run(
             pltpu.SemaphoreType.DMA((2,)),  # osems
         ]
 
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 6
+    args = [params, btab, mtrue_tile, zrow, vrow, zj0, c0t]
+    if moves:
+        in_specs += [vmem] * 3
+        args += [zcrow, vcrow, zcj0]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    args.append(inj)
+
     res = pl.pallas_call(
         _make_lane_kernel(w, R, S_p, Rw, clamp, moves=moves),
         out_shape=out_shapes,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(params, btab, mtrue_tile, inj)
+    )(*args)
     out = res[0]
     mv = res[1] if moves else None
 
@@ -631,6 +721,7 @@ def _lanes_run(
     )[:, :, 0].T  # (B, 3)
     # n_true == 0 reduces to the column-0 boundary of row m_true:
     # (BIG, BIG, go + m*ic), or the (0, 0, 0) corner when m_true == 0.
+    # (Global-boundary formula — injected callers pass n_true >= 1.)
     m0 = m_true == 0
     b0 = jnp.stack(
         [
@@ -640,7 +731,8 @@ def _lanes_run(
         ],
         axis=-1,
     )
-    return jnp.where((n_true == 0)[:, None], b0, final3), mv
+    final3 = jnp.where((n_true == 0)[:, None], b0, final3)
+    return final3, flat, mv
 
 
 @functools.partial(
@@ -677,12 +769,54 @@ def lanes_batch_final3(
         m_true / n_true: (B,) traced true lengths (<= padded shapes).
         w: static strip width (4-16; 8 is the measured sweet spot).
     """
-    final3, _ = _lanes_run(
+    final3, _, _ = _lanes_run(
         jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
         cmatch, cmismatch, dcost, icost, gap_open,
         m_true, n_true, w, interpret, force_clamp, moves=False,
     )
     return final3
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w", "interpret",
+        "force_clamp",
+    ),
+)
+def lanes_batch_last_rows(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    row0: jax.Array | None = None,
+    col0y_top: jax.Array | None = None,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+) -> jax.Array:
+    """(B, 3, S_p*w) FULL final DP rows (columns 1..S_p*w of row
+    m_true), with optional boundary injection — the checkpoint-phase
+    primitive of the blocked linear-space traceback (each block's fill
+    is seeded from the previous block's last row, ops/linear_tb.py).
+
+    ``row0`` (B, 3, >= n_pad+1): the triple row above the block;
+    ``col0y_top`` (B,): column-0 Iy at the block's top row.  Injected
+    calls require m_true >= 1 and n_true >= 1.
+    """
+    _, flat, _ = _lanes_run(
+        jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
+        cmatch, cmismatch, dcost, icost, gap_open,
+        m_true, n_true, w, interpret, force_clamp, moves=False,
+        row0=row0, col0y_top=col0y_top,
+    )
+    return flat.transpose(1, 0, 2)  # (B, 3, S_p*w)
 
 
 @functools.partial(
@@ -702,12 +836,19 @@ def lanes_batch_moves(
     gap_open,
     m_true: jax.Array,
     n_true: jax.Array,
+    row0: jax.Array | None = None,
+    col0y_top: jax.Array | None = None,
     *,
     w: int = DEFAULT_W,
     interpret: bool = False,
     force_clamp: bool | None = None,
 ):
     """Traceback-capable batched fill: (final3 (B, 3), skewed moves).
+
+    ``row0`` / ``col0y_top`` inject a block boundary exactly as in
+    :func:`lanes_batch_last_rows` (the replay-phase primitive of the
+    blocked traceback — codes of row-1 cells then point at the injected
+    row's argmins).
 
     ``moves`` comes back in the kernel's skewed device layout —
     ``(G_rows * w, R, 128)`` uint8 where row ``g*w + p`` holds wave g,
@@ -721,10 +862,11 @@ def lanes_batch_moves(
     beyond (m_true, n_true) or whose value involved a BIG boundary can
     differ (no optimal path visits one).
     """
-    final3, mv = _lanes_run(
+    final3, _, mv = _lanes_run(
         jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
         cmatch, cmismatch, dcost, icost, gap_open,
         m_true, n_true, w, interpret, force_clamp, moves=True,
+        row0=row0, col0y_top=col0y_top,
     )
     return final3, mv
 

@@ -35,7 +35,9 @@ import numpy as np
 import jax.numpy as jnp
 
 from .fill_rows import row_fill
-from .fill_scan import default_boundary
+from .fill_scan import BIG, default_boundary
+
+LANES_WALK = 128  # lane width of the skewed lanes-kernel moves layout
 from .traceback import (
     GAP_CHAR,
     GAP_GLYPH,
@@ -70,9 +72,19 @@ OP_LEFT = 1  # gap in seq_1 (consume seq_2[j-1])
 OP_UP = 2  # gap in seq_2 (consume seq_1[i-1])
 
 
-@jax.jit
-def _walk_block(moves, j_entry, level_entry):
+@functools.partial(
+    jax.jit, static_argnames=("layout", "w", "k_rows", "width")
+)
+def _walk_block(moves, j_entry, level_entry, layout="row", w=0, k_rows=0,
+                width=0):
     """Walk one replay block's move codes ON DEVICE, bottom row to top.
+
+    ``layout="row"``: ``moves`` is (K+1, W) row-major.  ``layout=
+    "lanes"``: ``moves`` is the lane kernel's skewed single-pair buffer
+    ((G_rows*w, R, 128) uint8, ops/fill_lanes.lanes_batch_moves) walked
+    IN PLACE via the skew arithmetic — no unskew pass, no host traffic;
+    ``w``/``k_rows``/``width`` give the strip width, block rows and
+    walkable column count the shapes no longer imply.
 
     The move matrices are O(K x n) and the link to a tunnelled TPU is
     bandwidth-poor (~tens of MB/s measured; docs/PERF.md), so fetching
@@ -90,15 +102,31 @@ def _walk_block(moves, j_entry, level_entry):
     Returns ``(ops, count, j_exit, level_exit)``; entry scalars may be
     device values, so chained block walks dispatch without host syncs.
     """
-    K = moves.shape[0] - 1
-    L = K + moves.shape[1]  # i decreases K times, j fewer than W times
+    if layout == "row":
+        K = moves.shape[0] - 1
+        L = K + moves.shape[1]  # i decreases K times, j fewer than W
+    else:
+        K = k_rows
+        L = K + width
 
     def cond(st):
         return st[0] > 0
 
     def body(st):
         i_l, j, level, t, ops = st
-        code = moves[i_l, j].astype(jnp.int32)
+        if layout == "row":
+            code = moves[i_l, j].astype(jnp.int32)
+        else:
+            # Skew arithmetic: cell (i, j) lives at wave i-1 + 2q,
+            # phase (j-1) % w, strip q = (j-1)//w (B == 1).  j == 0 is
+            # the masked boundary — clamp its index, the code is unread.
+            jc = jnp.maximum(j, 1) - 1
+            qq = jc // w
+            row = (i_l - 1 + 2 * qq) * w + jc % w
+            code = moves[
+                jnp.minimum(row, moves.shape[0] - 1), qq // LANES_WALK,
+                qq % LANES_WALK,
+            ].astype(jnp.int32)
         boundary = j == 0
         is_m = level == 0
         is_x = level == 1
@@ -190,6 +218,39 @@ def align_blocked(
     )
     col0_np = np.asarray(col0_g)
 
+    # Uniform schemes ride the cell-per-lane kernel for both passes
+    # (boundary-injected block fills; the replay walks the skewed moves
+    # buffer in place — docs/PERF.md).
+    uni = None
+    if use_pallas:
+        from .fill_pallas import uniform_scheme_params
+
+        uni = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
+
+    def _lanes_block_ckpt(ta_blk, state, i0, i1):
+        """Checkpoint fill of one block on the lane kernel, or None."""
+        from . import fill_lanes
+
+        blk_m = i1 - i0
+        plan = fill_lanes.lanes_plan(1, blk_m, nq)
+        if plan is None:
+            return None
+        w_blk = plan[0]
+        c0_top = int(np.asarray(gap_open)) if i0 == 0 else int(col0_np[2, i0])
+        last = fill_lanes.lanes_batch_last_rows(
+            ta_blk[None], tok_b[None],
+            uni[0], uni[1], uni[2], uni[3], int(np.asarray(gap_open)),
+            jnp.asarray([blk_m], jnp.int32),
+            jnp.asarray([nq], jnp.int32),
+            state[None],
+            jnp.asarray([c0_top], jnp.int32),
+            w=w_blk,
+        )[0]
+        col0_t = jnp.asarray(
+            [BIG, BIG, int(col0_np[2, i1])], jnp.int32
+        )
+        return jnp.concatenate([col0_t[:, None], last], axis=1)[:, : nq + 1]
+
     # ---- checkpoint pass -------------------------------------------------
     bounds = list(range(0, m, K)) + [m]  # block b covers rows bounds[b]..[b+1]
     nblocks = len(bounds) - 1
@@ -199,6 +260,12 @@ def align_blocked(
         i0, i1 = bounds[b], bounds[b + 1]
         ta_blk = _block_tokens(tok_a_np, i0, i1)
         col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
+        if use_pallas and uni is not None:
+            lanes_last = _lanes_block_ckpt(ta_blk, state, i0, i1)
+            if lanes_last is not None:
+                state = lanes_last
+                checkpoints.append(state)
+                continue
         if use_pallas:
             from .fill_pallas import row_fill_last_rows
 
@@ -250,6 +317,35 @@ def align_blocked(
     for b in range(nblocks - 1, -1, -1):
         i0, i1 = bounds[b], bounds[b + 1]
         ta_blk = _block_tokens(tok_a_np, i0, i1)
+        if uni is not None and use_pallas:
+            from . import fill_lanes
+
+            plan = fill_lanes.lanes_plan(1, i1 - i0, nq, moves=True)
+        else:
+            plan = None
+        if plan is not None:
+            # Lane-kernel replay: the skewed moves buffer is walked IN
+            # PLACE on device (no unskew, no host traffic).
+            w_blk = plan[0]
+            c0_top = (
+                int(np.asarray(gap_open)) if i0 == 0
+                else int(col0_np[2, i0])
+            )
+            _, mv = fill_lanes.lanes_batch_moves(
+                ta_blk[None], tok_b[None],
+                uni[0], uni[1], uni[2], uni[3], int(np.asarray(gap_open)),
+                jnp.asarray([i1 - i0], jnp.int32),
+                jnp.asarray([nq], jnp.int32),
+                checkpoints[b][None],
+                jnp.asarray([c0_top], jnp.int32),
+                w=w_blk,
+            )
+            ops, count, j_dev, level_dev = _walk_block(
+                mv, j_dev, level_dev, layout="lanes", w=w_blk,
+                k_rows=i1 - i0, width=n + 1,
+            )
+            tapes.append((ops, count))
+            continue
         if use_pallas:
             # Replay at stacked-kernel speed (B=1) with the checkpoint row
             # as row 0 and the global column-0 Iy value at the block's top

@@ -312,6 +312,80 @@ def test_lanes_moves_match_row_kernel_and_walk():
             assert tb_got == tb_want
 
 
+def test_lanes_boundary_injection_matches_row_fill():
+    """Block fills with an injected checkpoint row + column-0 Iy seed
+    (the linear_tb primitives): last rows, final3, move codes and the
+    block walk all match the row scan seeded with the same boundary."""
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.ops.fill_scan import default_boundary
+
+    rng = np.random.default_rng(17)
+    m, n, go = 30, 25, 4
+    cm, gid = _uniform_costing(4, 0, 5, 3, 2)
+    cmj = jnp.asarray(cm)
+    ta = np.zeros(m + 1, np.int32)
+    ta[1:] = rng.integers(1, 5, m)
+    tb = np.zeros(n + 1, np.int32)
+    tb[1:] = rng.integers(1, 5, n)
+
+    planes = np.asarray(
+        fill_rows.row_fill(
+            jnp.asarray(ta), jnp.asarray(tb), cmj, jnp.int32(gid),
+            jnp.int32(go), want_moves=False, want_planes=True,
+        ).planes
+    )
+    _, col0_g = default_boundary(
+        jnp.asarray(ta), jnp.asarray(tb), cmj, jnp.int32(gid), jnp.int32(go)
+    )
+    col0_g = np.asarray(col0_g)
+
+    for i0, i1, w in [(0, 13, 4), (11, 30, 4), (17, 24, 8)]:
+        blk_m = i1 - i0
+        ta_blk = np.zeros(blk_m + 1, np.int32)
+        ta_blk[1:] = ta[i0 + 1 : i1 + 1]
+        row0 = planes[:, i0, :]  # (3, n+1) checkpoint row
+        c0_top = int(go if i0 == 0 else col0_g[2, i0])
+
+        last = np.asarray(
+            fill_lanes.lanes_batch_last_rows(
+                jnp.asarray(ta_blk)[None], jnp.asarray(tb)[None],
+                0, 5, 3, 2, go,
+                jnp.asarray([blk_m], np.int32),
+                jnp.asarray([n], np.int32),
+                jnp.asarray(row0)[None],
+                jnp.asarray([c0_top], np.int32),
+                w=w, interpret=True,
+            )
+        )
+        assert (last[0][:, :n] == planes[:, i1, 1 : n + 1]).all(), (i0, i1)
+
+        # Moves: pin against the row scan seeded with the same boundary.
+        col0_blk = np.stack([col0_g[2, i0 : i1 + 1]] * 3)
+        res = fill_rows.row_fill(
+            jnp.asarray(ta_blk), jnp.asarray(tb), cmj, jnp.int32(gid),
+            jnp.int32(go), row0=jnp.asarray(row0),
+            col0=jnp.asarray(col0_blk), want_moves=True,
+        )
+        want_moves = np.asarray(res.moves)
+        f3, mv = fill_lanes.lanes_batch_moves(
+            jnp.asarray(ta_blk)[None], jnp.asarray(tb)[None],
+            0, 5, 3, 2, go,
+            jnp.asarray([blk_m], np.int32),
+            jnp.asarray([n], np.int32),
+            jnp.asarray(row0)[None],
+            jnp.asarray([c0_top], np.int32),
+            w=w, interpret=True,
+        )
+        got_moves = fill_lanes.lanes_moves_to_row(
+            np.asarray(mv), 1, n, w, blk_m
+        )[0]
+        assert (
+            got_moves[1 : blk_m + 1, 1 : n + 1]
+            == want_moves[1 : blk_m + 1, 1 : n + 1]
+        ).all(), (i0, i1, w)
+        assert (np.asarray(f3)[0] == np.asarray(res.final3)).all()
+
+
 def test_lanes_fill_cost_single_pair():
     """Scalar entry point, true lengths below buffer capacity."""
     rng = np.random.default_rng(3)

@@ -138,7 +138,12 @@ def test_blocked_pallas_replay_equals_full(monkeypatch):
     costing = scoring_mat_to_costing_mat(
         create_scoring_mat(alpha, 2, -3, -2), max_score=2
     )
-    cm = jnp.asarray(costing.values)
+    # A NON-uniform scheme keeps this test on its subject — the stacked
+    # moves kernel with boundary overrides — now that uniform schemes
+    # dispatch to the lane kernel (test_blocked_lanes_backend_equals_full).
+    cm_np = np.asarray(costing.values).copy()
+    cm_np[0, 1] = cm_np[1, 0] = 7
+    cm = jnp.asarray(cm_np)
     gid = jnp.int32(alpha.gap_id)
     go = jnp.int32(4)
     rng = np.random.default_rng(103)
@@ -201,3 +206,47 @@ def test_device_walk_matches_host_walker():
         j_exit = int(np.asarray(j_exit))
         assert all(op == linear_tb.OP_LEFT for op in exp[len(exp) - j_exit:])
         assert ops_np.tolist() == exp[: len(exp) - j_exit]
+
+
+def test_blocked_lanes_backend_equals_full(monkeypatch):
+    """The lane-kernel blocked path (boundary-injected checkpoint fills,
+    skewed-moves replay walked in place by _walk_block's lanes layout)
+    == the full-matrix traceback.  Pallas runs in interpret mode on CPU
+    via wrapped entry points; use_pallas is forced so align_blocked
+    takes the lanes branch for every block."""
+    from globalign_tpu.ops import fill_lanes
+
+    orig_lr = fill_lanes.lanes_batch_last_rows
+    orig_mv = fill_lanes.lanes_batch_moves
+    monkeypatch.setattr(
+        fill_lanes, "lanes_batch_last_rows",
+        lambda *a, **k: orig_lr(*a, **{**k, "interpret": True}),
+    )
+    monkeypatch.setattr(
+        fill_lanes, "lanes_batch_moves",
+        lambda *a, **k: orig_mv(*a, **{**k, "interpret": True}),
+    )
+
+    alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
+    costing = scoring_mat_to_costing_mat(
+        create_scoring_mat(alpha, 2, -3, -2), max_score=2
+    )
+    cm = jnp.asarray(costing.values)
+    gid = jnp.int32(alpha.gap_id)
+    go = jnp.int32(4)
+    rng = np.random.default_rng(31)
+    # Block heights must pass the moves drain guard over the 256-padded
+    # column grid (2*(S_p-1) <= block rows at the widest strip, i.e.
+    # blocks >= 16 rows here); align_blocked's adaptive default always
+    # does, and infeasible blocks fall back to the stacked kernel.
+    for block_rows, m, n in [(16, 48, 30), (21, 42, 61), (64, 120, 50)]:
+        s1 = "".join(rng.choice(list("ACGT"), m))
+        s2 = "".join(rng.choice(list("ACGT"), n))
+        ta = jnp.asarray(encode_padded(alpha, s1, m))
+        tb = jnp.asarray(encode_padded(alpha, s2, n))
+        t_full = _full_tb(ta, tb, cm, gid, go, s1, s2)
+        t_blk = linear_tb.align_blocked(
+            np.asarray(ta), tb, cm, gid, go, s1, s2,
+            block_rows=block_rows, use_pallas=True,
+        )
+        assert t_full == t_blk, (block_rows, m, n)
