@@ -399,10 +399,13 @@ def lanes_vmem_bytes(
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
     Rw = 1 if B == 1 else R
     tile = R * LANES * 4
-    total = (11 + 2 * w + 3 * w + w) * tile + 2 * _STAGE * Rw * LANES * 4
+    # 11 ring/history scratch + zbuf/vbuf (2w-1) + out (3w) + btab (w)
+    # + mtrue (1) + boundary-table inputs zrow/vrow/zj0/c0t (2w+2).
+    total = (14 + 8 * w) * tile + 2 * _STAGE * Rw * LANES * 4
     if moves:
-        # Code twins of zbuf/vbuf/zh plus the uint8 outbound staging.
-        total += (2 * w + 2) * tile + 2 * MBLK * w * R * LANES
+        # Code twins of zbuf/vbuf/zh (2w+2), their boundary-table
+        # inputs zcrow/vcrow/zcj0 (2w+1), and the uint8 staging.
+        total += (4 * w + 3) * tile + 2 * MBLK * w * R * LANES
     return total
 
 
@@ -411,27 +414,36 @@ def lanes_vmem_bytes(
 LANES_VMEM_BUDGET = 12 * 1024 * 1024
 
 
+def _w_candidates(B: int, n_pad: int) -> tuple[int, ...]:
+    """Strip-width candidates: powers of two plus the width that fills
+    the 8 sublanes exactly (strips ~ 1024, every VPU op one (8, 128)
+    tile — the issue-bound optimum).  w caps at 32: the kernel unrolls
+    w phases twice (light + capture loop), so wider strips inflate
+    Mosaic code size for little gain."""
+    w_full = min(32, max(4, -(-B * n_pad // 1024)))
+    return tuple(sorted({4, 8, 16, 32, w_full}))
+
+
+def _issue_cost(B: int, m: int, n_pad: int, w: int, moves: bool) -> int:
+    """Issue-bound instruction model: waves x (phases x ops x
+    sublane-tiles + per-wave overhead).  Constants validated against
+    the measured w-sweep at 1 kb / 10 kb on v5e (docs/PERF.md)."""
+    c_phase, c_wave = 17, 15
+    S_p, R = _lanes_geometry(B, n_pad, w, moves)
+    tiles = -(-R // 8)
+    return (m + 2 * (S_p - 1)) * (w * c_phase * tiles + c_wave)
+
+
 def pick_w(B: int, m: int, n_pad: int) -> int:
-    """Strip width minimizing the issue-bound instruction model:
-    waves x (phases x ops x sublane-tiles + per-wave overhead).
+    """Strip width minimizing the issue-bound instruction model.
 
     The kernel is VPU issue-bound (docs/PERF.md): each phase op covers
     all strips while R <= 8 sublanes, then splits into ceil(R/8) tiles;
-    drain waves scale with strips-per-pair.  Validated against the
-    measured w-sweep at 1 kb / 10 kb on v5e.
+    drain waves scale with strips-per-pair.
     """
-    c_phase, c_wave = 17, 15
     best_cost, best_w = None, DEFAULT_W
-    # Besides powers of two, consider the width that fills the 8
-    # sublanes exactly (strips ~ 1024): every VPU op then covers all
-    # strips in ONE (8, 128) tile — the issue-bound optimum.
-    w_full = min(32, max(4, -(-B * n_pad // 1024)))
-    # w caps at 32: the kernel unrolls w phases twice (light + capture
-    # loop), so wider strips inflate Mosaic code size for little gain.
-    for w in (4, 8, 16, 32, w_full):
-        S_p, R = _lanes_geometry(B, n_pad, w)
-        tiles = -(-R // 8)
-        cost = (m + 2 * (S_p - 1)) * (w * c_phase * tiles + c_wave)
+    for w in _w_candidates(B, n_pad):
+        cost = _issue_cost(B, m, n_pad, w, False)
         if best_cost is None or cost < best_cost:
             best_cost, best_w = cost, w
     return best_w
@@ -496,13 +508,11 @@ def lanes_plan(
             and bytes_l > MOVES_BYTES_ABS_FLOOR
         )
 
-    w_full = min(32, max(4, -(-tile * n_pad // 1024)))
     best = None
-    for wc in sorted({4, 8, 16, 32, w_full, w}):
+    for wc in sorted({*_w_candidates(tile, n_pad), w}):
         if not feasible(wc):
             continue
-        S_p, R = _lanes_geometry(tile, n_pad, wc, moves=True)
-        cost = (m_pad + 2 * (S_p - 1)) * (wc * 17 * -(-R // 8) + 15)
+        cost = _issue_cost(tile, m_pad, n_pad, wc, True)
         if best is None or cost < best[0]:
             best = (cost, wc)
     if best is None:
@@ -592,7 +602,6 @@ def _lanes_run(
     # q == 0 strips), c0t seeds the column-0 Iy accumulator.
     j0 = q * w  # (S,) column before each strip's first
     dd = jnp.asarray(dcost, jnp.int32)
-    icc = jnp.asarray(icost, jnp.int32)
     if row0 is None:
         zrow = (go + jloc * dd).reshape(w, R, LANES)
         vrow = (2 * go + jloc * dd).reshape(w, R, LANES)

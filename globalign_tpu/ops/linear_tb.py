@@ -34,10 +34,9 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 
+from .fill_pallas import LANES
 from .fill_rows import row_fill
 from .fill_scan import BIG, default_boundary
-
-LANES_WALK = 128  # lane width of the skewed lanes-kernel moves layout
 from .traceback import (
     GAP_CHAR,
     GAP_GLYPH,
@@ -124,8 +123,8 @@ def _walk_block(moves, j_entry, level_entry, layout="row", w=0, k_rows=0,
             qq = jc // w
             row = (i_l - 1 + 2 * qq) * w + jc % w
             code = moves[
-                jnp.minimum(row, moves.shape[0] - 1), qq // LANES_WALK,
-                qq % LANES_WALK,
+                jnp.minimum(row, moves.shape[0] - 1), qq // LANES,
+                qq % LANES,
             ].astype(jnp.int32)
         boundary = j == 0
         is_m = level == 0
@@ -227,6 +226,14 @@ def align_blocked(
 
         uni = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
 
+    def _c0_top(i0: int) -> int:
+        """Column-0 Iy seed at a block's top row: rows add their icost
+        on top, so the top block (whose col0[2, 0] is the 0 corner)
+        seeds gap_open."""
+        return (
+            int(np.asarray(gap_open)) if i0 == 0 else int(col0_np[2, i0])
+        )
+
     def _lanes_block_ckpt(ta_blk, state, i0, i1):
         """Checkpoint fill of one block on the lane kernel, or None."""
         from . import fill_lanes
@@ -236,7 +243,7 @@ def align_blocked(
         if plan is None:
             return None
         w_blk = plan[0]
-        c0_top = int(np.asarray(gap_open)) if i0 == 0 else int(col0_np[2, i0])
+        c0_top = _c0_top(i0)
         last = fill_lanes.lanes_batch_last_rows(
             ta_blk[None], tok_b[None],
             uni[0], uni[1], uni[2], uni[3], int(np.asarray(gap_open)),
@@ -259,13 +266,13 @@ def align_blocked(
     for b in range(nblocks):
         i0, i1 = bounds[b], bounds[b + 1]
         ta_blk = _block_tokens(tok_a_np, i0, i1)
-        col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
         if use_pallas and uni is not None:
             lanes_last = _lanes_block_ckpt(ta_blk, state, i0, i1)
             if lanes_last is not None:
                 state = lanes_last
                 checkpoints.append(state)
                 continue
+        col0y_blk = jnp.asarray(col0_np[2, i0 : i1 + 1])
         if use_pallas:
             from .fill_pallas import row_fill_last_rows
 
@@ -301,15 +308,20 @@ def align_blocked(
     # ON DEVICE (_walk_block); consecutive walks chain through device
     # scalars, so the whole replay dispatches without a host sync and the
     # only host traffic is the final O(m + n) op tapes.
+    # Stacked-kernel feasibility is checked SEPARATELY from the lanes
+    # dispatch: very wide pairs can fit the lane kernel while the
+    # stacked moves kernel does not.
     if use_pallas:
         from .fill_pallas import _stacked_tile_size
 
-        use_pallas = (
+        stacked_ok = (
             _stacked_tile_size(
                 1, nq, int(np.asarray(cost_mat).shape[0]), moves=True
             )
             >= 1
         )
+    else:
+        stacked_ok = False
 
     j_dev = jnp.int32(n)
     level_dev = jnp.int32(int(final3.argmin()))
@@ -327,10 +339,7 @@ def align_blocked(
             # Lane-kernel replay: the skewed moves buffer is walked IN
             # PLACE on device (no unskew, no host traffic).
             w_blk = plan[0]
-            c0_top = (
-                int(np.asarray(gap_open)) if i0 == 0
-                else int(col0_np[2, i0])
-            )
+            c0_top = _c0_top(i0)
             _, mv = fill_lanes.lanes_batch_moves(
                 ta_blk[None], tok_b[None],
                 uni[0], uni[1], uni[2], uni[3], int(np.asarray(gap_open)),
@@ -346,7 +355,7 @@ def align_blocked(
             )
             tapes.append((ops, count))
             continue
-        if use_pallas:
+        if stacked_ok:
             # Replay at stacked-kernel speed (B=1) with the checkpoint row
             # as row 0 and the global column-0 Iy value at the block's top
             # row seeding the in-kernel accumulator.
@@ -363,10 +372,7 @@ def align_blocked(
                 checkpoints[b][None],
                 # Accumulator seed: rows add their icost on top, so the top
                 # block (whose col0[2, 0] is the 0 corner) seeds gap_open.
-                jnp.asarray(
-                    [int(np.asarray(gap_open)) if i0 == 0 else col0_np[2, i0]],
-                    jnp.int32,
-                ),
+                jnp.asarray([_c0_top(i0)], jnp.int32),
             )
             moves_blk = moves_d[0]
         else:
