@@ -135,3 +135,63 @@ def test_two_process_batch_cli_distributed(tmp_path):
     assert sorted(rows) == list(range(16))
     for i, r in enumerate(want):
         assert rows[i] == (r.cost, r.score), i
+
+
+def test_two_process_distributed_traceback(tmp_path):
+    """--distributed WITH tracebacks: two processes produce per-shard
+    alignment + CIGAR columns that match the single-process result
+    exactly (deterministic tie order makes strings comparable)."""
+    from tests.multihost_harness import _pairs
+    from globalign_tpu.batch import align_pairs
+
+    pairs = _pairs()
+    tsv = tmp_path / "pairs.tsv"
+    tsv.write_text("".join(f"{a}\t{b}\n" for a, b in pairs))
+    out = tmp_path / "out.tsv"
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(REPO) + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "globalign_tpu.batch_cli",
+                "--pairs_tsv", str(tsv), "-o", str(out),
+                "--platform", "cpu", "--chunk_pairs", "4",
+                "--with_traceback", "--cigar",
+                "--distributed",
+                "--coordinator_address", f"localhost:{port}",
+                "--num_processes", "2", "--process_id", str(pid),
+            ],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            cwd=REPO,
+            env=env,
+        )
+        for pid in (0, 1)
+    ]
+    for p in procs:
+        try:
+            _, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, err[-3000:]
+
+    rows = {}
+    for k in (0, 1):
+        part = out.with_name(out.name + f".part{k}")
+        for line in part.read_text().splitlines():
+            fields = line.split("\t")
+            rows[int(fields[0])] = fields[1:]
+    want = align_pairs(pairs, with_traceback=True)
+    assert sorted(rows) == list(range(len(pairs)))
+    for i, r in enumerate(want):
+        # Row: cost, score, aligned_1, middle, aligned_2, cigar.
+        assert rows[i] == [
+            str(r.cost), str(r.score),
+            r.seq_1_aligned, r.middle_part, r.seq_2_aligned, r.cigar(),
+        ], i
