@@ -60,13 +60,14 @@ def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
     )
 
     if _use_pallas():
+        from .ops import fill_lanes
+
         uni = uniform_scheme_params(
             scheme.costing.values, scheme.alphabet.gap_id
         )
-        if uni is not None:
-            from .ops import fill_lanes
-
-            plan = fill_lanes.lanes_plan(128, m, n, moves=True)
+        asel = 0 if uni is not None else scheme.alphabet.size
+        if asel <= fill_lanes.LANES_MAX_ALPHABET:
+            plan = fill_lanes.lanes_plan(128, m, n, moves=True, asel=asel)
             if plan is not None:
                 w, tile = plan
                 return -(

@@ -156,13 +156,22 @@ class GotohAligner:
         kernel's skewed (wave, phase, strip) buffer for uniform schemes,
         the stacked moves kernel's 8-aligned 128-lane column padding
         when that kernel fits, else the row scan's logical width."""
-        if self.use_pallas and self._uniform() is not None:
+        if self.use_pallas:
             from ..ops import fill_lanes
 
-            m_pad, n_pad = self._pad_len(m), self._pad_len(n)
-            plan = fill_lanes.lanes_plan(1, m_pad, n_pad, moves=True)
-            if plan is not None:
-                return fill_lanes.lanes_moves_bytes(1, m_pad, n_pad, plan[0])
+            asel = (
+                0 if self._uniform() is not None
+                else self.scheme.alphabet.size
+            )
+            if asel <= fill_lanes.LANES_MAX_ALPHABET:
+                m_pad, n_pad = self._pad_len(m), self._pad_len(n)
+                plan = fill_lanes.lanes_plan(
+                    1, m_pad, n_pad, moves=True, asel=asel
+                )
+                if plan is not None:
+                    return fill_lanes.lanes_moves_bytes(
+                        1, m_pad, n_pad, plan[0]
+                    )
         if self.use_pallas and self._moves_kernel_fits(n):
             from ..ops.fill_pallas import LANES, _stacked_r
 
@@ -184,11 +193,10 @@ class GotohAligner:
                 seq_2,
                 use_pallas=self.use_pallas,
             )
-        elif self.use_pallas and (
-            self._uniform() is not None or self._moves_kernel_fits(n)
-        ):
-            # batch_moves dispatches the moves-emitting lane kernel for
-            # uniform schemes and the stacked moves kernel otherwise.
+        elif self.use_pallas:
+            # batch_moves dispatches the moves-emitting lane kernel
+            # (uniform or small-alphabet general schemes) or the stacked
+            # moves kernel, and returns None when neither fits.
             from ..ops.fill_pallas import batch_moves
 
             tok_a, tok_b = self._encode(seq_1, seq_2)

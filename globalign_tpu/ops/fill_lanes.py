@@ -38,13 +38,15 @@ Per-pair true lengths are TRACED: a per-strip ``m_true`` splat gates a
 masked read-modify-write of the output row (same idiom as the stacked
 kernels), and ``n_true`` picks the final column on the host side.
 
-Restrictions: uniform ("simple") costing schemes only — one match cost,
-one mismatch cost, one gap-extension cost per direction (the family
-:func:`fill_pallas.uniform_scheme_params` recognizes; general matrices
-would need an in-loop gather).  Cost-only: no move codes are emitted
-(the traceback path keeps the row kernels, whose moves mode is nearly
-free).  Exactness is pinned bit-for-bit against the ``fill_scan`` oracle
-by tests/test_fill_lanes.py.
+Scheme support: uniform ("simple") schemes take the scalar fast path
+(:func:`fill_pallas.uniform_scheme_params` family); GENERAL costing
+matrices up to ``LANES_MAX_ALPHABET`` tokens (BLOSUM included) take the
+select-chain mode — Mosaic has no per-lane gather, so the substitution
+is an alphabet-deep chain of compare-selects over per-(phase, token)
+tables, with per-row gap costs riding the inject stream (see
+``_make_lane_kernel``).  Move codes stream in both modes.  Exactness is
+pinned bit-for-bit against the ``fill_scan`` oracle and the row scan by
+tests/test_fill_lanes.py.
 
 Replaces the reference's interpreted fill (globaligner.py:366-392) on
 the cost path for simple schemes.  Measured on v5e (within-one-run
@@ -73,10 +75,21 @@ MBLK = 8  # waves of move codes per outbound DMA block (moves mode)
 
 
 def _make_lane_kernel(
-    w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False
+    w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False,
+    asel: int = 0,
 ):
     """Build the kernel for ``w``-wide strips, ``R`` lane-chunks of
     strips, ``S_p`` strips per pair, inject tile width ``Rw``.
+
+    ``asel`` > 0 enables GENERAL costing matrices (alphabet size asel,
+    any substitution/gap structure, traced values): substitution costs
+    come from a per-(phase, token) table via an asel-deep select chain,
+    the per-column gap-extension from ``dtab``, and the per-ROW
+    gap-extension + column-0 boundary values ride the inject stream as
+    three extra planes (they depend on seq_1's characters, so they
+    pipeline down the strips exactly like the tokens).  asel == 0 is
+    the uniform-scheme fast path (2 ops for substitution instead of
+    2*asel, scalar gap costs).
 
     ``clamp`` keeps the per-phase ``min(..., BIG)`` saturation of the
     oracle recurrence; the host drops it (2 fewer VPU ops per cell)
@@ -98,22 +111,33 @@ def _make_lane_kernel(
     clamped row kernel's (no optimal path visits one — same caveat as
     fill_pallas's stacked moves kernel)."""
 
+    # Inject planes per wave: token only (uniform), or token + row
+    # icost + col-0 Iy at i and i-1 (general).
+    IP = 1 if asel == 0 else 4
+
     def kernel(*refs):
+        refs = list(refs)
+        (params_ref, btab_ref, mtrue_ref, zrow_ref, vrow_ref,
+         zj0_ref, c0t_ref) = refs[:7]
+        del refs[:7]
+        if asel > 0:
+            ctab_ref, dtab_ref = refs[:2]
+            del refs[:2]
         if moves:
-            (
-                params_ref, btab_ref, mtrue_ref, zrow_ref, vrow_ref,
-                zj0_ref, c0t_ref, zcrow_ref, vcrow_ref, zcj0_ref, inj_hbm,
-                out_ref, mv_hbm,
-                ah, emh, exh, eyh, zh, zbuf_s, vbuf_s, stage_s, sems,
-                zcb, vcb, zch, mst, osems,
-            ) = refs
-        else:
-            (
-                params_ref, btab_ref, mtrue_ref, zrow_ref, vrow_ref,
-                zj0_ref, c0t_ref, inj_hbm,
-                out_ref,
-                ah, emh, exh, eyh, zh, zbuf_s, vbuf_s, stage_s, sems,
-            ) = refs
+            zcrow_ref, vcrow_ref, zcj0_ref = refs[:3]
+            del refs[:3]
+        inj_hbm = refs.pop(0)
+        out_ref = refs.pop(0)
+        if moves:
+            mv_hbm = refs.pop(0)
+        ah, emh, exh, eyh, zh, zbuf_s, vbuf_s = refs[:7]
+        del refs[:7]
+        if asel > 0:
+            ich = refs.pop(0)  # (2, R, 128) row-icost pipeline ring
+        stage_s, sems = refs[:2]
+        del refs[:2]
+        if moves:
+            zcb, vcb, zch, mst, osems = refs
         # params_ref: (1, 7) SMEM — waves G, gap_open, cmatch, cmismatch,
         #   dcost, icost, m_min
         # btab_ref: (w, R, 128) VMEM — seq_2 token of strip s, phase p
@@ -184,7 +208,7 @@ def _make_lane_kernel(
 
         def dma(blk, slot):
             return pltpu.make_async_copy(
-                inj_hbm.at[pl.ds(blk * _STAGE, _STAGE)],
+                inj_hbm.at[pl.ds(blk * _STAGE * IP, _STAGE * IP)],
                 stage_s.at[slot],
                 sems.at[slot],
             )
@@ -215,11 +239,13 @@ def _make_lane_kernel(
                         # Block blk-1 is fully consumed; its slot is free.
                         dma(blk + 1, jax.lax.rem(blk + 1, 2)).start()
 
-                inj = stage_s[slot, jax.lax.rem(g, _STAGE)]
-                if Rw == 1:
-                    a_inj = jnp.broadcast_to(inj, (R, LANES))
-                else:
-                    a_inj = inj
+                def plane(t):
+                    v = stage_s[slot, jax.lax.rem(g, _STAGE) * IP + t]
+                    if Rw == 1:
+                        return jnp.broadcast_to(v, (R, LANES))
+                    return v
+
+                a_inj = plane(0)
 
                 i_t = (g + 1) - 2 * q_t  # this strip's DP row this wave
                 active = i_t >= 1
@@ -245,12 +271,22 @@ def _make_lane_kernel(
                 a_cur = jnp.where(q0, a_inj, shift1(ah[g2], fill=0))
                 mp0 = jnp.where(q0, big, shift1(emh[g2]))
                 xp0 = jnp.where(q0, big, shift1(exh[g2]))
-                c0t = c0t_ref[:, :]
-                yp0 = jnp.where(q0, c0t + i_t * ic, shift1(eyh[g2]))
+                if asel == 0:
+                    ic_cur = ic
+                    c0t = c0t_ref[:, :]
+                    c0y_i = c0t + i_t * ic
+                    c0y_im1 = c0t + (i_t - 1) * ic
+                else:
+                    # Row icost pipelines down the strips like the
+                    # tokens; col-0 Iy values are consumed at q0 only.
+                    ic_cur = jnp.where(q0, plane(1), shift1(ich[g2]))
+                    c0y_i = plane(2)
+                    c0y_im1 = plane(3)
+                yp0 = jnp.where(q0, c0y_i, shift1(eyh[g2]))
                 zdiag0 = jnp.where(
                     i_t == 1,
                     zj0_ref[:, :],
-                    jnp.where(q0, c0t + (i_t - 1) * ic, shift1(zh[g3])),
+                    jnp.where(q0, c0y_im1, shift1(zh[g3])),
                 )
                 if moves:
                     # Diagonal predecessor's min3-argmin for phase 0:
@@ -271,11 +307,24 @@ def _make_lane_kernel(
                 for p in range(w):
                     zdiag = zdiag0 if p == 0 else zbuf_s[p - 1]
                     vprev = vbuf_s[p]
-                    sub = jnp.where(a_cur == btab_ref[p], cmatch, cmismatch)
+                    if asel == 0:
+                        sub = jnp.where(
+                            a_cur == btab_ref[p], cmatch, cmismatch
+                        )
+                        d_p = d
+                    else:
+                        # General substitution: select-chain over the
+                        # token values (ctab[p, k] = cost(k, b_{s,p})).
+                        sub = ctab_ref[p * asel]
+                        for k in range(1, asel):
+                            sub = jnp.where(
+                                a_cur == k, ctab_ref[p * asel + k], sub
+                            )
+                        d_p = dtab_ref[p]
                     m_new = zdiag + sub
-                    y_new = vprev + ic
+                    y_new = vprev + ic_cur
                     mpgo = jnp.minimum(mp, yp) + go
-                    x_new = jnp.minimum(mpgo, xp) + d
+                    x_new = jnp.minimum(mpgo, xp) + d_p
                     mx = jnp.minimum(m_new, x_new)
                     z_new = jnp.minimum(mx, y_new)
                     v_new = jnp.minimum(mx + go, y_new)
@@ -330,6 +379,8 @@ def _make_lane_kernel(
                 exh[g2] = xp
                 eyh[g2] = yp
                 ah[g2] = a_cur
+                if asel > 0:
+                    ich[g2] = ic_cur
                 if moves:
                     zch[g3] = cz_prev
 
@@ -393,7 +444,8 @@ def _lanes_geometry(
 
 
 def lanes_vmem_bytes(
-    B: int, n_pad: int, w: int = DEFAULT_W, moves: bool = False
+    B: int, n_pad: int, w: int = DEFAULT_W, moves: bool = False,
+    asel: int = 0,
 ) -> int:
     """Approximate kernel VMEM working set (budget check for dispatch)."""
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
@@ -406,6 +458,11 @@ def lanes_vmem_bytes(
         # Code twins of zbuf/vbuf/zh (2w+2), their boundary-table
         # inputs zcrow/vcrow/zcj0 (2w+1), and the uint8 staging.
         total += (4 * w + 3) * tile + 2 * MBLK * w * R * LANES
+    if asel > 0:
+        # General mode: ctab + dtab + the ich ring, and the inject
+        # stage carries 4 planes instead of 1.
+        total += (w * asel + w + 2) * tile
+        total += 2 * _STAGE * 3 * Rw * LANES * 4
     return total
 
 
@@ -424,11 +481,14 @@ def _w_candidates(B: int, n_pad: int) -> tuple[int, ...]:
     return tuple(sorted({4, 8, 16, 32, w_full}))
 
 
-def _issue_cost(B: int, m: int, n_pad: int, w: int, moves: bool) -> int:
+def _issue_cost(
+    B: int, m: int, n_pad: int, w: int, moves: bool, asel: int = 0
+) -> int:
     """Issue-bound instruction model: waves x (phases x ops x
     sublane-tiles + per-wave overhead).  Constants validated against
-    the measured w-sweep at 1 kb / 10 kb on v5e (docs/PERF.md)."""
-    c_phase, c_wave = 17, 15
+    the measured w-sweep at 1 kb / 10 kb on v5e (docs/PERF.md).
+    General matrices add a 2-op select per alphabet character."""
+    c_phase, c_wave = 17 + 2 * asel, 15
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
     tiles = -(-R // 8)
     return (m + 2 * (S_p - 1)) * (w * c_phase * tiles + c_wave)
@@ -470,8 +530,14 @@ MOVES_BYTES_INFLATION_CAP = 4.0
 MOVES_BYTES_ABS_FLOOR = 256 * 1024 * 1024
 
 
+# Largest alphabet the general-matrix select chain stays worthwhile
+# for (BLOSUM's 25 tokens included: ~67 ops/cell still beats the scan
+# kernels' throughput on the batch axis, docs/PERF.md).
+LANES_MAX_ALPHABET = 26
+
+
 def lanes_plan(
-    B: int, m_pad: int, n_pad: int, moves: bool = False
+    B: int, m_pad: int, n_pad: int, moves: bool = False, asel: int = 0
 ) -> tuple[int, int] | None:
     """Dispatch plan ``(w, tile)`` for a (padded) batch geometry, or
     None when even a single pair's working set exceeds the VMEM budget
@@ -481,14 +547,14 @@ def lanes_plan(
     Deterministic in the padded shapes only, so a host wrapper and a
     shard_map body recompute the identical plan."""
     w = pick_w(B, m_pad, n_pad)
-    tile = lanes_tile_size(B, n_pad, w, moves)
+    tile = lanes_tile_size(B, n_pad, w, moves, asel)
     if tile < B:
         # The batch splits: re-pick the width for the tile the kernel
         # actually runs, then re-fit the tile to that width.
         w = pick_w(tile, m_pad, n_pad)
-        tile = lanes_tile_size(tile, n_pad, w, moves)
+        tile = lanes_tile_size(tile, n_pad, w, moves, asel)
     if not moves:
-        if lanes_vmem_bytes(tile, n_pad, w, moves) > LANES_VMEM_BUDGET:
+        if lanes_vmem_bytes(tile, n_pad, w, moves, asel) > LANES_VMEM_BUDGET:
             return None
         return w, tile
 
@@ -496,7 +562,8 @@ def lanes_plan(
     # (short blocks over wide rows — fewer, wider strips fix it), so
     # choose the model-best width among the FEASIBLE candidates.
     def feasible(wc):
-        if lanes_vmem_bytes(tile, n_pad, wc, moves=True) > LANES_VMEM_BUDGET:
+        if lanes_vmem_bytes(tile, n_pad, wc, moves=True, asel=asel) \
+                > LANES_VMEM_BUDGET:
             return False
         S_p, _ = _lanes_geometry(tile, n_pad, wc, moves=True)
         if 2 * (S_p - 1) > m_pad:
@@ -512,7 +579,7 @@ def lanes_plan(
     for wc in sorted({*_w_candidates(tile, n_pad), w}):
         if not feasible(wc):
             continue
-        cost = _issue_cost(tile, m_pad, n_pad, wc, True)
+        cost = _issue_cost(tile, m_pad, n_pad, wc, True, asel)
         if best is None or cost < best[0]:
             best = (cost, wc)
     if best is None:
@@ -520,13 +587,16 @@ def lanes_plan(
     return best[1], tile
 
 
-def lanes_tile_size(B: int, n_pad: int, w: int, moves: bool = False) -> int:
+def lanes_tile_size(
+    B: int, n_pad: int, w: int, moves: bool = False, asel: int = 0
+) -> int:
     """Largest per-call pair count whose working set fits the VMEM
     budget (the batch dispatcher splits bigger batches into tiles)."""
-    if lanes_vmem_bytes(B, n_pad, w, moves) <= LANES_VMEM_BUDGET:
+    if lanes_vmem_bytes(B, n_pad, w, moves, asel) <= LANES_VMEM_BUDGET:
         return B
     t = B
-    while t > 1 and lanes_vmem_bytes(t, n_pad, w, moves) > LANES_VMEM_BUDGET:
+    while t > 1 and lanes_vmem_bytes(t, n_pad, w, moves, asel) \
+            > LANES_VMEM_BUDGET:
         t //= 2
     return t
 
@@ -547,30 +617,41 @@ def _lanes_run(
     moves,
     row0=None,
     col0y_top=None,
+    cost_mat=None,
+    gap_id=None,
 ):
     """Shared kernel launch: (final3 (B, 3), skewed moves or None).
 
     ``row0`` ((B, 3, >= n_pad+1) int32) and ``col0y_top`` ((B,) int32)
     inject a block's boundary: the triple row above the block and the
-    column-0 Iy value at its top row (Iy(i, 0) = col0y_top + i*icost,
-    M/Ix stay BIG — the global column-0 structure, offset per block).
-    Injected callers must pass m_true >= 1 (the row-0 output seeds are
-    not re-derived from the injection)."""
+    column-0 Iy value at its top row (the global column-0 structure,
+    offset per block).  Injected callers must pass m_true >= 1 (the
+    row-0 output seeds are not re-derived from the injection).
+
+    ``cost_mat``/``gap_id`` switch to GENERAL-matrix mode (asel =
+    alphabet size, any substitution/gap structure, values may be
+    traced); the ``cmatch..icost`` scalars are then ignored."""
     B, m1 = tok_a_ext.shape
     n_pad = tok_b_ext.shape[1] - 1
     m_pad = m1 - 1
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
     Rw = 1 if B == 1 else R
+    asel = 0 if cost_mat is None else int(cost_mat.shape[0])
 
-    # Unclamped values are BIG plus a path cost bounded by per-step edge
-    # costs over at most G_cap + n_pad + 2 steps; drop the clamps only
-    # when that provably fits int32 (always, for realistic schemes).
-    step = max(
-        abs(int(cmatch)), abs(int(cmismatch)), abs(int(dcost)),
-        abs(int(icost)),
-    ) + abs(int(gap_open))
-    worst = (m_pad + 2 * (S_p - 1) + n_pad + 2) * step
-    clamp = int(BIG) + worst >= 2**31
+    if asel > 0:
+        # Traced costs: no static headroom proof — keep the clamps.
+        clamp = True
+    else:
+        # Unclamped values are BIG plus a path cost bounded by per-step
+        # edge costs over at most G_cap + n_pad + 2 steps; drop the
+        # clamps only when that provably fits int32 (always, for
+        # realistic schemes).
+        step = max(
+            abs(int(cmatch)), abs(int(cmismatch)), abs(int(dcost)),
+            abs(int(icost)),
+        ) + abs(int(gap_open))
+        worst = (m_pad + 2 * (S_p - 1) + n_pad + 2) * step
+        clamp = int(BIG) + worst >= 2**31
     if force_clamp is not None:  # test hook: pin either kernel variant
         clamp = force_clamp
 
@@ -601,11 +682,35 @@ def _lanes_run(
     # seeds, zj0 is the phase-0 diagonal of row 1 (pair corners at the
     # q == 0 strips), c0t seeds the column-0 Iy accumulator.
     j0 = q * w  # (S,) column before each strip's first
-    dd = jnp.asarray(dcost, jnp.int32)
+    jc = jnp.minimum(jloc, n_pad)
+    j0c = jnp.minimum(j0, n_pad)
+    if asel > 0:
+        cmj = jnp.asarray(cost_mat, jnp.int32)
+        gid = jnp.asarray(gap_id, jnp.int32)
+        # Per-column gap-extension prefix D(j) = sum dcost(b_1..b_j)
+        # and per-row icost / column-0 Iy accumulators (reference
+        # make_dp_array boundary structure, generalized).
+        dsteps = cmj[gid, tok_b_i]
+        D = jnp.cumsum(dsteps.at[:, 0].set(0), axis=1)  # (B, n_pad+1)
+        ics = cmj[jnp.asarray(tok_a_ext, jnp.int32), gid]  # (B, m1)
+        c0_base = (
+            go if col0y_top is None
+            else jnp.asarray(col0y_top, jnp.int32)[:, None]
+        )
+        c0y = c0_base + jnp.cumsum(ics.at[:, 0].set(0), axis=1)  # (B, m1)
     if row0 is None:
-        zrow = (go + jloc * dd).reshape(w, R, LANES)
-        vrow = (2 * go + jloc * dd).reshape(w, R, LANES)
-        zj0 = jnp.where(q == 0, 0, go + j0 * dd).reshape(R, LANES)
+        if asel > 0:
+            zr = go + D[pairc[None, :], jc]
+            zrow = zr.reshape(w, R, LANES)
+            vrow = (zr + go).reshape(w, R, LANES)
+            zj0 = jnp.where(
+                q == 0, 0, go + D[pairc, j0c]
+            ).reshape(R, LANES)
+        else:
+            dd = jnp.asarray(dcost, jnp.int32)
+            zrow = (go + jloc * dd).reshape(w, R, LANES)
+            vrow = (2 * go + jloc * dd).reshape(w, R, LANES)
+            zj0 = jnp.where(q == 0, 0, go + j0 * dd).reshape(R, LANES)
         c0t = jnp.full((R, LANES), go, jnp.int32)
         if moves:
             # Row 0's min3 / gap-open argmin is Ix everywhere (triple
@@ -620,10 +725,8 @@ def _lanes_run(
         v0 = jnp.minimum(
             jnp.minimum(r0[:, 0], r0[:, 1]) + go, r0[:, 2]
         )
-        jc = jnp.minimum(jloc, n_pad)
         zrow = z0[pairc[None, :], jc].reshape(w, R, LANES)
         vrow = v0[pairc[None, :], jc].reshape(w, R, LANES)
-        j0c = jnp.minimum(j0, n_pad)
         zj0 = z0[pairc, j0c].reshape(R, LANES)
         c0t = jnp.asarray(col0y_top, jnp.int32)[pairc].reshape(R, LANES)
         if moves:
@@ -646,16 +749,39 @@ def _lanes_run(
     G_cap = m_pad + 2 * (S_p - 1)  # static worst case
     nblocks = -(-max(1, G_cap) // _STAGE)
     G_rows = (nblocks + 2) * _STAGE
-    toka_pad = jnp.pad(
-        tok_a_i, ((0, 0), (0, max(0, G_rows + 1 - m1))), mode="edge"
-    )[:, 1 : G_rows + 1]
-    if B == 1:
-        # One pair: every strip-0 lane takes the same token, so a
-        # single broadcast row suffices (the kernel re-broadcasts the
-        # (1, 128) staged tile across chunks).
-        inj = jnp.broadcast_to(toka_pad[0][:, None, None], (G_rows, 1, LANES))
+    def _inj_plane(mat):
+        """(B, >= G_rows+1) per-pair values -> (G_rows, Rw, LANES)
+        staged rows.  For B == 1 every strip-0 lane takes the same
+        value, so a single broadcast row suffices (the kernel
+        re-broadcasts the (1, 128) staged tile across chunks)."""
+        padded = jnp.pad(
+            mat, ((0, 0), (0, max(0, G_rows + 1 - mat.shape[1]))),
+            mode="edge",
+        )
+        if B == 1:
+            return jnp.broadcast_to(
+                padded[0, 1 : G_rows + 1][:, None, None],
+                (G_rows, 1, LANES),
+            )
+        return padded[pairc.reshape(R, LANES)[:Rw], 1 : G_rows + 1] \
+            .transpose(2, 0, 1)
+
+    if asel == 0:
+        inj = _inj_plane(tok_a_i)
     else:
-        inj = toka_pad[pairc.reshape(R, LANES)[:Rw], :].transpose(2, 0, 1)
+        # Planes per wave: token, row icost, col-0 Iy at rows i and
+        # i-1 (the last consumed only for i >= 2 — row 1 reads zj0).
+        inj = jnp.stack(
+            [
+                _inj_plane(tok_a_i),
+                _inj_plane(ics),
+                _inj_plane(c0y),
+                _inj_plane(
+                    jnp.pad(c0y, ((0, 0), (1, 0)), mode="edge")[:, :-1]
+                ),
+            ],
+            axis=1,
+        ).reshape(G_rows * 4, Rw, LANES)
     inj = inj + jnp.zeros((1, 1, 1), jnp.int32)  # materialize the broadcast
 
     params = jnp.stack(
@@ -680,7 +806,12 @@ def _lanes_run(
         pltpu.VMEM((3, R, LANES), jnp.int32),  # zh
         pltpu.VMEM((max(w - 1, 1), R, LANES), jnp.int32),  # zbuf
         pltpu.VMEM((w, R, LANES), jnp.int32),  # vbuf
-        pltpu.VMEM((2, _STAGE, Rw, LANES), jnp.int32),  # inject stage
+    ]
+    if asel > 0:
+        scratch.append(pltpu.VMEM((2, R, LANES), jnp.int32))  # ich
+    ip = 1 if asel == 0 else 4
+    scratch += [
+        pltpu.VMEM((2, _STAGE * ip, Rw, LANES), jnp.int32),  # inject stage
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if moves:
@@ -702,6 +833,13 @@ def _lanes_run(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 6
     args = [params, btab, mtrue_tile, zrow, vrow, zj0, c0t]
+    if asel > 0:
+        # ctab[p*asel + k] = cost(k, b_{s, p}); dtab[p] = dcost(b_{s, p}).
+        ctab = cmj[jnp.arange(asel, dtype=jnp.int32)][:, btab]
+        ctab = ctab.transpose(1, 0, 2, 3).reshape(w * asel, R, LANES)
+        dtab = cmj[gid, btab]
+        in_specs += [vmem] * 2
+        args += [ctab, dtab]
     if moves:
         in_specs += [vmem] * 3
         args += [zcrow, vcrow, zcj0]
@@ -709,7 +847,7 @@ def _lanes_run(
     args.append(inj)
 
     res = pl.pallas_call(
-        _make_lane_kernel(w, R, S_p, Rw, clamp, moves=moves),
+        _make_lane_kernel(w, R, S_p, Rw, clamp, moves=moves, asel=asel),
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -729,19 +867,86 @@ def _lanes_run(
         flat, col[None, :, None], axis=2
     )[:, :, 0].T  # (B, 3)
     # n_true == 0 reduces to the column-0 boundary of row m_true:
-    # (BIG, BIG, go + m*ic), or the (0, 0, 0) corner when m_true == 0.
-    # (Global-boundary formula — injected callers pass n_true >= 1.)
+    # (BIG, BIG, col-0 Iy at m_true), or (0, 0, 0) when m_true == 0.
+    # (Global-boundary values — injected callers pass n_true >= 1.)
+    if asel > 0:
+        iy_m = jnp.take_along_axis(
+            c0y, jnp.minimum(m_true, m_pad)[:, None], axis=1
+        )[:, 0]
+    else:
+        iy_m = go + m_true * jnp.asarray(icost, jnp.int32)
     m0 = m_true == 0
     b0 = jnp.stack(
         [
             jnp.where(m0, 0, BIG),
             jnp.where(m0, 0, BIG),
-            jnp.where(m0, 0, go + m_true * jnp.asarray(icost, jnp.int32)),
+            jnp.where(m0, 0, iy_m),
         ],
         axis=-1,
     )
     final3 = jnp.where((n_true == 0)[:, None], b0, final3)
     return final3, flat, mv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "interpret", "force_clamp")
+)
+def lanes_general_final3(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+) -> jax.Array:
+    """(B, 3) final DP lanes — GENERAL costing matrices on the lane
+    kernel (any substitution/gap structure; values may be traced, e.g.
+    inside shard_map — only the alphabet size is static, via the
+    matrix's shape).  Substitution pays a select chain over the
+    alphabet, so this wins for small alphabets and stays ahead of the
+    scan kernels up to BLOSUM-sized ones (docs/PERF.md)."""
+    final3, _, _ = _lanes_run(
+        jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
+        0, 0, 0, 0, gap_open,
+        m_true, n_true, w, interpret, force_clamp, moves=False,
+        cost_mat=jnp.asarray(cost_mat, jnp.int32), gap_id=gap_id,
+    )
+    return final3
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "interpret", "force_clamp")
+)
+def lanes_general_moves(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    row0: jax.Array | None = None,
+    col0y_top: jax.Array | None = None,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+):
+    """General-matrix traceback-capable fill: (final3, skewed moves) —
+    the :func:`lanes_batch_moves` contract for any costing matrix."""
+    final3, _, mv = _lanes_run(
+        jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
+        0, 0, 0, 0, gap_open,
+        m_true, n_true, w, interpret, force_clamp, moves=True,
+        row0=row0, col0y_top=col0y_top,
+        cost_mat=jnp.asarray(cost_mat, jnp.int32), gap_id=gap_id,
+    )
+    return final3, mv
 
 
 @functools.partial(

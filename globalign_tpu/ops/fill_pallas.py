@@ -1051,6 +1051,48 @@ def batch_moves(
                 np.concatenate(moves_out, axis=0),
             )
 
+    # General matrices up to BLOSUM-sized alphabets: the select-chain
+    # lane kernel with move emission (same skew + host unskew); eager
+    # callers only, with a stacked/scan fallback.
+    if (
+        uni is None
+        and not interpret
+        and not isinstance(tok_a_ext, jax.core.Tracer)
+    ):
+        from . import fill_lanes
+
+        if A <= fill_lanes.LANES_MAX_ALPHABET:
+            m_pad = tok_a_ext.shape[1] - 1
+            plan = fill_lanes.lanes_plan(B, m_pad, n, moves=True, asel=A)
+            if plan is not None:
+                w, tile_l = plan
+                try:
+                    pending = []
+                    for lo in range(0, B, tile_l):
+                        hi = min(lo + tile_l, B)
+                        ta, tb, mt, nt = _tile_slice(
+                            (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi,
+                            tile_l,
+                        )
+                        vals, mv = fill_lanes.lanes_general_moves(
+                            ta, tb, cost_mat, gap_id, gap_open, mt, nt,
+                            w=w, interpret=interpret,
+                        )
+                        pending.append((np.asarray(vals), mv, hi - lo))
+                    finals, moves_out = [], []
+                    for vals, mv, keep in pending:
+                        rows = fill_lanes.lanes_moves_to_row(
+                            np.asarray(mv), tile_l, n, w, m_pad
+                        )
+                        finals.append(vals[:keep])
+                        moves_out.append(rows[:keep])
+                    return (
+                        np.concatenate(finals, axis=0),
+                        np.concatenate(moves_out, axis=0),
+                    )
+                except Exception:  # pragma: no cover - backend-specific
+                    pass
+
     tile = _stacked_tile_size(B, n, A, moves=True)
     if tile == 0:
         return None
@@ -1145,6 +1187,44 @@ def batch_final3(
         # else: even a single pair's working set exceeds the VMEM
         # budget (megabase-scale n) — fall through to the scan chain,
         # whose row fill handles any length.
+
+    # GENERAL matrices up to BLOSUM-sized alphabets also ride the lane
+    # kernel (select-chain substitution; only the alphabet size is
+    # static, via the matrix shape).  Host-level calls only: under a
+    # trace (e.g. shard_map) a lazy compile failure could not be caught,
+    # so traced callers stay on the chip-proven scan kernels; eager
+    # callers fall back to them if the general kernel ever fails.
+    A_static = int(cost_mat.shape[0])
+    if (
+        uni is None
+        and not interpret
+        and not isinstance(tok_a_ext, jax.core.Tracer)
+    ):
+        from . import fill_lanes
+
+        if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+            m_pad = tok_a_ext.shape[1] - 1
+            plan = fill_lanes.lanes_plan(B, m_pad, n, asel=A_static)
+            if plan is not None:
+                w, tile_l = plan
+                try:
+                    outs = []
+                    for lo in range(0, B, tile_l):
+                        hi = min(lo + tile_l, B)
+                        ta, tb, mt, nt = _tile_slice(
+                            (tok_a_ext, tok_b_ext, m_true, n_true), lo, hi,
+                            tile_l,
+                        )
+                        vals = fill_lanes.lanes_general_final3(
+                            ta, tb, cost_mat, gap_id, gap_open, mt, nt,
+                            w=w, interpret=interpret,
+                        )
+                        outs.append(np.asarray(vals[: hi - lo]))
+                    return jnp.concatenate(
+                        [jnp.asarray(o) for o in outs], axis=0
+                    )
+                except Exception:  # pragma: no cover - backend-specific
+                    pass  # fall through to the scan kernels
 
     tile_u = _uniform_tile_size(B, n) if uni is not None else 0
     if tile_u >= 8:
@@ -1987,6 +2067,33 @@ def wavefront_fill_cost(
             w=w, interpret=interpret,
         )
         return final3[0]
+
+    # General matrices (BLOSUM etc.) ride the lane kernel's select-chain
+    # mode when the alphabet is small enough (docs/PERF.md); eager
+    # callers only, with a scan fallback (see batch_final3).
+    if (
+        uni is None
+        and not interpret
+        and not isinstance(tok_a_ext, jax.core.Tracer)
+    ):
+        from . import fill_lanes
+
+        A_static = int(cost_mat.shape[0])
+        if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+            plan = fill_lanes.lanes_plan(1, max(m, 1), n, asel=A_static)
+            if plan is not None:
+                try:
+                    final3 = fill_lanes.lanes_general_final3(
+                        jnp.asarray(tok_a_ext)[None, :],
+                        jnp.asarray(tok_b_ext)[None, :],
+                        cost_mat, gap_id, gap_open,
+                        jnp.asarray(m_true, jnp.int32)[None],
+                        jnp.asarray(n_true, jnp.int32)[None],
+                        w=plan[0], interpret=interpret,
+                    )
+                    return jnp.asarray(np.asarray(final3[0]))
+                except Exception:  # pragma: no cover - backend-specific
+                    pass
 
     if split is None:
         split = (

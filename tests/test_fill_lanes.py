@@ -386,6 +386,75 @@ def test_lanes_boundary_injection_matches_row_fill():
         assert (np.asarray(f3)[0] == np.asarray(res.final3)).all()
 
 
+def test_lanes_general_matrix_matches_row_scan():
+    """GENERAL costing matrices on the lane kernel (select-chain
+    substitution, per-row/column gap costs riding tables + inject
+    planes): random asymmetric matrices, gap ids at any alphabet
+    position, traced sub-cap lengths — values, moves and walks all
+    match the row scan."""
+    from globalign_tpu.ops import fill_rows
+    from globalign_tpu.ops.traceback import traceback_moves
+
+    rng = np.random.default_rng(23)
+    letters = np.array(list("XABCDEFG"))
+    for case in range(3):
+        A = int(rng.integers(4, 8))
+        gid = int(rng.integers(0, A))  # '-' can sort anywhere
+        cm = rng.integers(0, 9, (A, A)).astype(np.int32)
+        cm[gid, gid] = 0
+        toks = [k for k in range(A) if k != gid]
+        B = int(rng.integers(1, 4))
+        m_pad = int(rng.integers(3, 40))
+        n_pad = int(rng.integers(3, 40))
+        go = int(rng.integers(0, 6))
+        ta = rng.choice(toks, (B, m_pad + 1)).astype(np.int32)
+        tb = rng.choice(toks, (B, n_pad + 1)).astype(np.int32)
+        ta[:, 0] = 0
+        tb[:, 0] = 0
+        mt = rng.integers(1, m_pad + 1, B).astype(np.int32)
+        nt = rng.integers(1, n_pad + 1, B).astype(np.int32)
+
+        got = np.asarray(
+            fill_lanes.lanes_general_final3(
+                jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(cm), gid, go,
+                jnp.asarray(mt), jnp.asarray(nt), w=4, interpret=True,
+            )
+        )
+        want = np.asarray(
+            fill_rows.row_fill_batch(
+                jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(cm),
+                jnp.int32(gid), jnp.int32(go),
+                jnp.asarray(mt), jnp.asarray(nt),
+            ).final3
+        )
+        assert (got == want).all(), (case, A, gid, got, want)
+
+        f3, mv = fill_lanes.lanes_general_moves(
+            jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(cm), gid, go,
+            jnp.asarray(mt), jnp.asarray(nt), w=4, interpret=True,
+        )
+        moves = fill_lanes.lanes_moves_to_row(np.asarray(mv), B, n_pad, 4,
+                                              m_pad)
+        for b in range(B):
+            m, n = int(mt[b]), int(nt[b])
+            res = fill_rows.row_fill(
+                jnp.asarray(ta[b, : m + 1]), jnp.asarray(tb[b, : n + 1]),
+                jnp.asarray(cm), jnp.int32(gid), jnp.int32(go),
+                want_moves=True,
+            )
+            assert (
+                moves[b, 1 : m + 1, 1 : n + 1]
+                == np.asarray(res.moves)[1 : m + 1, 1 : n + 1]
+            ).all(), (case, b)
+            s1 = "".join(letters[ta[b, 1 : m + 1]])
+            s2 = "".join(letters[tb[b, 1 : n + 1]])
+            t1 = traceback_moves(moves[b], s1, s2, np.asarray(f3)[b], "row")
+            t2 = traceback_moves(
+                np.asarray(res.moves), s1, s2, np.asarray(res.final3), "row"
+            )
+            assert t1 == t2, (case, b)
+
+
 def test_lanes_fill_cost_single_pair():
     """Scalar entry point, true lengths below buffer capacity."""
     rng = np.random.default_rng(3)
