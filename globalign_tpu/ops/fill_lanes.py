@@ -922,6 +922,36 @@ def lanes_general_final3(
 @functools.partial(
     jax.jit, static_argnames=("w", "interpret", "force_clamp")
 )
+def lanes_general_last_rows(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m_true: jax.Array,
+    n_true: jax.Array,
+    row0: jax.Array | None = None,
+    col0y_top: jax.Array | None = None,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+) -> jax.Array:
+    """General-matrix :func:`lanes_batch_last_rows` — (B, 3, S_p*w)
+    full final rows with optional boundary injection."""
+    _, flat, _ = _lanes_run(
+        jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
+        0, 0, 0, 0, gap_open,
+        m_true, n_true, w, interpret, force_clamp, moves=False,
+        row0=row0, col0y_top=col0y_top,
+        cost_mat=jnp.asarray(cost_mat, jnp.int32), gap_id=gap_id,
+    )
+    return flat.transpose(1, 0, 2)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "interpret", "force_clamp")
+)
 def lanes_general_moves(
     tok_a_ext: jax.Array,
     tok_b_ext: jax.Array,

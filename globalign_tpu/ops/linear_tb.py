@@ -221,10 +221,16 @@ def align_blocked(
     # (boundary-injected block fills; the replay walks the skewed moves
     # buffer in place — docs/PERF.md).
     uni = None
+    asel = 0
     if use_pallas:
+        from . import fill_lanes
         from .fill_pallas import uniform_scheme_params
 
         uni = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
+        if uni is None:
+            A_static = int(np.asarray(cost_mat).shape[0])
+            if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+                asel = A_static  # general-matrix lane mode
 
     def _c0_top(i0: int) -> int:
         """Column-0 Iy seed at a block's top row: rows add their icost
@@ -239,20 +245,30 @@ def align_blocked(
         from . import fill_lanes
 
         blk_m = i1 - i0
-        plan = fill_lanes.lanes_plan(1, blk_m, nq)
+        plan = fill_lanes.lanes_plan(1, blk_m, nq, asel=asel)
         if plan is None:
             return None
         w_blk = plan[0]
         c0_top = _c0_top(i0)
-        last = fill_lanes.lanes_batch_last_rows(
-            ta_blk[None], tok_b[None],
-            uni[0], uni[1], uni[2], uni[3], int(np.asarray(gap_open)),
-            jnp.asarray([blk_m], jnp.int32),
-            jnp.asarray([nq], jnp.int32),
-            state[None],
-            jnp.asarray([c0_top], jnp.int32),
-            w=w_blk,
-        )[0]
+        mt = jnp.asarray([blk_m], jnp.int32)
+        nt = jnp.asarray([nq], jnp.int32)
+        c0 = jnp.asarray([c0_top], jnp.int32)
+        if uni is not None:
+            last = fill_lanes.lanes_batch_last_rows(
+                ta_blk[None], tok_b[None],
+                uni[0], uni[1], uni[2], uni[3],
+                int(np.asarray(gap_open)),
+                mt, nt, state[None], c0, w=w_blk,
+            )[0]
+        else:
+            try:
+                last = fill_lanes.lanes_general_last_rows(
+                    ta_blk[None], tok_b[None], cost_mat, gap_id, gap_open,
+                    mt, nt, state[None], c0, w=w_blk,
+                )
+                last = jnp.asarray(np.asarray(last))[0]
+            except Exception:  # pragma: no cover - backend-specific
+                return None
         col0_t = jnp.asarray(
             [BIG, BIG, int(col0_np[2, i1])], jnp.int32
         )
@@ -266,7 +282,7 @@ def align_blocked(
     for b in range(nblocks):
         i0, i1 = bounds[b], bounds[b + 1]
         ta_blk = _block_tokens(tok_a_np, i0, i1)
-        if use_pallas and uni is not None:
+        if use_pallas and (uni is not None or asel > 0):
             lanes_last = _lanes_block_ckpt(ta_blk, state, i0, i1)
             if lanes_last is not None:
                 state = lanes_last
@@ -329,10 +345,12 @@ def align_blocked(
     for b in range(nblocks - 1, -1, -1):
         i0, i1 = bounds[b], bounds[b + 1]
         ta_blk = _block_tokens(tok_a_np, i0, i1)
-        if uni is not None and use_pallas:
+        if (uni is not None or asel > 0) and use_pallas:
             from . import fill_lanes
 
-            plan = fill_lanes.lanes_plan(1, i1 - i0, nq, moves=True)
+            plan = fill_lanes.lanes_plan(
+                1, i1 - i0, nq, moves=True, asel=asel
+            )
         else:
             plan = None
         if plan is not None:
@@ -340,21 +358,34 @@ def align_blocked(
             # PLACE on device (no unskew, no host traffic).
             w_blk = plan[0]
             c0_top = _c0_top(i0)
-            _, mv = fill_lanes.lanes_batch_moves(
-                ta_blk[None], tok_b[None],
-                uni[0], uni[1], uni[2], uni[3], int(np.asarray(gap_open)),
-                jnp.asarray([i1 - i0], jnp.int32),
-                jnp.asarray([nq], jnp.int32),
-                checkpoints[b][None],
-                jnp.asarray([c0_top], jnp.int32),
-                w=w_blk,
-            )
-            ops, count, j_dev, level_dev = _walk_block(
-                mv, j_dev, level_dev, layout="lanes", w=w_blk,
-                k_rows=i1 - i0, width=n + 1,
-            )
-            tapes.append((ops, count))
-            continue
+            mt = jnp.asarray([i1 - i0], jnp.int32)
+            nt = jnp.asarray([nq], jnp.int32)
+            c0 = jnp.asarray([c0_top], jnp.int32)
+            mv = None
+            if uni is not None:
+                _, mv = fill_lanes.lanes_batch_moves(
+                    ta_blk[None], tok_b[None],
+                    uni[0], uni[1], uni[2], uni[3],
+                    int(np.asarray(gap_open)),
+                    mt, nt, checkpoints[b][None], c0, w=w_blk,
+                )
+            else:
+                try:
+                    _, mv = fill_lanes.lanes_general_moves(
+                        ta_blk[None], tok_b[None], cost_mat, gap_id,
+                        gap_open, mt, nt, checkpoints[b][None], c0,
+                        w=w_blk,
+                    )
+                    mv.block_until_ready()
+                except Exception:  # pragma: no cover - backend-specific
+                    mv = None
+            if mv is not None:
+                ops, count, j_dev, level_dev = _walk_block(
+                    mv, j_dev, level_dev, layout="lanes", w=w_blk,
+                    k_rows=i1 - i0, width=n + 1,
+                )
+                tapes.append((ops, count))
+                continue
         if stacked_ok:
             # Replay at stacked-kernel speed (B=1) with the checkpoint row
             # as row 0 and the global column-0 Iy value at the block's top

@@ -216,16 +216,17 @@ def test_blocked_lanes_backend_equals_full(monkeypatch):
     takes the lanes branch for every block."""
     from globalign_tpu.ops import fill_lanes
 
-    orig_lr = fill_lanes.lanes_batch_last_rows
-    orig_mv = fill_lanes.lanes_batch_moves
-    monkeypatch.setattr(
-        fill_lanes, "lanes_batch_last_rows",
-        lambda *a, **k: orig_lr(*a, **{**k, "interpret": True}),
-    )
-    monkeypatch.setattr(
-        fill_lanes, "lanes_batch_moves",
-        lambda *a, **k: orig_mv(*a, **{**k, "interpret": True}),
-    )
+    for name in (
+        "lanes_batch_last_rows", "lanes_batch_moves",
+        "lanes_general_last_rows", "lanes_general_moves",
+    ):
+        orig = getattr(fill_lanes, name)
+        monkeypatch.setattr(
+            fill_lanes, name,
+            (lambda o: lambda *a, **k: o(*a, **{**k, "interpret": True}))(
+                orig
+            ),
+        )
 
     alpha = Alphabet.from_letters(("A", "C", "G", "T", "-"))
     costing = scoring_mat_to_costing_mat(
@@ -239,14 +240,22 @@ def test_blocked_lanes_backend_equals_full(monkeypatch):
     # column grid (2*(S_p-1) <= block rows at the widest strip, i.e.
     # blocks >= 16 rows here); align_blocked's adaptive default always
     # does, and infeasible blocks fall back to the stacked kernel.
-    for block_rows, m, n in [(16, 48, 30), (21, 42, 61), (64, 120, 50)]:
+    # A general (non-uniform) matrix exercises the select-chain blocked
+    # path through the same machinery.
+    cm_gen = np.asarray(costing.values).copy()
+    cm_gen[0, 1] = cm_gen[1, 0] = 7
+    cm_gen[2, 3] = 9
+    for block_rows, m, n, mat in [
+        (16, 48, 30, cm), (21, 42, 61, cm), (64, 120, 50, cm),
+        (16, 32, 40, jnp.asarray(cm_gen)),
+    ]:
         s1 = "".join(rng.choice(list("ACGT"), m))
         s2 = "".join(rng.choice(list("ACGT"), n))
         ta = jnp.asarray(encode_padded(alpha, s1, m))
         tb = jnp.asarray(encode_padded(alpha, s2, n))
-        t_full = _full_tb(ta, tb, cm, gid, go, s1, s2)
+        t_full = _full_tb(ta, tb, mat, gid, go, s1, s2)
         t_blk = linear_tb.align_blocked(
-            np.asarray(ta), tb, cm, gid, go, s1, s2,
+            np.asarray(ta), tb, mat, gid, go, s1, s2,
             block_rows=block_rows, use_pallas=True,
         )
         assert t_full == t_blk, (block_rows, m, n)
