@@ -48,13 +48,17 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
-def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
+def _moves_pair_bytes(
+    m: int, n: int, scheme: "ResolvedScheme", sharded: bool = False
+) -> int:
     """Materialized move-code bytes per pair for an (m, n) bucket, sized
     for the backend the bucket actually uses: the lane kernel's skewed
-    uint8 buffer for uniform schemes (amortized over a full tile — its
-    footprint is (m + 2*S_p)*w*S_p cells, NOT (m+1)*(n+1)), the stacked
-    moves kernel's 8-aligned chunk padding when that kernel runs, else
-    the row scan's logical (m+1)*(n+1)."""
+    uint8 buffer (amortized over a full tile — its footprint is
+    (m + 2*S_p)*w*S_p cells, NOT (m+1)*(n+1)), the stacked moves
+    kernel's 8-aligned chunk padding when that kernel runs, else the
+    row scan's logical (m+1)*(n+1).  ``sharded`` budgets for the mesh
+    shard_map body, which runs the lane kernel only for uniform schemes
+    (general matrices there stay on the stacked kernel)."""
     from .ops.fill_pallas import (
         LANES, _stacked_r, _stacked_tile_size, uniform_scheme_params,
     )
@@ -66,7 +70,10 @@ def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
             scheme.costing.values, scheme.alphabet.gap_id
         )
         asel = 0 if uni is not None else scheme.alphabet.size
-        if asel <= fill_lanes.LANES_MAX_ALPHABET:
+        lanes_able = asel <= fill_lanes.LANES_MAX_ALPHABET and (
+            asel == 0 or (not sharded and fill_lanes.general_lanes_ok())
+        )
+        if lanes_able:
             plan = fill_lanes.lanes_plan(128, m, n, moves=True, asel=asel)
             if plan is not None:
                 w, tile = plan
@@ -231,7 +238,7 @@ def align_pairs(
         # materializes (_moves_pair_bytes — lane-kernel skew, stacked
         # chunk padding, or logical width) and split oversized buckets
         # into sub-batches rather than losing the batched path.
-        per_pair = _moves_pair_bytes(M, N, scheme)
+        per_pair = _moves_pair_bytes(M, N, scheme, sharded=mesh is not None)
         max_pairs = max(0, DEFAULT_BATCH_MOVES_BUDGET // max(1, per_pair))
         if max_pairs >= 1:
             for lo in range(0, len(indices), max_pairs):
@@ -246,7 +253,7 @@ def align_pairs(
     for (M, N), indices in bucket_items:
         if (
             with_traceback
-            and _moves_pair_bytes(M, N, scheme)
+            and _moves_pair_bytes(M, N, scheme, sharded=mesh is not None)
             > DEFAULT_BATCH_MOVES_BUDGET
         ):
             # A single pair's move matrix exceeds the budget; use the

@@ -163,7 +163,9 @@ class GotohAligner:
                 0 if self._uniform() is not None
                 else self.scheme.alphabet.size
             )
-            if asel <= fill_lanes.LANES_MAX_ALPHABET:
+            if asel <= fill_lanes.LANES_MAX_ALPHABET and (
+                asel == 0 or fill_lanes.general_lanes_ok()
+            ):
                 m_pad, n_pad = self._pad_len(m), self._pad_len(n)
                 plan = fill_lanes.lanes_plan(
                     1, m_pad, n_pad, moves=True, asel=asel

@@ -535,6 +535,28 @@ MOVES_BYTES_ABS_FLOOR = 256 * 1024 * 1024
 # kernels' throughput on the batch axis, docs/PERF.md).
 LANES_MAX_ALPHABET = 26
 
+# One-way latch: the first backend failure of the general-matrix mode
+# (not yet verified on real TPU hardware) disables its dispatch for the
+# process — remote compiles cost 30s-6min each and jax does not cache
+# FAILED compiles, so re-attempting per call/block would multiply the
+# damage (dispatchers fall back to the scan kernels instead).
+_general_ok = True
+
+
+def general_lanes_ok() -> bool:
+    return _general_ok
+
+
+def mark_general_lanes_failed() -> None:
+    # CPU cannot run Pallas outside interpret mode at all — a failure
+    # there is a platform limitation, not a kernel defect, and must not
+    # poison the process latch (CPU tests force use_pallas with
+    # interpret-wrapped entry points; unwrapped attempts just fall back).
+    if jax.default_backend() == "cpu":
+        return
+    global _general_ok
+    _general_ok = False
+
 
 def lanes_plan(
     B: int, m_pad: int, n_pad: int, moves: bool = False, asel: int = 0
@@ -554,9 +576,19 @@ def lanes_plan(
         w = pick_w(tile, m_pad, n_pad)
         tile = lanes_tile_size(tile, n_pad, w, moves, asel)
     if not moves:
-        if lanes_vmem_bytes(tile, n_pad, w, moves, asel) > LANES_VMEM_BUDGET:
+        # Re-cost candidates with asel: general mode's 2-ops-per-token
+        # select chain shifts the phase/drain tradeoff (4x at BLOSUM).
+        best = None
+        for wc in sorted({*_w_candidates(tile, n_pad), w}):
+            if lanes_vmem_bytes(tile, n_pad, wc, False, asel) \
+                    > LANES_VMEM_BUDGET:
+                continue
+            cost = _issue_cost(tile, m_pad, n_pad, wc, False, asel)
+            if best is None or cost < best[0]:
+                best = (cost, wc)
+        if best is None:
             return None
-        return w, tile
+        return best[1], tile
 
     # Moves mode: the issue-model optimum may fail the drain guard
     # (short blocks over wide rows — fewer, wider strips fix it), so
@@ -692,7 +724,7 @@ def _lanes_run(
         # make_dp_array boundary structure, generalized).
         dsteps = cmj[gid, tok_b_i]
         D = jnp.cumsum(dsteps.at[:, 0].set(0), axis=1)  # (B, n_pad+1)
-        ics = cmj[jnp.asarray(tok_a_ext, jnp.int32), gid]  # (B, m1)
+        ics = cmj[tok_a_i, gid]  # (B, m1)
         c0_base = (
             go if col0y_top is None
             else jnp.asarray(col0y_top, jnp.int32)[:, None]

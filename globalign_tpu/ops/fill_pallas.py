@@ -1061,12 +1061,18 @@ def batch_moves(
     ):
         from . import fill_lanes
 
-        if A <= fill_lanes.LANES_MAX_ALPHABET:
+        if (
+            A <= fill_lanes.LANES_MAX_ALPHABET
+            and fill_lanes.general_lanes_ok()
+        ):
             m_pad = tok_a_ext.shape[1] - 1
             plan = fill_lanes.lanes_plan(B, m_pad, n, moves=True, asel=A)
             if plan is not None:
                 w, tile_l = plan
                 try:
+                    # Dispatch every tile lazily, then probe once: the
+                    # fills stay pipelined against the host unskews
+                    # below (same overlap as the uniform path).
                     pending = []
                     for lo in range(0, B, tile_l):
                         hi = min(lo + tile_l, B)
@@ -1078,20 +1084,22 @@ def batch_moves(
                             ta, tb, cost_mat, gap_id, gap_open, mt, nt,
                             w=w, interpret=interpret,
                         )
-                        pending.append((np.asarray(vals), mv, hi - lo))
+                        pending.append((vals, mv, hi - lo))
+                    pending[0][1].block_until_ready()
+                except Exception:  # pragma: no cover - backend-specific
+                    fill_lanes.mark_general_lanes_failed()
+                else:
                     finals, moves_out = [], []
                     for vals, mv, keep in pending:
                         rows = fill_lanes.lanes_moves_to_row(
                             np.asarray(mv), tile_l, n, w, m_pad
                         )
-                        finals.append(vals[:keep])
+                        finals.append(np.asarray(vals[:keep]))
                         moves_out.append(rows[:keep])
                     return (
                         np.concatenate(finals, axis=0),
                         np.concatenate(moves_out, axis=0),
                     )
-                except Exception:  # pragma: no cover - backend-specific
-                    pass
 
     tile = _stacked_tile_size(B, n, A, moves=True)
     if tile == 0:
@@ -1202,7 +1210,10 @@ def batch_final3(
     ):
         from . import fill_lanes
 
-        if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+        if (
+            A_static <= fill_lanes.LANES_MAX_ALPHABET
+            and fill_lanes.general_lanes_ok()
+        ):
             m_pad = tok_a_ext.shape[1] - 1
             plan = fill_lanes.lanes_plan(B, m_pad, n, asel=A_static)
             if plan is not None:
@@ -1219,12 +1230,15 @@ def batch_final3(
                             ta, tb, cost_mat, gap_id, gap_open, mt, nt,
                             w=w, interpret=interpret,
                         )
-                        outs.append(np.asarray(vals[: hi - lo]))
-                    return jnp.concatenate(
-                        [jnp.asarray(o) for o in outs], axis=0
-                    )
+                        outs.append(vals[: hi - lo])
+                    # Compile errors raise synchronously at dispatch;
+                    # one probe of the first tile also surfaces runtime
+                    # faults without serializing the later tiles.
+                    outs[0].block_until_ready()
                 except Exception:  # pragma: no cover - backend-specific
-                    pass  # fall through to the scan kernels
+                    fill_lanes.mark_general_lanes_failed()
+                else:
+                    return jnp.concatenate(outs, axis=0)
 
     tile_u = _uniform_tile_size(B, n) if uni is not None else 0
     if tile_u >= 8:
@@ -2079,7 +2093,10 @@ def wavefront_fill_cost(
         from . import fill_lanes
 
         A_static = int(cost_mat.shape[0])
-        if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+        if (
+            A_static <= fill_lanes.LANES_MAX_ALPHABET
+            and fill_lanes.general_lanes_ok()
+        ):
             plan = fill_lanes.lanes_plan(1, max(m, 1), n, asel=A_static)
             if plan is not None:
                 try:
@@ -2091,9 +2108,11 @@ def wavefront_fill_cost(
                         jnp.asarray(n_true, jnp.int32)[None],
                         w=plan[0], interpret=interpret,
                     )
-                    return jnp.asarray(np.asarray(final3[0]))
+                    final3.block_until_ready()
                 except Exception:  # pragma: no cover - backend-specific
-                    pass
+                    fill_lanes.mark_general_lanes_failed()
+                else:
+                    return final3[0]
 
     if split is None:
         split = (

@@ -240,6 +240,11 @@ def align_blocked(
             int(np.asarray(gap_open)) if i0 == 0 else int(col0_np[2, i0])
         )
 
+    # Block shapes already probed for general-lane backend failures
+    # (one sync per distinct shape — jax caches successful compiles, so
+    # later same-shape blocks stay lazy and chain without host syncs).
+    probed: set[tuple[str, int]] = set()
+
     def _lanes_block_ckpt(ta_blk, state, i0, i1):
         """Checkpoint fill of one block on the lane kernel, or None."""
         from . import fill_lanes
@@ -261,13 +266,19 @@ def align_blocked(
                 mt, nt, state[None], c0, w=w_blk,
             )[0]
         else:
+            if not fill_lanes.general_lanes_ok():
+                return None
             try:
                 last = fill_lanes.lanes_general_last_rows(
                     ta_blk[None], tok_b[None], cost_mat, gap_id, gap_open,
                     mt, nt, state[None], c0, w=w_blk,
                 )
-                last = jnp.asarray(np.asarray(last))[0]
+                if ("ckpt", blk_m) not in probed:
+                    last.block_until_ready()
+                    probed.add(("ckpt", blk_m))
+                last = last[0]
             except Exception:  # pragma: no cover - backend-specific
+                fill_lanes.mark_general_lanes_failed()
                 return None
         col0_t = jnp.asarray(
             [BIG, BIG, int(col0_np[2, i1])], jnp.int32
@@ -369,15 +380,18 @@ def align_blocked(
                     int(np.asarray(gap_open)),
                     mt, nt, checkpoints[b][None], c0, w=w_blk,
                 )
-            else:
+            elif fill_lanes.general_lanes_ok():
                 try:
                     _, mv = fill_lanes.lanes_general_moves(
                         ta_blk[None], tok_b[None], cost_mat, gap_id,
                         gap_open, mt, nt, checkpoints[b][None], c0,
                         w=w_blk,
                     )
-                    mv.block_until_ready()
+                    if ("mv", i1 - i0) not in probed:
+                        mv.block_until_ready()
+                        probed.add(("mv", i1 - i0))
                 except Exception:  # pragma: no cover - backend-specific
+                    fill_lanes.mark_general_lanes_failed()
                     mv = None
             if mv is not None:
                 ops, count, j_dev, level_dev = _walk_block(

@@ -32,15 +32,23 @@ def main():
     for k in range(n_cases):
         m = int(rng.integers(1, 520))
         n = int(rng.integers(1, 520))
-        s1 = "".join(rng.choice(list("ACGT"), m))
-        s2 = "".join(rng.choice(list("ACGT"), n))
-        kw = {}
-        if k % 2:
-            kw = {
-                "mismatch_cost": int(rng.integers(1, 9)),
-                "gap_open_cost": int(rng.integers(0, 6)),
-                "gap_extension_cost": int(rng.integers(1, 6)),
-            }
+        if k % 3 == 2:
+            # Protein pair on BLOSUM62: the GENERAL-matrix lane mode.
+            letters = list("ARNDCQEGHILKMFPSTWYV")
+            m, n = m % 200 + 1, n % 200 + 1  # oracle is O(mn) python
+            s1 = "".join(rng.choice(letters, m))
+            s2 = "".join(rng.choice(letters, n))
+            kw = {"scoring_mat_name": "BLOSUM62"}
+        else:
+            s1 = "".join(rng.choice(list("ACGT"), m))
+            s2 = "".join(rng.choice(list("ACGT"), n))
+            kw = {}
+            if k % 3:
+                kw = {
+                    "mismatch_cost": int(rng.integers(1, 9)),
+                    "gap_open_cost": int(rng.integers(0, 6)),
+                    "gap_extension_cost": int(rng.integers(1, 6)),
+                }
         scheme = resolve_scheme(s1, s2, **kw)
         aligner = GotohAligner(scheme)
         want = oracle_cost(s1, s2, scheme.costing, scheme.gap_open_cost)
