@@ -266,7 +266,10 @@ def align_blocked(
                 mt, nt, state[None], c0, w=w_blk,
             )[0]
         else:
-            if not fill_lanes.general_lanes_ok():
+            if (
+                not fill_lanes.general_lanes_ok()
+                or ("ckpt_fail", blk_m) in probed
+            ):
                 return None
             try:
                 last = fill_lanes.lanes_general_last_rows(
@@ -279,6 +282,7 @@ def align_blocked(
                 last = last[0]
             except Exception:  # pragma: no cover - backend-specific
                 fill_lanes.mark_general_lanes_failed()
+                probed.add(("ckpt_fail", blk_m))
                 return None
         col0_t = jnp.asarray(
             [BIG, BIG, int(col0_np[2, i1])], jnp.int32
@@ -380,7 +384,10 @@ def align_blocked(
                     int(np.asarray(gap_open)),
                     mt, nt, checkpoints[b][None], c0, w=w_blk,
                 )
-            elif fill_lanes.general_lanes_ok():
+            elif (
+                fill_lanes.general_lanes_ok()
+                and ("mv_fail", i1 - i0) not in probed
+            ):
                 try:
                     _, mv = fill_lanes.lanes_general_moves(
                         ta_blk[None], tok_b[None], cost_mat, gap_id,
@@ -392,6 +399,7 @@ def align_blocked(
                         probed.add(("mv", i1 - i0))
                 except Exception:  # pragma: no cover - backend-specific
                     fill_lanes.mark_general_lanes_failed()
+                    probed.add(("mv_fail", i1 - i0))
                     mv = None
             if mv is not None:
                 ops, count, j_dev, level_dev = _walk_block(
