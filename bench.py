@@ -1,6 +1,11 @@
 """Headline benchmark: GCUPS on a 10kb affine-gap Gotoh fill (single chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The line is ALWAYS printed, even on device outage or deadline overrun —
+the device is probed in a subprocess with a hard timeout, and a watchdog
+thread emits the best-known partial state before exiting if the overall
+deadline is hit (a dead TPU tunnel must produce a self-describing error
+record, never an empty rc=124 artifact).
 
 Baseline: the reference (iamgiddyaboutgit/globalign) publishes no numbers and
 hard-caps m*n < 2e7 (start.py:213), so 10kb x 10kb cannot even run there.  The
@@ -15,16 +20,78 @@ Both chain points are > 1 so each measurement is kernel-dominated and the
 residual tunnel jitter (a few ms per fetch) divides by the 10-call gap;
 each point takes the best of ``--repeats`` runs.
 
+Alongside the single-pair headline the same artifact carries the batch
+axis (``batch_gcups``: B independent pairs through the stacked lane
+kernel) unless ``--no_batch`` is given, so both numbers ride one
+driver-verified JSON line.
+
 Usage: python bench.py [--m 10000 --n 10000] [--repeats 4] [--backend auto]
 """
 
 import argparse
 import functools
 import json
+import os
+import subprocess
 import sys
+import threading
 import time
 
 REFERENCE_GCUPS = 1e-3  # measured interpreted-Python fill, BASELINE.md
+
+# Best-known results, emitted by whoever exits first (main path or
+# watchdog).  "metric" is filled in once argv is parsed.
+_state = {
+    "metric": "GCUPS_10kb_affine_fill",
+    "value": 0.0,
+    "unit": "GCUPS",
+    "vs_baseline": 0.0,
+}
+_emitted = threading.Event()
+
+
+def _emit(**extra) -> None:
+    """Print the ONE JSON line exactly once (main path or watchdog)."""
+    if _emitted.is_set():
+        return
+    _emitted.set()
+    _state.update(extra)
+    print(json.dumps(_state), flush=True)
+
+
+_PROBE_SRC = """
+import os
+import jax, jax.numpy as jnp
+if os.environ.get("GLOBALIGN_BENCH_PLATFORM") == "cpu":
+    # The axon plugin ignores JAX_PLATFORMS; config update is the
+    # reliable CPU opt-out (CLAUDE.md).
+    jax.config.update("jax_platforms", "cpu")
+d = jax.devices()
+x = jnp.ones((8, 128), jnp.float32)
+v = float(jnp.sum(x @ x.T))
+assert v == 8 * 8 * 128, v
+print(d[0].platform)
+"""
+
+
+def probe_device(timeout_s: float) -> str | None:
+    """Enumerate devices + run one tiny op in a SUBPROCESS with a hard
+    timeout.  Returns the platform string, or None if the backend is
+    unreachable (the axon tunnel blocks forever inside native code when
+    its relay is down — only a subprocess can be killed reliably)."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    out = r.stdout.strip().splitlines()
+    return out[-1] if out else None
 
 
 def main() -> int:
@@ -44,9 +111,64 @@ def main() -> int:
         "strip kernel (no prefix-scan chain; the fast path for uniform "
         "schemes); 'base'/'fast'/'wave' = the scan-based kernels.",
     )
+    parser.add_argument(
+        "--platform", choices=["auto", "cpu"], default="auto",
+        help="'cpu' forces the CPU backend via jax.config (the axon "
+        "plugin ignores the JAX_PLATFORMS env var).",
+    )
+    parser.add_argument(
+        "--probe_timeout", type=float, default=240.0,
+        help="Hard deadline (s) for the subprocess device probe.",
+    )
+    parser.add_argument(
+        "--deadline", type=float, default=1200.0,
+        help="Overall wall-clock budget (s); a watchdog emits the "
+        "best-known JSON line and exits if it is exceeded.",
+    )
+    parser.add_argument(
+        "--no_batch", action="store_true",
+        help="Skip the secondary batch-throughput measurement.",
+    )
+    parser.add_argument(
+        "--batch_pairs", type=int, default=64,
+        help="B for the secondary batch metric (batch_gcups).",
+    )
+    parser.add_argument(
+        "--batch_len", type=int, default=1024,
+        help="Per-pair length for the secondary batch metric.",
+    )
     args = parser.parse_args()
+    t_start = time.monotonic()
+
+    if args.platform == "cpu":
+        os.environ["GLOBALIGN_BENCH_PLATFORM"] = "cpu"
+
+    _state["metric"] = f"GCUPS_{args.m // 1000}kb_affine_fill"
+
+    # Watchdog: if anything below wedges (tunnel dying mid-run), emit
+    # the best-known state and hard-exit before the driver's timeout
+    # turns the artifact into an unparseable rc=124.
+    def _watchdog():
+        remaining = args.deadline - (time.monotonic() - t_start)
+        if remaining > 0 and not _emitted.wait(timeout=remaining):
+            _emit(error="bench_deadline_exceeded",
+                  elapsed_s=round(time.monotonic() - t_start, 1))
+            os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    platform = probe_device(args.probe_timeout)
+    if platform is None:
+        _emit(error="tpu_unreachable",
+              detail=f"device probe failed or exceeded "
+                     f"{args.probe_timeout:.0f}s (axon tunnel down?)")
+        return 0
 
     import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -161,17 +283,87 @@ def main() -> int:
     per = max((t_hi - t_lo) / (args.chain - args.chain_lo), 1e-9)
     gcups = args.m * args.n / per / 1e9
 
-    print(
-        json.dumps(
-            {
-                "metric": f"GCUPS_{args.m//1000}kb_affine_fill_{platform}_{backend}",
-                "value": round(gcups, 4),
-                "unit": "GCUPS",
-                "vs_baseline": round(gcups / REFERENCE_GCUPS, 1),
-            }
-        )
+    _state.update(
+        metric=f"GCUPS_{args.m//1000}kb_affine_fill_{platform}_{backend}",
+        value=round(gcups, 4),
+        vs_baseline=round(gcups / REFERENCE_GCUPS, 1),
     )
+
+    # Secondary axis: batch throughput (bench_batch.py protocol inline),
+    # riding the same artifact so the driver captures both numbers.
+    # Best-effort: a failure or a tight deadline never loses the
+    # headline value.
+    if not args.no_batch and backend == "pallas":
+        elapsed = time.monotonic() - t_start
+        if elapsed < args.deadline * 0.6:
+            try:
+                _state["batch_gcups"] = round(
+                    _measure_batch(args, costing, alphabet), 4
+                )
+                _state["batch_metric"] = (
+                    f"GCUPS_batch{args.batch_pairs}x{args.batch_len}"
+                    f"_lanes_{platform}"
+                )
+            except Exception as e:  # noqa: BLE001 - secondary metric
+                _state["batch_error"] = f"{type(e).__name__}: {e}"
+        else:
+            _state["batch_error"] = "skipped_near_deadline"
+
+    _emit()
     return 0
+
+
+def _measure_batch(args, costing, alphabet) -> float:
+    """bench_batch.py's lanes cost-mode protocol, inlined (B pairs of
+    length L through `lanes_batch_final3`, slope-timed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from globalign_tpu.ops import fill_lanes, fill_pallas
+
+    B, L = args.batch_pairs, args.batch_len
+    rng = np.random.default_rng(0)
+    tok_a = np.zeros((B, L + 1), np.int32)
+    tok_b = np.zeros((B, L + 1), np.int32)
+    tok_a[:, 1:] = rng.integers(0, 4, (B, L))
+    tok_b[:, 1:] = rng.integers(0, 4, (B, L))
+
+    prm = fill_pallas.uniform_scheme_params(costing.values, alphabet.gap_id)
+    cma, cmm, dco, ico = (int(v) for v in prm)
+    w = fill_lanes.pick_w(B, L, L)
+    m_true = jnp.full((B,), L, jnp.int32)
+    n_true = jnp.full((B,), L, jnp.int32)
+    tbb = jnp.asarray(tok_b)
+
+    def one(ta):
+        vals = fill_lanes.lanes_batch_final3(
+            ta, tbb, cma, cmm, dco, ico, 4, m_true, n_true, w=w
+        )
+        return jnp.sum(vals)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def run_k(tas, k):
+        return sum(one(tas[i]) for i in range(k))
+
+    chain_lo, chain = 2, 24
+
+    def measure(k):
+        tas = jnp.asarray(
+            np.stack([np.roll(tok_a, i, axis=1) for i in range(k)])
+        )
+        np.asarray(run_k(tas, k))
+        best = float("inf")
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            np.asarray(run_k(tas, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1 = measure(chain_lo)
+    tk = measure(chain)
+    per = max((tk - t1) / (chain - chain_lo), 1e-9)
+    return B * L * L / per / 1e9
 
 
 if __name__ == "__main__":
