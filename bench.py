@@ -213,11 +213,18 @@ def main() -> int:
             )
             cma, cmm, dco, ico = (int(v) for v in prm)
             w = fill_lanes.pick_w(1, args.m, args.n)
+            sp = fill_lanes.lanes_split_plan(args.m, args.n)
 
             def one(ta):
-                # Cell-per-lane strip kernel: no per-row prefix-scan
-                # chain; strips advance one cell per wave with a single
-                # lane shift of cross-strip edges (docs/PERF.md).
+                # Cell-per-lane strip kernel (no per-row prefix-scan
+                # chain), meet-in-the-middle when the latency model says
+                # the halved wave count wins — the same dispatch
+                # wavefront_fill_cost applies (docs/PERF.md).
+                if sp is not None:
+                    return fill_lanes.lanes_split_fill_cost(
+                        ta, tb, cma, cmm, dco, ico, 4, args.m, args.n,
+                        w=sp[0],
+                    )
                 return fill_lanes.lanes_fill_cost(
                     ta, tb, cma, cmm, dco, ico, 4, args.m, args.n, w=w
                 )

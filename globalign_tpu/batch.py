@@ -71,11 +71,18 @@ def _moves_pair_bytes(
         )
         asel = 0 if uni is not None else scheme.alphabet.size
         lanes_able = asel <= fill_lanes.LANES_MAX_ALPHABET and (
-            asel == 0 or (not sharded and fill_lanes.general_lanes_ok())
+            asel == 0 or not sharded
         )
         if lanes_able:
             plan = fill_lanes.lanes_plan(128, m, n, moves=True, asel=asel)
-            if plan is not None:
+            if plan is not None and (
+                asel == 0
+                or fill_lanes.general_lanes_ok(
+                    fill_lanes.general_lanes_key(
+                        plan[1], m, n, plan[0], asel, moves=True
+                    )
+                )
+            ):
                 w, tile = plan
                 return -(
                     -fill_lanes.lanes_moves_bytes(tile, m, n, w) // tile

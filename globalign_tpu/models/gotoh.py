@@ -163,14 +163,19 @@ class GotohAligner:
                 0 if self._uniform() is not None
                 else self.scheme.alphabet.size
             )
-            if asel <= fill_lanes.LANES_MAX_ALPHABET and (
-                asel == 0 or fill_lanes.general_lanes_ok()
-            ):
+            if asel <= fill_lanes.LANES_MAX_ALPHABET:
                 m_pad, n_pad = self._pad_len(m), self._pad_len(n)
                 plan = fill_lanes.lanes_plan(
                     1, m_pad, n_pad, moves=True, asel=asel
                 )
-                if plan is not None:
+                if plan is not None and (
+                    asel == 0
+                    or fill_lanes.general_lanes_ok(
+                        fill_lanes.general_lanes_key(
+                            plan[1], m_pad, n_pad, plan[0], asel, moves=True
+                        )
+                    )
+                ):
                     return fill_lanes.lanes_moves_bytes(
                         1, m_pad, n_pad, plan[0]
                     )

@@ -74,9 +74,17 @@ _STAGE = 64  # inject rows staged per DMA block
 MBLK = 8  # waves of move codes per outbound DMA block (moves mode)
 
 
+# Small batches stage the inject stream as B interleaved BROADCAST
+# (1, 128) planes selected by pair id in-kernel, instead of per-strip
+# (R, 128) planes: the per-strip staging's dynamic-offset (R, 128) VMEM
+# reads measured ~2x the whole per-wave budget at B=2 (within-run,
+# docs/PERF.md), while a broadcast read + (nb-1) selects is a few ns.
+INJ_BCAST_MAX_B = 4
+
+
 def _make_lane_kernel(
     w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False,
-    asel: int = 0,
+    asel: int = 0, nb: int = 1,
 ):
     """Build the kernel for ``w``-wide strips, ``R`` lane-chunks of
     strips, ``S_p`` strips per pair, inject tile width ``Rw``.
@@ -112,8 +120,11 @@ def _make_lane_kernel(
     fill_pallas's stacked moves kernel)."""
 
     # Inject planes per wave: token only (uniform), or token + row
-    # icost + col-0 Iy at i and i-1 (general).
+    # icost + col-0 Iy at i and i-1 (general).  With broadcast staging
+    # (Rw == 1, nb pairs) each wave carries nb such groups — one
+    # (1, 128) row per (pair, plane), selected by pair id in-kernel.
     IP = 1 if asel == 0 else 4
+    IPW = IP * nb  # inject rows per wave
 
     def kernel(*refs):
         refs = list(refs)
@@ -182,6 +193,8 @@ def _make_lane_kernel(
         row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
         s_t = row * LANES + lane  # flat strip id
         q_t = jax.lax.rem(s_t, S_p)  # strip index within its pair
+        if nb > 1:
+            pair_t = jax.lax.div(s_t, S_p)  # broadcast-inject selector
         q0 = q_t == 0
         j0_t = q_t * w  # pair-local column before the strip's first
         mtrue = mtrue_ref[:, :]
@@ -208,7 +221,7 @@ def _make_lane_kernel(
 
         def dma(blk, slot):
             return pltpu.make_async_copy(
-                inj_hbm.at[pl.ds(blk * _STAGE * IP, _STAGE * IP)],
+                inj_hbm.at[pl.ds(blk * _STAGE * IPW, _STAGE * IPW)],
                 stage_s.at[slot],
                 sems.at[slot],
             )
@@ -240,9 +253,19 @@ def _make_lane_kernel(
                         dma(blk + 1, jax.lax.rem(blk + 1, 2)).start()
 
                 def plane(t):
-                    v = stage_s[slot, jax.lax.rem(g, _STAGE) * IP + t]
-                    if Rw == 1:
-                        return jnp.broadcast_to(v, (R, LANES))
+                    base = jax.lax.rem(g, _STAGE) * IPW
+                    if Rw != 1:
+                        return stage_s[slot, base + t]
+                    v = jnp.broadcast_to(
+                        stage_s[slot, base + t], (R, LANES)
+                    )
+                    # Broadcast staging: pair b's group of IP planes sits
+                    # at rows b*IP + t; select each strip's pair's value.
+                    for b in range(1, nb):
+                        vb = jnp.broadcast_to(
+                            stage_s[slot, base + b * IP + t], (R, LANES)
+                        )
+                        v = jnp.where(pair_t == b, vb, v)
                     return v
 
                 a_inj = plane(0)
@@ -412,17 +435,17 @@ def _make_lane_kernel(
             # two outbound copies the in-loop waits never consumed (the
             # wait at block b's first wave covers block b-2).
             nfull = jax.lax.div(G, MBLK)
-            nb = jax.lax.div(G + MBLK - 1, MBLK)
+            nblk = jax.lax.div(G + MBLK - 1, MBLK)
 
             @pl.when(jax.lax.rem(G, MBLK) != 0)
             def _mv_tail():
                 odma(nfull, jax.lax.rem(nfull, 2)).start()
 
-            @pl.when(nb >= 2)
+            @pl.when(nblk >= 2)
             def _mv_drain2():
-                odma(nb - 2, jax.lax.rem(nb - 2, 2)).wait()
+                odma(nblk - 2, jax.lax.rem(nblk - 2, 2)).wait()
 
-            odma(nb - 1, jax.lax.rem(nb - 1, 2)).wait()
+            odma(nblk - 1, jax.lax.rem(nblk - 1, 2)).wait()
 
     return kernel
 
@@ -449,11 +472,12 @@ def lanes_vmem_bytes(
 ) -> int:
     """Approximate kernel VMEM working set (budget check for dispatch)."""
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
-    Rw = 1 if B == 1 else R
+    nb = B if 1 < B <= INJ_BCAST_MAX_B else 1
+    Rw = 1 if (B == 1 or nb > 1) else R
     tile = R * LANES * 4
     # 11 ring/history scratch + zbuf/vbuf (2w-1) + out (3w) + btab (w)
     # + mtrue (1) + boundary-table inputs zrow/vrow/zj0/c0t (2w+2).
-    total = (14 + 8 * w) * tile + 2 * _STAGE * Rw * LANES * 4
+    total = (14 + 8 * w) * tile + 2 * _STAGE * nb * Rw * LANES * 4
     if moves:
         # Code twins of zbuf/vbuf/zh (2w+2), their boundary-table
         # inputs zcrow/vcrow/zcj0 (2w+1), and the uint8 staging.
@@ -462,7 +486,7 @@ def lanes_vmem_bytes(
         # General mode: ctab + dtab + the ich ring, and the inject
         # stage carries 4 planes instead of 1.
         total += (w * asel + w + 2) * tile
-        total += 2 * _STAGE * 3 * Rw * LANES * 4
+        total += 2 * _STAGE * 3 * nb * Rw * LANES * 4
     return total
 
 
@@ -535,27 +559,46 @@ MOVES_BYTES_ABS_FLOOR = 256 * 1024 * 1024
 # kernels' throughput on the batch axis, docs/PERF.md).
 LANES_MAX_ALPHABET = 26
 
-# One-way latch: the first backend failure of the general-matrix mode
-# (not yet verified on real TPU hardware) disables its dispatch for the
+# Per-shape failure latch for the general-matrix mode: the first
+# backend failure of a padded-shape class disables its dispatch for the
 # process — remote compiles cost 30s-6min each and jax does not cache
-# FAILED compiles, so re-attempting per call/block would multiply the
-# damage (dispatchers fall back to the scan kernels instead).
-_general_ok = True
+# FAILED compiles, so re-attempting the same executable per call/block
+# would multiply the damage (dispatchers fall back to the scan kernels
+# instead).  Latching is per shape class, not process-wide: a transient
+# failure on one odd geometry (e.g. an OOM) must not poison every
+# subsequent feasible shape.  The mode is validated on real v5e
+# (scratch/fuzz_tpu_lanes.py, 36-case conformance fuzz incl. BLOSUM62 —
+# docs/PERF.md), so failures are expected to be shape-local if they
+# happen at all.
+_general_failed: set = set()
 
 
-def general_lanes_ok() -> bool:
-    return _general_ok
+def general_lanes_key(
+    B: int, m_pad: int, n_pad: int, w: int, asel: int, moves: bool = False
+) -> tuple:
+    """Shape-class key for the failure latch: everything that selects a
+    distinct compiled executable of the general-matrix lane kernel."""
+    return (B, m_pad, n_pad, w, asel, moves)
 
 
-def mark_general_lanes_failed() -> None:
+def general_lanes_ok(key: tuple | None = None) -> bool:
+    """Whether general-lane dispatch should be attempted for ``key``
+    (a :func:`general_lanes_key` tuple).  ``None`` asks about the mode
+    overall (budget estimators): true unless every recorded state says
+    otherwise — per-shape failures never disable the mode globally."""
+    if key is None:
+        return True
+    return key not in _general_failed
+
+
+def mark_general_lanes_failed(key: tuple | None = None) -> None:
     # CPU cannot run Pallas outside interpret mode at all — a failure
     # there is a platform limitation, not a kernel defect, and must not
-    # poison the process latch (CPU tests force use_pallas with
-    # interpret-wrapped entry points; unwrapped attempts just fall back).
-    if jax.default_backend() == "cpu":
+    # poison the latch (CPU tests force use_pallas with interpret-
+    # wrapped entry points; unwrapped attempts just fall back).
+    if jax.default_backend() == "cpu" or key is None:
         return
-    global _general_ok
-    _general_ok = False
+    _general_failed.add(key)
 
 
 def lanes_plan(
@@ -667,7 +710,12 @@ def _lanes_run(
     n_pad = tok_b_ext.shape[1] - 1
     m_pad = m1 - 1
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
-    Rw = 1 if B == 1 else R
+    # Small batches stage the inject stream as nb broadcast planes
+    # (selected by pair id in-kernel) instead of per-strip (R, 128)
+    # planes — the per-strip dynamic reads measured ~2x the per-wave
+    # budget at B=2 (docs/PERF.md).
+    nb = B if 1 < B <= INJ_BCAST_MAX_B else 1
+    Rw = 1 if (B == 1 or nb > 1) else R
     asel = 0 if cost_mat is None else int(cost_mat.shape[0])
 
     if asel > 0:
@@ -782,27 +830,35 @@ def _lanes_run(
     nblocks = -(-max(1, G_cap) // _STAGE)
     G_rows = (nblocks + 2) * _STAGE
     def _inj_plane(mat):
-        """(B, >= G_rows+1) per-pair values -> (G_rows, Rw, LANES)
-        staged rows.  For B == 1 every strip-0 lane takes the same
-        value, so a single broadcast row suffices (the kernel
-        re-broadcasts the (1, 128) staged tile across chunks)."""
+        """(B, >= G_rows+1) per-pair values -> (G_rows, nb, Rw, LANES)
+        staged rows.  Broadcast staging (Rw == 1) carries one (1, 128)
+        row per (wave, pair) — every strip-0 lane of a pair takes the
+        same value, the kernel selecting its pair's row by pair id;
+        per-strip staging (Rw == R) carries each strip's value in its
+        own lane."""
         padded = jnp.pad(
             mat, ((0, 0), (0, max(0, G_rows + 1 - mat.shape[1]))),
             mode="edge",
         )
-        if B == 1:
+        # Broadcast staging only for B == 1 / the nb-pair groups; a B>1
+        # batch that happens to fit one lane chunk (R == 1, so Rw == 1)
+        # still stages per-strip rows.
+        if B == 1 or nb > 1:
             return jnp.broadcast_to(
-                padded[0, 1 : G_rows + 1][:, None, None],
-                (G_rows, 1, LANES),
+                padded[:nb, 1 : G_rows + 1].transpose(1, 0)[
+                    :, :, None, None
+                ],
+                (G_rows, nb, 1, LANES),
             )
         return padded[pairc.reshape(R, LANES)[:Rw], 1 : G_rows + 1] \
-            .transpose(2, 0, 1)
+            .transpose(2, 0, 1)[:, None]
 
     if asel == 0:
-        inj = _inj_plane(tok_a_i)
+        inj = _inj_plane(tok_a_i).reshape(G_rows * nb, Rw, LANES)
     else:
-        # Planes per wave: token, row icost, col-0 Iy at rows i and
-        # i-1 (the last consumed only for i >= 2 — row 1 reads zj0).
+        # Planes per wave (and per broadcast pair group): token, row
+        # icost, col-0 Iy at rows i and i-1 (the last consumed only for
+        # i >= 2 — row 1 reads zj0).
         inj = jnp.stack(
             [
                 _inj_plane(tok_a_i),
@@ -812,8 +868,8 @@ def _lanes_run(
                     jnp.pad(c0y, ((0, 0), (1, 0)), mode="edge")[:, :-1]
                 ),
             ],
-            axis=1,
-        ).reshape(G_rows * 4, Rw, LANES)
+            axis=2,
+        ).reshape(G_rows * nb * 4, Rw, LANES)
     inj = inj + jnp.zeros((1, 1, 1), jnp.int32)  # materialize the broadcast
 
     params = jnp.stack(
@@ -841,7 +897,7 @@ def _lanes_run(
     ]
     if asel > 0:
         scratch.append(pltpu.VMEM((2, R, LANES), jnp.int32))  # ich
-    ip = 1 if asel == 0 else 4
+    ip = (1 if asel == 0 else 4) * nb
     scratch += [
         pltpu.VMEM((2, _STAGE * ip, Rw, LANES), jnp.int32),  # inject stage
         pltpu.SemaphoreType.DMA((2,)),
@@ -879,7 +935,7 @@ def _lanes_run(
     args.append(inj)
 
     res = pl.pallas_call(
-        _make_lane_kernel(w, R, S_p, Rw, clamp, moves=moves, asel=asel),
+        _make_lane_kernel(w, R, S_p, Rw, clamp, moves=moves, asel=asel, nb=nb),
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1172,6 +1228,189 @@ def lanes_moves_to_row(
             skew[2 * q : 2 * q + m_pad, :, :, q].transpose(2, 0, 1)
         )
     return out
+
+
+def _latency_cost(B: int, m: int, n_pad: int, w: int, asel: int = 0) -> int:
+    """Single-call LATENCY model: waves x (fixed + phase-tiles).
+
+    Unlike :func:`_issue_cost` (which ranks widths at a fixed wave
+    budget), this weights the measured per-wave economics on v5e
+    (docs/PERF.md): ~185 ns FIXED per wave (edge shifts, history
+    rotation, DMA staging) vs ~4.5 ns per (phase x sublane-tile) — a
+    ~41:1 ratio.  It decides wave-count tradeoffs such as the
+    meet-in-the-middle split, where halving the waves doubles the
+    strips."""
+    c_wave, c_pt = 41, 1 + asel // 8
+    S_p, R = _lanes_geometry(B, n_pad, w)
+    tiles = -(-R // 8)
+    return (m + 2 * (S_p - 1)) * (c_wave + w * tiles * c_pt)
+
+
+def lanes_split_plan(
+    mcap: int, ncap: int, pad_quantum: int = 128
+) -> tuple[int, int] | None:
+    """(w, mh) for the meet-in-the-middle lanes fill of an
+    (mcap, ncap)-capacity pair, or None when the split cannot win.
+
+    The split stacks the forward top half and the reversed bottom half
+    as one 2-pair call: the wave count halves (waves carry the serial
+    per-wave fixed cost — the single-pair bottleneck, docs/PERF.md)
+    while the strip count doubles.  It wins whenever the doubled strips
+    still pack into few sublane tiles, which the per-wave latency model
+    decides; a margin declines near-ties so tiny pairs keep the simpler
+    direct fill."""
+    q = max(1, pad_quantum)
+    half_cap = -(-mcap // 2)
+    mh = max(q, q * (-(-half_cap // q)))
+    w1 = pick_w(1, mcap, ncap)
+    direct = _latency_cost(1, mcap, ncap, w1)
+    best = None
+    for w in _w_candidates(2, ncap):
+        if lanes_vmem_bytes(2, ncap, w) > LANES_VMEM_BUDGET:
+            continue
+        cost = _latency_cost(2, mh, ncap, w)
+        if best is None or cost < best[0]:
+            best = (cost, w)
+    if best is None or best[0] * 10 >= direct * 9:
+        return None
+    return best[1], mh
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w",
+        "pad_quantum", "interpret", "force_clamp",
+    ),
+)
+def lanes_split_fill_cost(
+    tok_a_ext: jax.Array,
+    tok_b_ext: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m_true=None,
+    n_true=None,
+    *,
+    w: int | None = None,
+    pad_quantum: int = 128,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+) -> jax.Array:
+    """Meet-in-the-middle optimal cost on the LANE kernel (scalar int32;
+    uniform schemes, any m, n >= 0, lengths traced).
+
+    Math (identical to :func:`fill_pallas.split_fill_cost`, reference
+    Myers-Miller over the Gotoh recurrence of globaligner.py:317-392):
+    split seq_1 at ``mid = m // 2``; forward-fill the top half and the
+    REVERSED bottom half against forward/reversed seq_2 as one stacked
+    2-pair lanes call; any optimal path crosses row ``mid`` at some
+    column j arriving in level L and leaving in level L', so
+
+        cost = min_{j,L,L'} F_L(mid, j) + G_{L'}(m-mid, n-j)
+                            - go * [L == L' in {Ix, Iy}]
+
+    where the correction removes the double-charged open of a gap run
+    spanning the split.  Why this beats the direct lanes fill: the
+    single-pair fill is bound by the per-WAVE fixed cost (~170-200 ns of
+    edge shifts, docs/PERF.md), and the wave count is m + 2*(n/w - 1);
+    stacking the halves runs both in the same waves — ~m/2 + 2*(n/w - 1)
+    waves for the same total cells, and at 10 kb the doubled strips
+    still fit one (8, 128) sublane tile at the re-picked w.
+    """
+    mcap = tok_a_ext.shape[0] - 1
+    ncap = tok_b_ext.shape[0] - 1
+    if m_true is None:
+        m_true = mcap
+    if n_true is None:
+        n_true = ncap
+    m_true = jnp.asarray(m_true, jnp.int32)
+    n_true = jnp.asarray(n_true, jnp.int32)
+    mid = m_true // 2
+    go = jnp.asarray(gap_open, jnp.int32)
+    ico = jnp.asarray(icost, jnp.int32)
+    tok_a_i = jnp.asarray(tok_a_ext, jnp.int32)
+    tok_b_i = jnp.asarray(tok_b_ext, jnp.int32)
+
+    q = max(1, pad_quantum)
+    half_cap = -(-mcap // 2)
+    mh = max(q, q * (-(-half_cap // q)))
+    if w is None:
+        plan = lanes_split_plan(mcap, ncap, pad_quantum)
+        w = plan[0] if plan is not None else pick_w(2, mh, ncap)
+
+    # Half extraction with traced lengths (dynamic gathers, same idiom
+    # as split_fill_cost): top = rows 1..mid forward, bottom = rows
+    # m..mid+1 reversed; seq_2 forward and reversed-by-true-length.
+    ks = jnp.arange(mh + 1, dtype=jnp.int32)
+    top_a = jnp.where(ks <= mid, tok_a_i[jnp.minimum(ks, mcap)], 0)
+    bot_a = jnp.where(
+        ks >= 1, tok_a_i[jnp.clip(m_true + 1 - ks, 0, mcap)], 0
+    )
+    js = jnp.arange(ncap + 1, dtype=jnp.int32)
+    rev_b = jnp.where(
+        js >= 1, tok_b_i[jnp.clip(n_true + 1 - js, 0, ncap)], 0
+    )
+    tok_a2 = jnp.stack([top_a, bot_a])
+    tok_b2 = jnp.stack([tok_b_i, rev_b])
+    m2 = jnp.stack([mid, m_true - mid])
+    n2 = jnp.stack([n_true, n_true])
+
+    flat = lanes_batch_last_rows(
+        tok_a2, tok_b2, cmatch, cmismatch, dcost, icost, gap_open,
+        m2, n2, w=w, interpret=interpret, force_clamp=force_clamp,
+    )  # (2, 3, S_p*w) = columns 1..S_p*w of row m2[k]
+
+    # Prepend column 0: (BIG, BIG, go + i*icost) for i >= 1, the (0,0,0)
+    # corner for a zero-row half (reference make_dp_array column
+    # structure, globaligner.py:756-821).
+    def col0(mk):
+        z = mk == 0
+        return jnp.stack(
+            [
+                jnp.where(z, 0, BIG),
+                jnp.where(z, 0, BIG),
+                jnp.where(z, 0, go + mk * ico),
+            ]
+        )
+
+    F_full = jnp.concatenate([col0(m2[0])[:, None], flat[0]], axis=1)
+    G_full = jnp.concatenate([col0(m2[1])[:, None], flat[1]], axis=1)
+
+    half_big = BIG // 2
+    wp = F_full.shape[-1]
+    jw = jnp.arange(wp, dtype=jnp.int32)
+    valid = jw <= n_true
+    F = jnp.where(valid, jnp.minimum(F_full, half_big), half_big)
+    G = jnp.minimum(G_full, half_big)
+    Gj = jnp.where(
+        valid,
+        jnp.take(G, jnp.clip(n_true - jw, 0, wp - 1), axis=1),
+        half_big,
+    )
+
+    # A zero-row half contributes its boundary row, whose corner holds 0
+    # in ALL three lanes; the Ix/Iy "levels" there are fictitious (no
+    # gap run reaches the corner) — mask them so the gap-continuation
+    # correction cannot undercount by gap_open (split_fill_cost's
+    # identical guard).
+    lane3 = jnp.arange(3, dtype=jnp.int32)[:, None]
+    F = jnp.where(
+        (lane3 >= 1) & (jw[None, :] == 0) & (mid == 0), half_big, F
+    )
+    Gj = jnp.where(
+        (lane3 >= 1) & (jw[None, :] == n_true) & (m_true - mid == 0),
+        half_big,
+        Gj,
+    )
+
+    combo = F[:, None, :] + Gj[None, :, :]  # (L, L', j)
+    corr = jnp.zeros((3, 3), jnp.int32)
+    corr = corr.at[1, 1].set(go)
+    corr = corr.at[2, 2].set(go)
+    return jnp.min(combo - corr[:, :, None])
 
 
 @functools.partial(

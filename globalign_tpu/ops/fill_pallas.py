@@ -1061,13 +1061,13 @@ def batch_moves(
     ):
         from . import fill_lanes
 
-        if (
-            A <= fill_lanes.LANES_MAX_ALPHABET
-            and fill_lanes.general_lanes_ok()
-        ):
+        if A <= fill_lanes.LANES_MAX_ALPHABET:
             m_pad = tok_a_ext.shape[1] - 1
             plan = fill_lanes.lanes_plan(B, m_pad, n, moves=True, asel=A)
-            if plan is not None:
+            gkey = None if plan is None else fill_lanes.general_lanes_key(
+                plan[1], m_pad, n, plan[0], A, moves=True
+            )
+            if plan is not None and fill_lanes.general_lanes_ok(gkey):
                 w, tile_l = plan
                 try:
                     # Dispatch every tile lazily, then probe once: the
@@ -1087,7 +1087,7 @@ def batch_moves(
                         pending.append((vals, mv, hi - lo))
                     pending[0][1].block_until_ready()
                 except Exception:  # pragma: no cover - backend-specific
-                    fill_lanes.mark_general_lanes_failed()
+                    fill_lanes.mark_general_lanes_failed(gkey)
                 else:
                     finals, moves_out = [], []
                     for vals, mv, keep in pending:
@@ -1210,13 +1210,13 @@ def batch_final3(
     ):
         from . import fill_lanes
 
-        if (
-            A_static <= fill_lanes.LANES_MAX_ALPHABET
-            and fill_lanes.general_lanes_ok()
-        ):
+        if A_static <= fill_lanes.LANES_MAX_ALPHABET:
             m_pad = tok_a_ext.shape[1] - 1
             plan = fill_lanes.lanes_plan(B, m_pad, n, asel=A_static)
-            if plan is not None:
+            gkey = None if plan is None else fill_lanes.general_lanes_key(
+                plan[1], m_pad, n, plan[0], A_static
+            )
+            if plan is not None and fill_lanes.general_lanes_ok(gkey):
                 w, tile_l = plan
                 try:
                     outs = []
@@ -1236,7 +1236,7 @@ def batch_final3(
                     # faults without serializing the later tiles.
                     outs[0].block_until_ready()
                 except Exception:  # pragma: no cover - backend-specific
-                    fill_lanes.mark_general_lanes_failed()
+                    fill_lanes.mark_general_lanes_failed(gkey)
                 else:
                     return jnp.concatenate(outs, axis=0)
 
@@ -2072,6 +2072,20 @@ def wavefront_fill_cost(
         lanes_ok = False
     if lanes_ok:
         cma, cmm, dco, ico = (int(v) for v in uni)
+        # Meet-in-the-middle ON the lane kernel: the two halves ride one
+        # broadcast-inject 2-pair call, halving the wave count for the
+        # same per-wave cost — measured 1.6x the direct lanes fill at
+        # 10 kb within-run (docs/PERF.md).  Like the scan split, it
+        # returns the overall optimum replicated, not true lanes.
+        if split is not False:
+            sp = fill_lanes.lanes_split_plan(max(m, 1), n)
+            if sp is not None:
+                cost = fill_lanes.lanes_split_fill_cost(
+                    jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
+                    cma, cmm, dco, ico, int(gap_open),
+                    m_true, n_true, w=sp[0], interpret=interpret,
+                )
+                return jnp.stack([cost, cost, cost])
         final3 = fill_lanes.lanes_batch_final3(
             jnp.asarray(tok_a_ext)[None, :],
             jnp.asarray(tok_b_ext)[None, :],
@@ -2093,12 +2107,12 @@ def wavefront_fill_cost(
         from . import fill_lanes
 
         A_static = int(cost_mat.shape[0])
-        if (
-            A_static <= fill_lanes.LANES_MAX_ALPHABET
-            and fill_lanes.general_lanes_ok()
-        ):
+        if A_static <= fill_lanes.LANES_MAX_ALPHABET:
             plan = fill_lanes.lanes_plan(1, max(m, 1), n, asel=A_static)
-            if plan is not None:
+            gkey = None if plan is None else fill_lanes.general_lanes_key(
+                1, max(m, 1), n, plan[0], A_static
+            )
+            if plan is not None and fill_lanes.general_lanes_ok(gkey):
                 try:
                     final3 = fill_lanes.lanes_general_final3(
                         jnp.asarray(tok_a_ext)[None, :],
@@ -2110,7 +2124,7 @@ def wavefront_fill_cost(
                     )
                     final3.block_until_ready()
                 except Exception:  # pragma: no cover - backend-specific
-                    fill_lanes.mark_general_lanes_failed()
+                    fill_lanes.mark_general_lanes_failed(gkey)
                 else:
                     return final3[0]
 

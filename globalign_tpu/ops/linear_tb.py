@@ -266,8 +266,9 @@ def align_blocked(
                 mt, nt, state[None], c0, w=w_blk,
             )[0]
         else:
+            gkey = fill_lanes.general_lanes_key(1, blk_m, nq, w_blk, asel)
             if (
-                not fill_lanes.general_lanes_ok()
+                not fill_lanes.general_lanes_ok(gkey)
                 or ("ckpt_fail", blk_m) in probed
             ):
                 return None
@@ -281,7 +282,7 @@ def align_blocked(
                     probed.add(("ckpt", blk_m))
                 last = last[0]
             except Exception:  # pragma: no cover - backend-specific
-                fill_lanes.mark_general_lanes_failed()
+                fill_lanes.mark_general_lanes_failed(gkey)
                 probed.add(("ckpt_fail", blk_m))
                 return None
         col0_t = jnp.asarray(
@@ -385,7 +386,11 @@ def align_blocked(
                     mt, nt, checkpoints[b][None], c0, w=w_blk,
                 )
             elif (
-                fill_lanes.general_lanes_ok()
+                fill_lanes.general_lanes_ok(
+                    fill_lanes.general_lanes_key(
+                        1, i1 - i0, nq, w_blk, asel, moves=True
+                    )
+                )
                 and ("mv_fail", i1 - i0) not in probed
             ):
                 try:
@@ -398,7 +403,11 @@ def align_blocked(
                         mv.block_until_ready()
                         probed.add(("mv", i1 - i0))
                 except Exception:  # pragma: no cover - backend-specific
-                    fill_lanes.mark_general_lanes_failed()
+                    fill_lanes.mark_general_lanes_failed(
+                        fill_lanes.general_lanes_key(
+                            1, i1 - i0, nq, w_blk, asel, moves=True
+                        )
+                    )
                     probed.add(("mv_fail", i1 - i0))
                     mv = None
             if mv is not None:

@@ -26,7 +26,7 @@ def main():
 
     enable_compilation_cache()
     scoring = load_bundled_matrix("BLOSUM62")
-    costing = scoring_mat_to_costing_mat(scoring)
+    costing = scoring_mat_to_costing_mat(scoring, int(scoring.values.max()))
     alpha = costing.alphabet
     A = alpha.size
     gid = alpha.gap_id

@@ -483,3 +483,50 @@ def test_lanes_fill_cost_single_pair():
             np.array([n]),
         )
         assert got == int(want3[0].min())
+
+
+def test_lanes_split_fill_cost_matches_oracle():
+    """Meet-in-the-middle on the lane kernel (broadcast-inject 2-pair
+    stack + Myers-Miller join, fill_lanes.lanes_split_fill_cost) pinned
+    to the generic kernel's min over random uniform schemes, asymmetric
+    d/i costs, and true lengths below the padded caps — including the
+    zero-row-half corner cases mid == 0 and m - mid == 0."""
+    rng = np.random.default_rng(11)
+    cap_m, cap_n = 24, 20
+    for trial in range(6):
+        m = int(rng.integers(0, cap_m + 1))
+        n = int(rng.integers(0, cap_n + 1))
+        ta = rng.integers(1, 5, (cap_m + 1,)).astype(np.int32)
+        tb = rng.integers(1, 5, (cap_n + 1,)).astype(np.int32)
+        ta[0] = tb[0] = 0
+        cmis = int(rng.integers(1, 9))
+        d = int(rng.integers(1, 6))
+        ic = int(rng.integers(1, 6))
+        go = int(rng.integers(0, 6))
+        got = int(
+            fill_lanes.lanes_split_fill_cost(
+                jnp.asarray(ta), jnp.asarray(tb), 0, cmis, d, ic, go,
+                m, n, w=4, pad_quantum=8, interpret=True,
+            )
+        )
+        cm, gid = _uniform_costing(4, 0, cmis, d, ic)
+        want3 = _expected_final3(
+            ta[None, : m + 1], tb[None, : n + 1], cm, gid, go,
+            np.array([m]), np.array([n]),
+        )
+        assert got == int(want3[0].min()), (trial, m, n)
+
+
+def test_lanes_split_plan_scales():
+    """The split dispatches only where the halved wave count wins: big
+    near-square pairs yes, tiny pairs no; the chosen width must keep the
+    doubled strips within the VMEM budget."""
+    assert fill_lanes.lanes_split_plan(10_000, 10_000) is not None
+    assert fill_lanes.lanes_split_plan(64, 64) is None
+    plan = fill_lanes.lanes_split_plan(10_000, 10_000)
+    w, mh = plan
+    assert mh >= 5_000
+    assert (
+        fill_lanes.lanes_vmem_bytes(2, 10_000, w)
+        <= fill_lanes.LANES_VMEM_BUDGET
+    )
