@@ -66,7 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help=(
             "Shard each chunk's batch data-parallel over all local devices "
-            "(cost-only mode)."
+            "(cost AND traceback modes: final lanes are all-gathered, move "
+            "matrices stay sharded per device)."
         ),
     )
     # Scheme options (same semantics as the single-pair CLI).

@@ -92,11 +92,15 @@ def _make_lane_kernel(
     ``asel`` > 0 enables GENERAL costing matrices (alphabet size asel,
     any substitution/gap structure, traced values): substitution costs
     come from a per-(phase, token) table via an asel-deep select chain,
-    the per-column gap-extension from ``dtab``, and the per-ROW
-    gap-extension + column-0 boundary values ride the inject stream as
-    three extra planes (they depend on seq_1's characters, so they
-    pipeline down the strips exactly like the tokens).  asel == 0 is
-    the uniform-scheme fast path (2 ops for substitution instead of
+    the per-column gap-extension from ``dtab``, the per-ROW
+    gap-extension from a select chain over the already-pipelined seq_1
+    token (``itab`` scalars), and the column-0 Iy boundary from a
+    per-wave accumulator seeded by ``c0t_ref`` — so the inject stream
+    carries the token plane ONLY, exactly like the uniform mode (an
+    earlier 4-plane inject stream measured ~4x the per-wave budget on
+    the batch axis; dynamic-indexed per-strip stage reads are the
+    dominant per-wave cost, docs/PERF.md).  asel == 0 is the
+    uniform-scheme fast path (2 ops for substitution instead of
     2*asel, scalar gap costs).
 
     ``clamp`` keeps the per-phase ``min(..., BIG)`` saturation of the
@@ -119,11 +123,10 @@ def _make_lane_kernel(
     clamped row kernel's (no optimal path visits one — same caveat as
     fill_pallas's stacked moves kernel)."""
 
-    # Inject planes per wave: token only (uniform), or token + row
-    # icost + col-0 Iy at i and i-1 (general).  With broadcast staging
-    # (Rw == 1, nb pairs) each wave carries nb such groups — one
-    # (1, 128) row per (pair, plane), selected by pair id in-kernel.
-    IP = 1 if asel == 0 else 4
+    # Inject planes per wave: the seq_1 token only (both modes).  With
+    # broadcast staging (Rw == 1, nb pairs) each wave carries nb rows —
+    # one (1, 128) row per pair, selected by pair id in-kernel.
+    IP = 1
     IPW = IP * nb  # inject rows per wave
 
     def kernel(*refs):
@@ -132,8 +135,8 @@ def _make_lane_kernel(
          zj0_ref, c0t_ref) = refs[:7]
         del refs[:7]
         if asel > 0:
-            ctab_ref, dtab_ref = refs[:2]
-            del refs[:2]
+            ctab_ref, dtab_ref, itab_ref = refs[:3]
+            del refs[:3]
         if moves:
             zcrow_ref, vcrow_ref, zcj0_ref = refs[:3]
             del refs[:3]
@@ -144,7 +147,7 @@ def _make_lane_kernel(
         ah, emh, exh, eyh, zh, zbuf_s, vbuf_s = refs[:7]
         del refs[:7]
         if asel > 0:
-            ich = refs.pop(0)  # (2, R, 128) row-icost pipeline ring
+            c0acc = refs.pop(0)  # (R, 128) column-0 Iy accumulator
         stage_s, sems = refs[:2]
         del refs[:2]
         if moves:
@@ -218,6 +221,11 @@ def _make_lane_kernel(
             out_ref[0, p] = big
             out_ref[1, p] = zrow_ref[p]
             out_ref[2, p] = big
+
+        if asel > 0:
+            # Column-0 Iy accumulator: c0y(0) = the pair's c0 seed
+            # (gap_open globally, the block-top Iy when injected).
+            c0acc[:, :] = c0t_ref[:, :]
 
         def dma(blk, slot):
             return pltpu.make_async_copy(
@@ -300,11 +308,19 @@ def _make_lane_kernel(
                     c0y_i = c0t + i_t * ic
                     c0y_im1 = c0t + (i_t - 1) * ic
                 else:
-                    # Row icost pipelines down the strips like the
-                    # tokens; col-0 Iy values are consumed at q0 only.
-                    ic_cur = jnp.where(q0, plane(1), shift1(ich[g2]))
-                    c0y_i = plane(2)
-                    c0y_im1 = plane(3)
+                    # Per-row gap-extension from the pipelined token
+                    # (itab scalar chain — no extra inject plane);
+                    # column-0 Iy accumulates in scratch, seeded from
+                    # c0t_ref, and is consumed at q0 lanes only (other
+                    # lanes hold garbage sums, never read).
+                    ic_cur = jnp.zeros((R, LANES), jnp.int32)
+                    for k in range(asel):
+                        ic_cur = jnp.where(
+                            a_cur == k, itab_ref[0, k], ic_cur
+                        )
+                    c0y_im1 = c0acc[:, :]
+                    c0y_i = c0y_im1 + ic_cur
+                    c0acc[:, :] = c0y_i
                 yp0 = jnp.where(q0, c0y_i, shift1(eyh[g2]))
                 zdiag0 = jnp.where(
                     i_t == 1,
@@ -402,8 +418,6 @@ def _make_lane_kernel(
                 exh[g2] = xp
                 eyh[g2] = yp
                 ah[g2] = a_cur
-                if asel > 0:
-                    ich[g2] = ic_cur
                 if moves:
                     zch[g3] = cz_prev
 
@@ -483,10 +497,9 @@ def lanes_vmem_bytes(
         # inputs zcrow/vcrow/zcj0 (2w+1), and the uint8 staging.
         total += (4 * w + 3) * tile + 2 * MBLK * w * R * LANES
     if asel > 0:
-        # General mode: ctab + dtab + the ich ring, and the inject
-        # stage carries 4 planes instead of 1.
-        total += (w * asel + w + 2) * tile
-        total += 2 * _STAGE * 3 * nb * Rw * LANES * 4
+        # General mode: ctab + dtab + the c0acc accumulator (the inject
+        # stage carries the same single token plane as uniform mode).
+        total += (w * asel + w + 1) * tile
     return total
 
 
@@ -853,23 +866,11 @@ def _lanes_run(
         return padded[pairc.reshape(R, LANES)[:Rw], 1 : G_rows + 1] \
             .transpose(2, 0, 1)[:, None]
 
-    if asel == 0:
-        inj = _inj_plane(tok_a_i).reshape(G_rows * nb, Rw, LANES)
-    else:
-        # Planes per wave (and per broadcast pair group): token, row
-        # icost, col-0 Iy at rows i and i-1 (the last consumed only for
-        # i >= 2 — row 1 reads zj0).
-        inj = jnp.stack(
-            [
-                _inj_plane(tok_a_i),
-                _inj_plane(ics),
-                _inj_plane(c0y),
-                _inj_plane(
-                    jnp.pad(c0y, ((0, 0), (1, 0)), mode="edge")[:, :-1]
-                ),
-            ],
-            axis=2,
-        ).reshape(G_rows * nb * 4, Rw, LANES)
+    # Both modes inject the seq_1 token stream only: general mode
+    # derives the per-row gap cost and column-0 Iy in-kernel (select
+    # chain + accumulator) — extra inject planes measured ~4x the
+    # per-wave budget on the batch axis (docs/PERF.md).
+    inj = _inj_plane(tok_a_i).reshape(G_rows * nb, Rw, LANES)
     inj = inj + jnp.zeros((1, 1, 1), jnp.int32)  # materialize the broadcast
 
     params = jnp.stack(
@@ -896,8 +897,8 @@ def _lanes_run(
         pltpu.VMEM((w, R, LANES), jnp.int32),  # vbuf
     ]
     if asel > 0:
-        scratch.append(pltpu.VMEM((2, R, LANES), jnp.int32))  # ich
-    ip = (1 if asel == 0 else 4) * nb
+        scratch.append(pltpu.VMEM((R, LANES), jnp.int32))  # c0acc
+    ip = nb
     scratch += [
         pltpu.VMEM((2, _STAGE * ip, Rw, LANES), jnp.int32),  # inject stage
         pltpu.SemaphoreType.DMA((2,)),
@@ -922,12 +923,15 @@ def _lanes_run(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 6
     args = [params, btab, mtrue_tile, zrow, vrow, zj0, c0t]
     if asel > 0:
-        # ctab[p*asel + k] = cost(k, b_{s, p}); dtab[p] = dcost(b_{s, p}).
+        # ctab[p*asel + k] = cost(k, b_{s, p}); dtab[p] = dcost(b_{s, p});
+        # itab[k] = icost(k) = cost(k, gap) — SMEM scalars for the
+        # in-kernel per-row gap-cost chain.
         ctab = cmj[jnp.arange(asel, dtype=jnp.int32)][:, btab]
         ctab = ctab.transpose(1, 0, 2, 3).reshape(w * asel, R, LANES)
         dtab = cmj[gid, btab]
-        in_specs += [vmem] * 2
-        args += [ctab, dtab]
+        itab = cmj[:, gid].reshape(1, asel)
+        in_specs += [vmem, vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
+        args += [ctab, dtab, itab]
     if moves:
         in_specs += [vmem] * 3
         args += [zcrow, vcrow, zcj0]
@@ -1247,7 +1251,7 @@ def _latency_cost(B: int, m: int, n_pad: int, w: int, asel: int = 0) -> int:
 
 
 def lanes_split_plan(
-    mcap: int, ncap: int, pad_quantum: int = 128
+    mcap: int, ncap: int, pad_quantum: int = 128, asel: int = 0
 ) -> tuple[int, int] | None:
     """(w, mh) for the meet-in-the-middle lanes fill of an
     (mcap, ncap)-capacity pair, or None when the split cannot win.
@@ -1263,12 +1267,12 @@ def lanes_split_plan(
     half_cap = -(-mcap // 2)
     mh = max(q, q * (-(-half_cap // q)))
     w1 = pick_w(1, mcap, ncap)
-    direct = _latency_cost(1, mcap, ncap, w1)
+    direct = _latency_cost(1, mcap, ncap, w1, asel)
     best = None
     for w in _w_candidates(2, ncap):
-        if lanes_vmem_bytes(2, ncap, w) > LANES_VMEM_BUDGET:
+        if lanes_vmem_bytes(2, ncap, w, asel=asel) > LANES_VMEM_BUDGET:
             continue
-        cost = _latency_cost(2, mh, ncap, w)
+        cost = _latency_cost(2, mh, ncap, w, asel)
         if best is None or cost < best[0]:
             best = (cost, w)
     if best is None or best[0] * 10 >= direct * 9:
@@ -1294,6 +1298,8 @@ def lanes_split_fill_cost(
     m_true=None,
     n_true=None,
     *,
+    cost_mat: jax.Array | None = None,
+    gap_id=None,
     w: int | None = None,
     pad_quantum: int = 128,
     interpret: bool = False,
@@ -1319,6 +1325,11 @@ def lanes_split_fill_cost(
     stacking the halves runs both in the same waves — ~m/2 + 2*(n/w - 1)
     waves for the same total cells, and at 10 kb the doubled strips
     still fit one (8, 128) sublane tile at the re-picked w.
+
+    ``cost_mat``/``gap_id`` switch the halves to GENERAL-matrix mode
+    (any substitution/gap structure; the ``cmatch..icost`` scalars are
+    then ignored) — the column-0 join values come from per-character
+    gap-cost prefix sums instead of ``go + i*icost``.
     """
     mcap = tok_a_ext.shape[0] - 1
     ncap = tok_b_ext.shape[0] - 1
@@ -1333,12 +1344,13 @@ def lanes_split_fill_cost(
     ico = jnp.asarray(icost, jnp.int32)
     tok_a_i = jnp.asarray(tok_a_ext, jnp.int32)
     tok_b_i = jnp.asarray(tok_b_ext, jnp.int32)
+    asel = 0 if cost_mat is None else int(cost_mat.shape[0])
 
     q = max(1, pad_quantum)
     half_cap = -(-mcap // 2)
     mh = max(q, q * (-(-half_cap // q)))
     if w is None:
-        plan = lanes_split_plan(mcap, ncap, pad_quantum)
+        plan = lanes_split_plan(mcap, ncap, pad_quantum, asel)
         w = plan[0] if plan is not None else pick_w(2, mh, ncap)
 
     # Half extraction with traced lengths (dynamic gathers, same idiom
@@ -1358,26 +1370,40 @@ def lanes_split_fill_cost(
     m2 = jnp.stack([mid, m_true - mid])
     n2 = jnp.stack([n_true, n_true])
 
-    flat = lanes_batch_last_rows(
-        tok_a2, tok_b2, cmatch, cmismatch, dcost, icost, gap_open,
-        m2, n2, w=w, interpret=interpret, force_clamp=force_clamp,
-    )  # (2, 3, S_p*w) = columns 1..S_p*w of row m2[k]
+    if asel == 0:
+        flat = lanes_batch_last_rows(
+            tok_a2, tok_b2, cmatch, cmismatch, dcost, icost, gap_open,
+            m2, n2, w=w, interpret=interpret, force_clamp=force_clamp,
+        )  # (2, 3, S_p*w) = columns 1..S_p*w of row m2[k]
+        # Column-0 Iy at each half's last row: go + i*icost.
+        iy0 = go + m2 * ico  # (2,)
+    else:
+        flat = lanes_general_last_rows(
+            tok_a2, tok_b2, cost_mat, gap_id, gap_open,
+            m2, n2, w=w, interpret=interpret, force_clamp=force_clamp,
+        )
+        # Per-character gap-cost prefix sums over each half's tokens
+        # (reference make_dp_array column structure generalized).
+        cmj = jnp.asarray(cost_mat, jnp.int32)
+        ics2 = cmj[tok_a2, jnp.asarray(gap_id, jnp.int32)]  # (2, mh+1)
+        csum = jnp.cumsum(ics2.at[:, 0].set(0), axis=1)
+        iy0 = go + jnp.take_along_axis(csum, m2[:, None], axis=1)[:, 0]
 
-    # Prepend column 0: (BIG, BIG, go + i*icost) for i >= 1, the (0,0,0)
-    # corner for a zero-row half (reference make_dp_array column
-    # structure, globaligner.py:756-821).
-    def col0(mk):
+    # Prepend column 0: (BIG, BIG, Iy(m_k, 0)) for m_k >= 1, the
+    # (0,0,0) corner for a zero-row half (reference make_dp_array
+    # column structure, globaligner.py:756-821).
+    def col0(mk, iy):
         z = mk == 0
         return jnp.stack(
             [
                 jnp.where(z, 0, BIG),
                 jnp.where(z, 0, BIG),
-                jnp.where(z, 0, go + mk * ico),
+                jnp.where(z, 0, iy),
             ]
         )
 
-    F_full = jnp.concatenate([col0(m2[0])[:, None], flat[0]], axis=1)
-    G_full = jnp.concatenate([col0(m2[1])[:, None], flat[1]], axis=1)
+    F_full = jnp.concatenate([col0(m2[0], iy0[0])[:, None], flat[0]], axis=1)
+    G_full = jnp.concatenate([col0(m2[1], iy0[1])[:, None], flat[1]], axis=1)
 
     half_big = BIG // 2
     wp = F_full.shape[-1]

@@ -2108,6 +2108,33 @@ def wavefront_fill_cost(
 
         A_static = int(cost_mat.shape[0])
         if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+            # Meet-in-the-middle on the general lane kernel when the
+            # latency model favors halving the waves (same dispatch as
+            # the uniform path; replicated-cost return contract).
+            if split is not False and not isinstance(
+                gap_open, jax.core.Tracer
+            ):
+                sp = fill_lanes.lanes_split_plan(
+                    max(m, 1), n, asel=A_static
+                )
+                skey = None if sp is None else fill_lanes.general_lanes_key(
+                    2, sp[1], n, sp[0], A_static
+                )
+                if sp is not None and fill_lanes.general_lanes_ok(skey):
+                    try:
+                        cost = fill_lanes.lanes_split_fill_cost(
+                            jnp.asarray(tok_a_ext),
+                            jnp.asarray(tok_b_ext),
+                            0, 0, 0, 0, int(gap_open),
+                            m_true, n_true,
+                            cost_mat=cost_mat, gap_id=gap_id,
+                            w=sp[0], interpret=interpret,
+                        )
+                        cost.block_until_ready()
+                    except Exception:  # pragma: no cover - backend
+                        fill_lanes.mark_general_lanes_failed(skey)
+                    else:
+                        return jnp.stack([cost, cost, cost])
             plan = fill_lanes.lanes_plan(1, max(m, 1), n, asel=A_static)
             gkey = None if plan is None else fill_lanes.general_lanes_key(
                 1, max(m, 1), n, plan[0], A_static

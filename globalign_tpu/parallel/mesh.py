@@ -151,9 +151,13 @@ def _sharded_moves_jit(
                 finals.append(vals[: hi - lo])
                 movess.append(mv[None])
             final3 = jnp.concatenate(finals, axis=0)
-            # Peak HBM holds every tile's skewed buffer at once — which
-            # lanes_plan's MOVES_INFLATION_CAP bounds at <= 2x the
-            # row-major moves the stacked path would materialize.
+            # Peak HBM holds every tile's skewed buffer at once.  The
+            # host dispatcher (sharded_fill_moves) bounds the TOTAL
+            # across tiles by the same guards lanes_plan applies per
+            # tile (skewed <= MOVES_BYTES_INFLATION_CAP x the row-major
+            # batch, or below MOVES_BYTES_ABS_FLOOR outright) — when the
+            # whole-shard total exceeds both, plan arrives None and this
+            # branch is not taken.
             moves = jnp.concatenate(movess, axis=0)  # (T, Gw, R, 128)
             gathered = jax.lax.all_gather(
                 final3, BATCH_AXIS, axis=0, tiled=True
@@ -269,6 +273,25 @@ def sharded_fill_moves(
             from ..ops import fill_lanes
 
             plan = fill_lanes.lanes_plan(Bl, m_pad, n_pad, moves=True)
+            if plan is not None:
+                # lanes_plan guards skewed-buffer inflation PER TILE;
+                # inside the shard body every tile's buffer is live at
+                # once, so re-apply the same guards to the whole-shard
+                # total — peak HBM stays within the documented bound
+                # (<= MOVES_BYTES_INFLATION_CAP x row-major, or under
+                # the absolute floor) on the lane path too.
+                w_p, tile_p = plan
+                T = -(-Bl // tile_p)
+                total_skewed = T * fill_lanes.lanes_moves_bytes(
+                    tile_p, m_pad, n_pad, w_p
+                )
+                row_major = Bl * (m_pad + 1) * (n_pad + 1)
+                if (
+                    total_skewed
+                    > fill_lanes.MOVES_BYTES_INFLATION_CAP * row_major
+                    and total_skewed > fill_lanes.MOVES_BYTES_ABS_FLOOR
+                ):
+                    plan = None
     final3, moves = _sharded_moves_jit(
         mesh,
         _put(tok_a, sharding),
