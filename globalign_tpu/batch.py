@@ -57,8 +57,8 @@ def _moves_pair_bytes(
     (m + 2*S_p)*w*S_p cells, NOT (m+1)*(n+1)), the stacked moves
     kernel's 8-aligned chunk padding when that kernel runs, else the
     row scan's logical (m+1)*(n+1).  ``sharded`` budgets for the mesh
-    shard_map body, which runs the lane kernel only for uniform schemes
-    (general matrices there stay on the stacked kernel)."""
+    shard_map body, which runs the lane kernel for uniform AND general
+    schemes via host-resolved static plans (parallel/mesh.py)."""
     from .ops.fill_pallas import (
         LANES, _stacked_r, _stacked_tile_size, uniform_scheme_params,
     )
@@ -70,9 +70,9 @@ def _moves_pair_bytes(
             scheme.costing.values, scheme.alphabet.gap_id
         )
         asel = 0 if uni is not None else scheme.alphabet.size
-        lanes_able = asel <= fill_lanes.LANES_MAX_ALPHABET and (
-            asel == 0 or not sharded
-        )
+        # Sharded bodies dispatch the lane kernel for uniform AND
+        # general schemes (host-resolved statics, parallel/mesh.py).
+        lanes_able = asel <= fill_lanes.LANES_MAX_ALPHABET
         if lanes_able:
             plan = fill_lanes.lanes_plan(128, m, n, moves=True, asel=asel)
             if plan is not None and (

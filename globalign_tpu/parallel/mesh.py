@@ -62,16 +62,40 @@ def pad_batch_to_mesh(arrays, batch: int, mesh: Mesh) -> tuple[list, int]:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "use_pallas", "uniform", "gap_open_static")
+    jax.jit,
+    static_argnames=(
+        "mesh", "use_pallas", "uniform", "gap_open_static", "general_plan",
+    ),
 )
 def _sharded_costs_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
-    use_pallas=False, uniform=None, gap_open_static=None,
+    use_pallas=False, uniform=None, gap_open_static=None, general_plan=None,
 ):
     spec_b = P(BATCH_AXIS)
 
     def shard_fn(ta, tb, cm, gi, go, mt, nt):
-        if use_pallas:
+        if use_pallas and general_plan is not None:
+            # GENERAL matrices on the lane kernel (select-chain mode,
+            # chip-validated round 3): the host resolved the plan
+            # statically; cm/gi/go ride through as tracers — only the
+            # alphabet size (the matrix shape) must be static.
+            from ..ops import fill_lanes
+            from ..ops.fill_pallas import _tile_slice
+
+            w, tile_l = general_plan
+            Bl = ta.shape[0]
+            outs = []
+            for lo in range(0, Bl, tile_l):
+                hi = min(lo + tile_l, Bl)
+                tat, tbt, mtt, ntt = _tile_slice(
+                    (ta, tb, mt, nt), lo, hi, tile_l
+                )
+                vals = fill_lanes.lanes_general_final3(
+                    tat, tbt, cm, gi, go, mtt, ntt, w=w
+                )
+                outs.append(vals[: hi - lo])
+            final3 = jnp.concatenate(outs, axis=0)
+        elif use_pallas:
             from ..ops.fill_pallas import batch_final3
 
             # cm/gi/go are tracers here, so the uniform-scheme dispatch is
@@ -109,11 +133,13 @@ def _sharded_costs_jit(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "use_pallas", "uniform", "gap_open_static"),
+    static_argnames=(
+        "mesh", "use_pallas", "uniform", "gap_open_static", "general_plan",
+    ),
 )
 def _sharded_moves_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
-    use_pallas=False, uniform=None, gap_open_static=None,
+    use_pallas=False, uniform=None, gap_open_static=None, general_plan=None,
 ):
     spec_b = P(BATCH_AXIS)
 
@@ -121,12 +147,18 @@ def _sharded_moves_jit(
         Bl = ta.shape[0]
         n = tb.shape[1] - 1
         # Uniform schemes (host-resolved statics, like the cost path)
-        # ride the moves-emitting lane kernel; the SKEWED uint8 buffers
-        # come back per tile — the host unskews addressable shards with
-        # the identical lanes_plan (both sides recompute it from the
-        # padded shapes alone).
-        plan = None
-        if use_pallas and uniform is not None and gap_open_static is not None:
+        # and general matrices (host-resolved ``general_plan``) ride the
+        # moves-emitting lane kernel; the SKEWED uint8 buffers come back
+        # per tile — the host unskews addressable shards with the
+        # identical lanes_plan (both sides recompute it from the padded
+        # shapes alone).
+        plan = general_plan
+        if (
+            plan is None
+            and use_pallas
+            and uniform is not None
+            and gap_open_static is not None
+        ):
             from ..ops import fill_lanes
 
             plan = fill_lanes.lanes_plan(
@@ -137,17 +169,22 @@ def _sharded_moves_jit(
             from ..ops.fill_pallas import _tile_slice
 
             w, tile_l = plan
-            cma, cmm, dco, ico = (int(v) for v in uniform)
             finals, movess = [], []
             for lo in range(0, Bl, tile_l):
                 hi = min(lo + tile_l, Bl)
                 tat, tbt, mtt, ntt = _tile_slice(
                     (ta, tb, mt, nt), lo, hi, tile_l
                 )
-                vals, mv = fill_lanes.lanes_batch_moves(
-                    tat, tbt, cma, cmm, dco, ico, gap_open_static,
-                    mtt, ntt, w=w,
-                )
+                if general_plan is not None:
+                    vals, mv = fill_lanes.lanes_general_moves(
+                        tat, tbt, cm, gi, go, mtt, ntt, w=w
+                    )
+                else:
+                    cma, cmm, dco, ico = (int(v) for v in uniform)
+                    vals, mv = fill_lanes.lanes_batch_moves(
+                        tat, tbt, cma, cmm, dco, ico, gap_open_static,
+                        mtt, ntt, w=w,
+                    )
                 finals.append(vals[: hi - lo])
                 movess.append(mv[None])
             final3 = jnp.concatenate(finals, axis=0)
@@ -258,54 +295,89 @@ def sharded_fill_moves(
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform not in ("cpu",)
     # Resolve the uniform-scheme dispatch on the host (shard_fn sees
-    # tracers) — identical to the cost path.
+    # tracers) — identical to the cost path; general matrices resolve
+    # the lane plan the same way (chip-validated select-chain mode).
     uniform = None
     plan = None
+    general_plan = None
+    gkey = None
     D = mesh.devices.size
     Bl = tok_a.shape[0] // D
     m_pad = tok_a.shape[1] - 1
     n_pad = tok_b.shape[1] - 1
     if use_pallas:
+        from ..ops import fill_lanes
         from ..ops.fill_pallas import uniform_scheme_params
 
         uniform = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
+        A = int(np.asarray(cost_mat).shape[0])
         if uniform is not None:
-            from ..ops import fill_lanes
-
             plan = fill_lanes.lanes_plan(Bl, m_pad, n_pad, moves=True)
+        elif A <= fill_lanes.LANES_MAX_ALPHABET:
+            plan = fill_lanes.lanes_plan(
+                Bl, m_pad, n_pad, moves=True, asel=A
+            )
             if plan is not None:
-                # lanes_plan guards skewed-buffer inflation PER TILE;
-                # inside the shard body every tile's buffer is live at
-                # once, so re-apply the same guards to the whole-shard
-                # total — peak HBM stays within the documented bound
-                # (<= MOVES_BYTES_INFLATION_CAP x row-major, or under
-                # the absolute floor) on the lane path too.
-                w_p, tile_p = plan
-                T = -(-Bl // tile_p)
-                total_skewed = T * fill_lanes.lanes_moves_bytes(
-                    tile_p, m_pad, n_pad, w_p
+                gkey = fill_lanes.general_lanes_key(
+                    plan[1], m_pad, n_pad, plan[0], A, moves=True
                 )
-                row_major = Bl * (m_pad + 1) * (n_pad + 1)
-                if (
-                    total_skewed
-                    > fill_lanes.MOVES_BYTES_INFLATION_CAP * row_major
-                    and total_skewed > fill_lanes.MOVES_BYTES_ABS_FLOOR
-                ):
+                if not fill_lanes.general_lanes_ok(gkey):
                     plan = None
-    final3, moves = _sharded_moves_jit(
-        mesh,
-        _put(tok_a, sharding),
-        _put(tok_b, sharding),
-        jnp.asarray(cost_mat),
-        jnp.asarray(gap_id),
-        jnp.asarray(gap_open),
-        _put(np.asarray(m_true, np.int32), sharding),
-        _put(np.asarray(n_true, np.int32), sharding),
-        use_pallas=use_pallas,
-        uniform=uniform if plan is not None else None,
-        gap_open_static=int(gap_open) if plan is not None else None,
-    )
-    final3 = np.asarray(final3)[:batch]
+        if plan is not None:
+            # lanes_plan guards skewed-buffer inflation PER TILE;
+            # inside the shard body every tile's buffer is live at
+            # once, so re-apply the same guards to the whole-shard
+            # total — peak HBM stays within the documented bound
+            # (<= MOVES_BYTES_INFLATION_CAP x row-major, or under
+            # the absolute floor) on the lane path too.
+            w_p, tile_p = plan
+            T = -(-Bl // tile_p)
+            total_skewed = T * fill_lanes.lanes_moves_bytes(
+                tile_p, m_pad, n_pad, w_p
+            )
+            row_major = Bl * (m_pad + 1) * (n_pad + 1)
+            if (
+                total_skewed
+                > fill_lanes.MOVES_BYTES_INFLATION_CAP * row_major
+                and total_skewed > fill_lanes.MOVES_BYTES_ABS_FLOOR
+            ):
+                plan = None
+        if uniform is None:
+            general_plan = plan
+
+    def _run(plan_, general_plan_):
+        return _sharded_moves_jit(
+            mesh,
+            _put(tok_a, sharding),
+            _put(tok_b, sharding),
+            jnp.asarray(cost_mat),
+            jnp.asarray(gap_id),
+            jnp.asarray(gap_open),
+            _put(np.asarray(m_true, np.int32), sharding),
+            _put(np.asarray(n_true, np.int32), sharding),
+            use_pallas=use_pallas,
+            uniform=uniform if plan_ is not None else None,
+            gap_open_static=(
+                int(gap_open)
+                if plan_ is not None and uniform is not None
+                else None
+            ),
+            general_plan=general_plan_,
+        )
+
+    try:
+        final3, moves = _run(plan, general_plan)
+        final3 = np.asarray(final3)[:batch]
+    except Exception:  # pragma: no cover - backend-specific
+        if general_plan is None:
+            raise
+        from ..ops import fill_lanes
+
+        fill_lanes.mark_general_lanes_failed(gkey)
+        plan = None
+        general_plan = None
+        final3, moves = _run(None, None)
+        final3 = np.asarray(final3)[:batch]
     if plan is not None:
         # Lane-kernel moves arrive SKEWED, one (Gw, R, 128) uint8 buffer
         # per tile per shard (leading axis sharded).  Unskew each tile
@@ -358,11 +430,47 @@ def sharded_fill_costs(
     # The uniform-scheme kernel dispatch needs a CONCRETE matrix; resolve
     # it here (host) and ship the result through the jit statically, since
     # inside shard_map the matrix is a tracer and detection must decline.
+    # General matrices resolve the lane plan the same way (round-2's
+    # uniform-only host-resolved-static pattern, extended now that the
+    # select-chain mode is chip-validated).
     uniform = None
+    general_plan = None
+    gkey = None
     if use_pallas:
         from ..ops.fill_pallas import uniform_scheme_params
 
         uniform = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
+        if uniform is None:
+            from ..ops import fill_lanes
+
+            A = int(np.asarray(cost_mat).shape[0])
+            if A <= fill_lanes.LANES_MAX_ALPHABET:
+                Bl = tok_a.shape[0] // mesh.devices.size
+                m_pad = tok_a.shape[1] - 1
+                n_pad = tok_b.shape[1] - 1
+                plan = fill_lanes.lanes_plan(Bl, m_pad, n_pad, asel=A)
+                if plan is not None:
+                    gkey = fill_lanes.general_lanes_key(
+                        plan[1], m_pad, n_pad, plan[0], A
+                    )
+                    if fill_lanes.general_lanes_ok(gkey):
+                        general_plan = plan
+    try:
+        final3, _total_cells = _sharded_costs_jit(
+            mesh, tok_a, tok_b, jnp.asarray(cost_mat), jnp.asarray(gap_id),
+            jnp.asarray(gap_open), m_d, n_d, use_pallas=use_pallas,
+            uniform=uniform,
+            gap_open_static=int(gap_open) if uniform is not None else None,
+            general_plan=general_plan,
+        )
+        return np.asarray(final3)[:batch]
+    except Exception:  # pragma: no cover - backend-specific
+        if general_plan is None:
+            raise
+        # Latch the failing shape and rebuild on the scan kernels.
+        from ..ops import fill_lanes
+
+        fill_lanes.mark_general_lanes_failed(gkey)
     final3, _total_cells = _sharded_costs_jit(
         mesh, tok_a, tok_b, jnp.asarray(cost_mat), jnp.asarray(gap_id),
         jnp.asarray(gap_open), m_d, n_d, use_pallas=use_pallas,

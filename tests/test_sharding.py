@@ -139,3 +139,93 @@ def test_sharded_lanes_moves_reassembly(cpu_mesh, monkeypatch):
         shard, off = divmod(idx, Bl)
         tile_first = shard * Bl + (off // tile_l) * tile_l
         assert (moves[idx] == tok_a[tile_first, 1]).all(), idx
+
+
+def test_sharded_general_lanes_dispatch(cpu_mesh, monkeypatch):
+    """GENERAL costing matrices dispatch the lane kernel inside the
+    shard_map body too (host-resolved static plan — round-2 left them
+    on the stacked scan kernel).  Stub-driven on the CPU mesh like the
+    uniform-plumbing test: cost AND moves paths must route through
+    lanes_general_* with the host-planned static w."""
+    import jax.numpy as jnp
+
+    from globalign_tpu.config import resolve_scheme
+    from globalign_tpu.ops import fill_lanes
+    from globalign_tpu.parallel import mesh as mesh_mod
+
+    scheme = resolve_scheme("ARND", "NDRA", scoring_mat_name="BLOSUM62")
+    A = scheme.alphabet.size
+    B, m_pad, n_pad = 10, 12, 16
+    rng = np.random.default_rng(5)
+    tok_a = np.zeros((B, m_pad + 1), np.int32)
+    tok_b = np.zeros((B, n_pad + 1), np.int32)
+    tok_a[:, 1:] = rng.integers(0, A - 1, (B, m_pad))
+    tok_b[:, 1:] = rng.integers(0, A - 1, (B, n_pad))
+    m_true = np.full(B, m_pad, np.int32)
+    n_true = np.full(B, n_pad, np.int32)
+
+    cost_calls = []
+
+    def stub_final3(ta, tb, cm, gi, go, mt, nt, **k):
+        cost_calls.append(k.get("w"))
+        return jnp.stack([ta[:, 1]] * 3, axis=-1)
+
+    monkeypatch.setattr(fill_lanes, "lanes_general_final3", stub_final3)
+    final3 = mesh_mod.sharded_fill_costs(
+        cpu_mesh, tok_a, tok_b, scheme.costing.values,
+        scheme.alphabet.gap_id, scheme.gap_open_cost, m_true, n_true,
+    )
+    # sharded_fill_costs has no use_pallas override; the CPU platform
+    # declines pallas — drive the jit directly with the host-made plan.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    plan = fill_lanes.lanes_plan(2, m_pad, n_pad, asel=A)
+    assert plan is not None
+    sharding = NamedSharding(cpu_mesh, P("pairs"))
+    (ta_p, tb_p, mt_p, nt_p), _ = mesh_mod.pad_batch_to_mesh(
+        (tok_a, tok_b, m_true, n_true), B, cpu_mesh
+    )
+    f3, _cells = mesh_mod._sharded_costs_jit(
+        cpu_mesh,
+        mesh_mod._put(ta_p, sharding),
+        mesh_mod._put(tb_p, sharding),
+        jnp.asarray(scheme.costing.values),
+        jnp.asarray(scheme.alphabet.gap_id),
+        jnp.asarray(scheme.gap_open_cost),
+        mesh_mod._put(mt_p, sharding),
+        mesh_mod._put(nt_p, sharding),
+        use_pallas=True,
+        general_plan=plan,
+    )
+    assert cost_calls and all(wc == plan[0] for wc in cost_calls)
+    f3 = np.asarray(f3)[:B]
+    assert (f3 == tok_a[:, 1][:, None]).all()
+
+    # Moves path: general plan routes lanes_general_moves per tile.
+    mv_calls = []
+    planm = fill_lanes.lanes_plan(2, m_pad, n_pad, moves=True, asel=A)
+    assert planm is not None
+    wm, tile_m = planm
+
+    def stub_moves(ta, tb, cm, gi, go, mt, nt, **k):
+        mv_calls.append(k.get("w"))
+        vals = jnp.stack([ta[:, 1]] * 3, axis=-1)
+        mv = jnp.broadcast_to(ta[0, 1].astype(jnp.uint8), (8, 8, 128))
+        return vals, mv
+
+    def stub_unskew(mv, Bq, npad, wq, mpad):
+        assert (Bq, npad, wq, mpad) == (tile_m, n_pad, wm, m_pad)
+        return np.full(
+            (Bq, mpad + 1, npad + 1), np.asarray(mv)[0, 0, 0], np.uint8
+        )
+
+    monkeypatch.setattr(fill_lanes, "lanes_general_moves", stub_moves)
+    monkeypatch.setattr(fill_lanes, "lanes_moves_to_row", stub_unskew)
+    final3m, moves = mesh_mod.sharded_fill_moves(
+        cpu_mesh, tok_a, tok_b, scheme.costing.values,
+        scheme.alphabet.gap_id, scheme.gap_open_cost, m_true, n_true,
+        use_pallas=True,
+    )
+    assert mv_calls and all(wc == wm for wc in mv_calls)
+    assert (np.asarray(final3m)[:B] == tok_a[:, 1][:, None]).all()
+    assert moves.shape == (B, m_pad + 1, n_pad + 1)
