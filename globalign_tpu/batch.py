@@ -272,9 +272,11 @@ def align_pairs(
                 tok_a = encode_padded(scheme.alphabet, s1, len(s1))
                 tok_b = encode_padded(scheme.alphabet, s2, len(s2))
                 with _phase("blocked"):
+                    # A supplied mesh column-shards each block's
+                    # checkpoint fill (parallel/seqpar.py).
                     tb = align_blocked(
                         tok_a, jnp.asarray(tok_b), cost_mat, gap_id,
-                        gap_open, s1, s2,
+                        gap_open, s1, s2, mesh=mesh,
                     )
                 score = final_cost_to_score(
                     cost=tb.cost, m=len(s1), n=len(s2),

@@ -66,6 +66,10 @@ class RowFillResult(NamedTuple):
             linear-space traceback).
         edge: (m, 3) int32 — per-row lanes at ``edge_col`` (want_edge mode),
             or None.
+        fin_row: (3, n+1) int32 — the full DP row at ``m_true``
+            (want_fin_row mode), or None.  Differs from ``last3`` when the
+            buffer is row-padded past the true length (partial pipeline
+            sub-blocks in parallel/seqpar.py).
     """
 
     final3: jax.Array
@@ -73,6 +77,7 @@ class RowFillResult(NamedTuple):
     planes: jax.Array | None
     last3: jax.Array | None = None
     edge: jax.Array | None = None
+    fin_row: jax.Array | None = None
 
 
 def _shift_right_big(x: jax.Array) -> jax.Array:
@@ -97,6 +102,7 @@ def row_fill_impl(
     unroll: int = 1,
     col0_full: bool = False,
     want_edge: bool = False,
+    want_fin_row: bool = False,
     edge_col=None,
 ) -> RowFillResult:
     """Fill the Gotoh DP matrix row by row (see module docstring).
@@ -153,7 +159,10 @@ def row_fill_impl(
     isteps = cost_mat[tok_a_ext, gap_id]  # (m+1,) icost(a_i)
 
     def step(carry, xs):
-        mp, xp, yp, final3 = carry  # row i-1: (n+1,) each
+        if want_fin_row:
+            mp, xp, yp, final3, fin_row = carry  # row i-1: (n+1,) each
+        else:
+            mp, xp, yp, final3 = carry
         i, ai, ic, m_bound, x_bound, y_bound = xs
 
         sub_row = jnp.take(subrows, ai, axis=0)  # (n+1,) cost(a_i, b_j)
@@ -189,6 +198,10 @@ def row_fill_impl(
             jnp.stack([mc[n_true], xc[n_true], yc[n_true]]),
             final3,
         )
+        if want_fin_row:
+            fin_row = jnp.where(
+                i == m_true, jnp.stack([mc, xc, yc]), fin_row
+            )
 
         ys = []
         if want_edge:
@@ -219,6 +232,8 @@ def row_fill_impl(
             ys.append(code)
         if want_planes:
             ys.append(jnp.stack([mc, xc, yc]))
+        if want_fin_row:
+            return (mc, xc, yc, final3, fin_row), tuple(ys)
         return (mc, xc, yc, final3), tuple(ys)
 
     edge_idx = (
@@ -236,8 +251,18 @@ def row_fill_impl(
         jnp.stack([row0[0, n_true], row0[1, n_true], row0[2, n_true]]),
         jnp.full((3,), BIG, jnp.int32),
     )
-    carry0 = (row0[0], row0[1], row0[2], final3_init)
-    (lm, lx, ly, final3), ys = jax.lax.scan(step, carry0, xs, unroll=unroll)
+    fin_row = None
+    if want_fin_row:
+        fin_row_init = jnp.where(m_true == 0, row0, jnp.full_like(row0, BIG))
+        carry0 = (row0[0], row0[1], row0[2], final3_init, fin_row_init)
+        (lm, lx, ly, final3, fin_row), ys = jax.lax.scan(
+            step, carry0, xs, unroll=unroll
+        )
+    else:
+        carry0 = (row0[0], row0[1], row0[2], final3_init)
+        (lm, lx, ly, final3), ys = jax.lax.scan(
+            step, carry0, xs, unroll=unroll
+        )
     last3 = jnp.stack([lm, lx, ly])
 
     moves = None
@@ -259,14 +284,16 @@ def row_fill_impl(
         planes = jnp.moveaxis(jnp.concatenate([head, body], axis=0), 1, 0)
 
     return RowFillResult(
-        final3=final3, moves=moves, planes=planes, last3=last3, edge=edge
+        final3=final3, moves=moves, planes=planes, last3=last3, edge=edge,
+        fin_row=fin_row,
     )
 
 
 row_fill = jax.jit(
     row_fill_impl,
     static_argnames=(
-        "want_moves", "want_planes", "unroll", "col0_full", "want_edge"
+        "want_moves", "want_planes", "unroll", "col0_full", "want_edge",
+        "want_fin_row",
     ),
 )
 

@@ -170,6 +170,7 @@ def align_blocked(
     *,
     block_rows: int | None = None,
     use_pallas: bool | None = None,
+    mesh=None,
 ) -> Traceback:
     """Full alignment with O(n * (m/K + K)) memory (see module docstring).
 
@@ -185,6 +186,13 @@ def align_blocked(
             round trips during the replay walk, each >= one window fetch).
         use_pallas: force the checkpoint-pass backend; default auto
             (Pallas on TPU, row scan elsewhere).
+        mesh: optional multi-device ``jax.sharding.Mesh`` — the
+            CHECKPOINT pass then column-shards every block fill across
+            the mesh's devices (parallel/seqpar.py pipeline; SURVEY.md
+            §5 long-context row), so the O(m*n) fill work of a huge
+            pair scales with device count.  The replay pass (move
+            emission + walk of one K-row block at a time) stays on one
+            device — it is O(K*n) per block and latency-bound.
     """
     m = len(seq_1)
     n = len(seq_2)
@@ -298,6 +306,22 @@ def align_blocked(
     for b in range(nblocks):
         i0, i1 = bounds[b], bounds[b + 1]
         ta_blk = _block_tokens(tok_a_np, i0, i1)
+        if mesh is not None and mesh.devices.size > 1 and nq >= (
+            mesh.devices.size
+        ):
+            # Column-sharded checkpoint fill: the block's O(K*n) fill
+            # work spreads over the mesh; the returned row is
+            # bit-identical to the single-device backends.
+            from ..parallel.seqpar import sharded_block_last_rows
+
+            state = jnp.asarray(
+                sharded_block_last_rows(
+                    mesh, ta_blk, tok_b, cost_mat, gap_id, gap_open,
+                    np.asarray(state), col0_np[:, i0 : i1 + 1],
+                )
+            )
+            checkpoints.append(state)
+            continue
         if use_pallas and (uni is not None or asel > 0):
             lanes_last = _lanes_block_ckpt(ta_blk, state, i0, i1)
             if lanes_last is not None:

@@ -178,6 +178,221 @@ def _seqpar_cost_jit(
     return out[dstar]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "m", "nblocks", "block_rows", "backend"),
+)
+def _seqpar_rows_jit(
+    mesh,
+    tok_a_pad,  # (nblocks*RB + 1,) replicated block tokens, 1-origin
+    tok_b_strips,  # (D, W+1) one padded 1-origin strip per device
+    strip_row0,  # (D, 3, W+1) INJECTED row-0 boundary per strip
+    col0,  # (3, nblocks*RB + 1) column-0 triple of the block, replicated
+    cost_mat,
+    gap_id,
+    gap_open,
+    m: int,
+    nblocks: int,
+    block_rows: int,
+    backend: str,
+):
+    """Column-sharded K-row block fill returning every strip's LAST row
+    (all-gathered, replicated) — the checkpoint-pass primitive of the
+    blocked linear-space traceback run across devices (align_blocked's
+    huge-pair axis; SURVEY.md §5 long-context row).  Same super-step
+    pipeline as :func:`_seqpar_cost_jit`, with the row-0/column-0
+    boundaries INJECTED (the previous checkpoint row) instead of the
+    global formulas."""
+    D = mesh.devices.size
+    RB = block_rows
+    nsteps = nblocks + D - 1
+    gap_open = jnp.asarray(gap_open, jnp.int32)
+
+    def shard_fn(tok_b_s, row0_s):
+        d = jax.lax.axis_index(STRIP_AXIS)
+        tok_b_local = tok_b_s[0]  # (W+1,)
+        row0 = row0_s[0].astype(jnp.int32)  # (3, W+1)
+        W = tok_b_local.shape[0] - 1
+        col0_g = jnp.asarray(col0, jnp.int32)
+
+        def super_step(t, carry):
+            state, edges_in = carry
+            b = t - d
+            active = (b >= 0) & (b < nblocks)
+            bc = jnp.clip(b, 0, nblocks - 1)
+            i0 = bc * RB
+            rows = jnp.minimum(RB, m - i0)
+
+            ta_blk = jax.lax.dynamic_slice(tok_a_pad, (i0,), (RB + 1,))
+            ta_blk = ta_blk.at[0].set(0)
+            col0_own = jax.lax.dynamic_slice(col0_g, (0, i0), (3, RB + 1))
+            col0_blk = jnp.where(d == 0, col0_own, edges_in)
+
+            if backend == "scan":
+                res = row_fill_impl(
+                    ta_blk,
+                    tok_b_local,
+                    cost_mat,
+                    gap_id,
+                    gap_open,
+                    state,
+                    col0_blk,
+                    rows,
+                    jnp.int32(W),
+                    want_moves=False,
+                    col0_full=True,
+                    want_edge=True,
+                    edge_col=jnp.int32(W),
+                    want_fin_row=True,
+                )
+                # fin_row (the row at ``rows``), NOT last3: the final
+                # sub-block of a K-row block may be partial, and the
+                # padded scan rows past ``rows`` are garbage.
+                last, edge = res.fin_row, res.edge.T
+            else:
+                from ..ops.fill_pallas import strip_fill_block
+
+                _lastc, finc, edge = strip_fill_block(
+                    ta_blk,
+                    tok_b_local,
+                    cost_mat,
+                    gap_id,
+                    gap_open,
+                    state,
+                    col0_blk,
+                    rows,
+                    interpret=(backend == "pallas_interpret"),
+                )
+                # fin (the row at ``rows``), NOT last: the final
+                # sub-block of a K-row block may be partial.
+                last = finc[:, : W + 1]
+
+            new_state = jnp.where(active, last, state)
+            edge_out = jnp.concatenate(
+                [state[:, W][:, None], edge], axis=1
+            )
+            edge_out = jnp.where(
+                active, edge_out, jnp.full_like(edge_out, BIG)
+            )
+            edges_next = jax.lax.ppermute(
+                edge_out,
+                STRIP_AXIS,
+                [(k, (k + 1) % D) for k in range(D)],
+            )
+            return new_state, edges_next
+
+        carry0 = (row0, jnp.full((3, RB + 1), BIG, jnp.int32))
+        state, _ = jax.lax.fori_loop(0, nsteps, super_step, carry0)
+        # Replicate every strip's last row so any host can read the full
+        # checkpoint row (multi-host safe, like the mesh cost path).
+        return jax.lax.all_gather(state, STRIP_AXIS)
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(STRIP_AXIS), P(STRIP_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(tok_b_strips, strip_row0)  # (D, 3, W+1) replicated
+
+
+def sharded_block_last_rows(
+    mesh: Mesh,
+    tok_a_blk,
+    tok_b_ext,
+    cost_mat,
+    gap_id,
+    gap_open,
+    row0,
+    col0,
+    *,
+    block_rows: int = 256,
+    backend: str | None = None,
+) -> np.ndarray:
+    """Last DP row (3, n+1) of a K-row block, column-sharded over ``mesh``.
+
+    The blocked traceback's checkpoint pass calls this per block when a
+    mesh is supplied (``align_blocked(mesh=...)``): each device owns an
+    equal-width column strip of the block, blocks pipeline in
+    ``block_rows`` sub-blocks with ppermute edge exchange, and the
+    resulting row is bit-identical to the single-device block fill
+    (pinned by tests/test_seqpar.py).
+
+    Args:
+        tok_a_blk: (K+1,) 1-origin block tokens.
+        tok_b_ext: (n+1,) 1-origin seq_2 tokens (padded width ok).
+        row0: (3, n+1) the triple row above the block (checkpoint row).
+        col0: (3, K+1) the block's column-0 triple
+            ((BIG, BIG, Iy) rows of the global boundary).
+    """
+    if mesh.axis_names != (STRIP_AXIS,):
+        # Callers hand over whatever 1-D mesh they scale on (e.g. the
+        # batch engine's "pairs" mesh); re-label its devices as strips.
+        mesh = Mesh(mesh.devices.reshape(-1), (STRIP_AXIS,))
+    tok_a_np = np.asarray(tok_a_blk, dtype=np.int32)
+    tok_b_np = np.asarray(tok_b_ext, dtype=np.int32)
+    K = tok_a_np.shape[0] - 1
+    n = tok_b_np.shape[0] - 1
+    D = mesh.devices.size
+    if backend is None:
+        backend = (
+            "pallas" if jax.devices()[0].platform not in ("cpu",) else "scan"
+        )
+    RB = max(1, min(block_rows, K))
+    nblocks = max(1, -(-K // RB))
+
+    tok_a_pad = np.zeros((nblocks * RB + 1,), np.int32)
+    tok_a_pad[: K + 1] = tok_a_np
+    col0_np = np.asarray(col0, dtype=np.int32)
+    col0_pad = np.pad(
+        col0_np, ((0, 0), (0, nblocks * RB + 1 - col0_np.shape[1])),
+        mode="edge",
+    )
+
+    W = -(-n // D)
+    row0_np = np.asarray(row0, dtype=np.int32)
+    tok_b_strips = np.zeros((D, W + 1), np.int32)
+    strip_row0 = np.full((D, 3, W + 1), BIG, np.int32)
+    for dd in range(D):
+        c0 = dd * W
+        if c0 > n:
+            continue
+        hi = min(W, n - c0)
+        tok_b_strips[dd, 1 : hi + 1] = tok_b_np[c0 + 1 : c0 + hi + 1]
+        strip_row0[dd, :, : hi + 1] = row0_np[:, c0 : c0 + hi + 1]
+
+    sharding = NamedSharding(mesh, P(STRIP_AXIS))
+    tok_b_d = jax.device_put(jnp.asarray(tok_b_strips), sharding)
+    row0_d = jax.device_put(jnp.asarray(strip_row0), sharding)
+
+    gathered = np.asarray(
+        _seqpar_rows_jit(
+            mesh,
+            jnp.asarray(tok_a_pad),
+            tok_b_d,
+            row0_d,
+            jnp.asarray(col0_pad),
+            jnp.asarray(cost_mat, jnp.int32),
+            jnp.asarray(gap_id, jnp.int32),
+            jnp.asarray(gap_open, jnp.int32),
+            K,
+            nblocks,
+            RB,
+            backend,
+        )
+    )  # (D, 3, W+1)
+    out = np.zeros((3, n + 1), np.int32)
+    out[:, 0] = col0_np[:, K]
+    for dd in range(D):
+        c0 = dd * W
+        if c0 > n:
+            continue
+        hi = min(W, n - c0)
+        out[:, c0 + 1 : c0 + hi + 1] = gathered[dd][:, 1 : hi + 1]
+    return out
+
+
 def sharded_pair_cost(
     mesh: Mesh,
     tok_a_ext,
