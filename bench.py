@@ -164,6 +164,19 @@ def main() -> int:
                      f"{args.probe_timeout:.0f}s (axon tunnel down?)")
         return 0
 
+    # Everything past the probe still raises (compile failures, OOM,
+    # implausible-total asserts): the artifact must carry a JSON error
+    # record rather than a bare traceback.
+    try:
+        _run_measurements(args, t_start)
+    except BaseException as e:  # noqa: BLE001 - the artifact IS the output
+        _emit(error=f"{type(e).__name__}",
+              detail=str(e)[:500],
+              elapsed_s=round(time.monotonic() - t_start, 1))
+    return 0
+
+
+def _run_measurements(args, t_start: float) -> None:
     import jax
 
     if args.platform == "cpu":
@@ -317,7 +330,6 @@ def main() -> int:
             _state["batch_error"] = "skipped_near_deadline"
 
     _emit()
-    return 0
 
 
 def _measure_batch(args, costing, alphabet) -> float:

@@ -48,17 +48,15 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
-def _moves_pair_bytes(
-    m: int, n: int, scheme: "ResolvedScheme", sharded: bool = False
-) -> int:
+def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
     """Materialized move-code bytes per pair for an (m, n) bucket, sized
     for the backend the bucket actually uses: the lane kernel's skewed
     uint8 buffer (amortized over a full tile — its footprint is
     (m + 2*S_p)*w*S_p cells, NOT (m+1)*(n+1)), the stacked moves
     kernel's 8-aligned chunk padding when that kernel runs, else the
-    row scan's logical (m+1)*(n+1).  ``sharded`` budgets for the mesh
-    shard_map body, which runs the lane kernel for uniform AND general
-    schemes via host-resolved static plans (parallel/mesh.py)."""
+    row scan's logical (m+1)*(n+1).  Sharded shard_map bodies dispatch
+    the same lane kernel via host-resolved static plans
+    (parallel/mesh.py), so one estimate covers both."""
     from .ops.fill_pallas import (
         LANES, _stacked_r, _stacked_tile_size, uniform_scheme_params,
     )
@@ -245,7 +243,7 @@ def align_pairs(
         # materializes (_moves_pair_bytes — lane-kernel skew, stacked
         # chunk padding, or logical width) and split oversized buckets
         # into sub-batches rather than losing the batched path.
-        per_pair = _moves_pair_bytes(M, N, scheme, sharded=mesh is not None)
+        per_pair = _moves_pair_bytes(M, N, scheme)
         max_pairs = max(0, DEFAULT_BATCH_MOVES_BUDGET // max(1, per_pair))
         if max_pairs >= 1:
             for lo in range(0, len(indices), max_pairs):
@@ -260,7 +258,7 @@ def align_pairs(
     for (M, N), indices in bucket_items:
         if (
             with_traceback
-            and _moves_pair_bytes(M, N, scheme, sharded=mesh is not None)
+            and _moves_pair_bytes(M, N, scheme)
             > DEFAULT_BATCH_MOVES_BUDGET
         ):
             # A single pair's move matrix exceeds the budget; use the

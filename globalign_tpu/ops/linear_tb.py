@@ -303,23 +303,32 @@ def align_blocked(
     nblocks = len(bounds) - 1
     checkpoints: list[jnp.ndarray] = [row0_g]  # (3, n+1) at each bounds[b]
     state = row0_g
+    seqpar_ctx = None
+    if mesh is not None and mesh.devices.size > 1 and nq >= (
+        mesh.devices.size
+    ):
+        # Column-sharded checkpoint fills: each block's O(K*n) fill work
+        # spreads over the mesh, consecutive blocks chain through a
+        # replicated DEVICE row (no per-block host round trips), and the
+        # rows are bit-identical to the single-device backends.
+        from ..parallel.seqpar import ShardedCheckpointFill
+
+        seqpar_ctx = ShardedCheckpointFill(
+            mesh, tok_b, cost_mat, gap_id, gap_open,
+            # Honor the caller's backend override (use_pallas is
+            # resolved to a bool above): forced-off means the scan
+            # backend even on accelerators.
+            backend=None if use_pallas else "scan",
+        )
+        state_full = seqpar_ctx.pad_row0(row0_g)
     for b in range(nblocks):
         i0, i1 = bounds[b], bounds[b + 1]
         ta_blk = _block_tokens(tok_a_np, i0, i1)
-        if mesh is not None and mesh.devices.size > 1 and nq >= (
-            mesh.devices.size
-        ):
-            # Column-sharded checkpoint fill: the block's O(K*n) fill
-            # work spreads over the mesh; the returned row is
-            # bit-identical to the single-device backends.
-            from ..parallel.seqpar import sharded_block_last_rows
-
-            state = jnp.asarray(
-                sharded_block_last_rows(
-                    mesh, ta_blk, tok_b, cost_mat, gap_id, gap_open,
-                    np.asarray(state), col0_np[:, i0 : i1 + 1],
-                )
+        if seqpar_ctx is not None:
+            state_full = seqpar_ctx.block_last_rows(
+                ta_blk, state_full, col0_np[:, i0 : i1 + 1]
             )
+            state = state_full[:, : nq + 1]
             checkpoints.append(state)
             continue
         if use_pallas and (uni is not None or asel > 0):

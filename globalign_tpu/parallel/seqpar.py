@@ -186,7 +186,7 @@ def _seqpar_rows_jit(
     mesh,
     tok_a_pad,  # (nblocks*RB + 1,) replicated block tokens, 1-origin
     tok_b_strips,  # (D, W+1) one padded 1-origin strip per device
-    strip_row0,  # (D, 3, W+1) INJECTED row-0 boundary per strip
+    row0_full,  # (3, D*W + 1) REPLICATED row-0 boundary (checkpoint row)
     col0,  # (3, nblocks*RB + 1) column-0 triple of the block, replicated
     cost_mat,
     gap_id,
@@ -196,23 +196,30 @@ def _seqpar_rows_jit(
     block_rows: int,
     backend: str,
 ):
-    """Column-sharded K-row block fill returning every strip's LAST row
-    (all-gathered, replicated) — the checkpoint-pass primitive of the
-    blocked linear-space traceback run across devices (align_blocked's
-    huge-pair axis; SURVEY.md §5 long-context row).  Same super-step
-    pipeline as :func:`_seqpar_cost_jit`, with the row-0/column-0
-    boundaries INJECTED (the previous checkpoint row) instead of the
-    global formulas."""
+    """Column-sharded K-row block fill returning the block's LAST row,
+    reassembled and replicated as (3, D*W + 1) — the checkpoint-pass
+    primitive of the blocked linear-space traceback run across devices
+    (align_blocked's huge-pair axis; SURVEY.md §5 long-context row).
+    Same super-step pipeline as :func:`_seqpar_cost_jit`, with the
+    row-0/column-0 boundaries INJECTED (the previous checkpoint row)
+    instead of the global formulas.  The output has the input
+    ``row0_full``'s layout so consecutive blocks chain as device arrays
+    with no host round trips (only the small tok_a/col0 host tables move
+    per block)."""
     D = mesh.devices.size
     RB = block_rows
     nsteps = nblocks + D - 1
     gap_open = jnp.asarray(gap_open, jnp.int32)
 
-    def shard_fn(tok_b_s, row0_s):
+    def shard_fn(tok_b_s, row0_f):
         d = jax.lax.axis_index(STRIP_AXIS)
         tok_b_local = tok_b_s[0]  # (W+1,)
-        row0 = row0_s[0].astype(jnp.int32)  # (3, W+1)
         W = tok_b_local.shape[0] - 1
+        # This strip's window of the replicated checkpoint row: global
+        # columns d*W .. d*W + W.
+        row0 = jax.lax.dynamic_slice(
+            row0_f.astype(jnp.int32), (0, d * W), (3, W + 1)
+        )
         col0_g = jnp.asarray(col0, jnp.int32)
 
         def super_step(t, carry):
@@ -283,18 +290,125 @@ def _seqpar_rows_jit(
 
         carry0 = (row0, jnp.full((3, RB + 1), BIG, jnp.int32))
         state, _ = jax.lax.fori_loop(0, nsteps, super_step, carry0)
-        # Replicate every strip's last row so any host can read the full
-        # checkpoint row (multi-host safe, like the mesh cost path).
-        return jax.lax.all_gather(state, STRIP_AXIS)
+        # Replicate every strip's last row (multi-host safe, like the
+        # mesh cost path) and reassemble the global checkpoint row in
+        # the row0_full layout: column 0 is the block's last column-0
+        # boundary cell, columns 1..D*W the strips' interiors.
+        gathered = jax.lax.all_gather(state, STRIP_AXIS)  # (D, 3, W+1)
+        body = jnp.moveaxis(gathered[:, :, 1:], 0, 1).reshape(3, D * W)
+        return jnp.concatenate([col0_g[:, m][:, None], body], axis=1)
 
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(STRIP_AXIS), P(STRIP_AXIS)),
+        in_specs=(P(STRIP_AXIS), P()),
         out_specs=P(),
         check_vma=False,
     )
-    return fn(tok_b_strips, strip_row0)  # (D, 3, W+1) replicated
+    return fn(tok_b_strips, row0_full)  # (3, D*W + 1) replicated
+
+
+class ShardedCheckpointFill:
+    """Per-pair context for the mesh-sharded checkpoint pass.
+
+    Built ONCE per ``align_blocked(mesh=...)`` call: the column strips of
+    seq_2 are cut, device_put and the scheme constants staged a single
+    time; :meth:`block_last_rows` then chains consecutive blocks through
+    a REPLICATED device row — no per-block device->host fetch of the
+    checkpoint row and no per-block re-upload of the strips (each host
+    round trip costs ~35 ms through the dev tunnel, docs/PERF.md).  Only
+    the O(K) tok_a/col0 host tables move per block.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        tok_b_ext,
+        cost_mat,
+        gap_id,
+        gap_open,
+        *,
+        block_rows: int = 256,
+        backend: str | None = None,
+    ):
+        if mesh.axis_names != (STRIP_AXIS,):
+            # Callers hand over whatever 1-D mesh they scale on (e.g. the
+            # batch engine's "pairs" mesh); re-label its devices as strips.
+            mesh = Mesh(mesh.devices.reshape(-1), (STRIP_AXIS,))
+        self.mesh = mesh
+        self.D = mesh.devices.size
+        tok_b_np = np.asarray(tok_b_ext, dtype=np.int32)
+        self.n = tok_b_np.shape[0] - 1
+        self.W = -(-self.n // self.D)
+        self.block_rows = block_rows
+        if backend is None:
+            backend = (
+                "pallas"
+                if jax.devices()[0].platform not in ("cpu",)
+                else "scan"
+            )
+        self.backend = backend
+
+        tok_b_strips = np.zeros((self.D, self.W + 1), np.int32)
+        for dd in range(self.D):
+            c0 = dd * self.W
+            if c0 > self.n:
+                continue
+            hi = min(self.W, self.n - c0)
+            tok_b_strips[dd, 1 : hi + 1] = tok_b_np[c0 + 1 : c0 + hi + 1]
+        self.tok_b_d = jax.device_put(
+            jnp.asarray(tok_b_strips), NamedSharding(mesh, P(STRIP_AXIS))
+        )
+        self.cost_mat = jnp.asarray(cost_mat, jnp.int32)
+        self.gap_id = jnp.asarray(gap_id, jnp.int32)
+        self.gap_open = jnp.asarray(gap_open, jnp.int32)
+
+    def pad_row0(self, row0) -> jax.Array:
+        """Lift a (3, n+1) checkpoint row into the (3, D*W+1) replicated
+        layout the sharded fill chains through (padding is BIG; padded
+        columns never feed real ones)."""
+        row0 = jnp.asarray(row0, jnp.int32)
+        return jnp.pad(
+            row0,
+            ((0, 0), (0, self.D * self.W + 1 - row0.shape[1])),
+            constant_values=BIG,
+        )
+
+    def block_last_rows(self, tok_a_blk, row0_full, col0) -> jax.Array:
+        """Last DP row of one K-row block as the next (3, D*W+1)
+        replicated device row.
+
+        Args:
+            tok_a_blk: (K+1,) 1-origin block tokens (host).
+            row0_full: (3, D*W+1) the previous block's return (or
+                :meth:`pad_row0` of the global row-0 boundary).
+            col0: (3, K+1) the block's column-0 triple (host).
+        """
+        tok_a_np = np.asarray(tok_a_blk, dtype=np.int32)
+        K = tok_a_np.shape[0] - 1
+        RB = max(1, min(self.block_rows, K))
+        nblocks = max(1, -(-K // RB))
+        tok_a_pad = np.zeros((nblocks * RB + 1,), np.int32)
+        tok_a_pad[: K + 1] = tok_a_np
+        col0_np = np.asarray(col0, dtype=np.int32)
+        col0_pad = np.pad(
+            col0_np, ((0, 0), (0, nblocks * RB + 1 - col0_np.shape[1])),
+            mode="edge",
+        )
+        return _seqpar_rows_jit(
+            self.mesh,
+            jnp.asarray(tok_a_pad),
+            self.tok_b_d,
+            jnp.asarray(row0_full, jnp.int32),
+            jnp.asarray(col0_pad),
+            self.cost_mat,
+            self.gap_id,
+            self.gap_open,
+            K,
+            nblocks,
+            RB,
+            self.backend,
+        )
 
 
 def sharded_block_last_rows(
@@ -312,9 +426,9 @@ def sharded_block_last_rows(
 ) -> np.ndarray:
     """Last DP row (3, n+1) of a K-row block, column-sharded over ``mesh``.
 
-    The blocked traceback's checkpoint pass calls this per block when a
-    mesh is supplied (``align_blocked(mesh=...)``): each device owns an
-    equal-width column strip of the block, blocks pipeline in
+    One-shot convenience over :class:`ShardedCheckpointFill` (which
+    align_blocked uses directly to chain blocks on device): each device
+    owns an equal-width column strip of the block, blocks pipeline in
     ``block_rows`` sub-blocks with ppermute edge exchange, and the
     resulting row is bit-identical to the single-device block fill
     (pinned by tests/test_seqpar.py).
@@ -326,71 +440,12 @@ def sharded_block_last_rows(
         col0: (3, K+1) the block's column-0 triple
             ((BIG, BIG, Iy) rows of the global boundary).
     """
-    if mesh.axis_names != (STRIP_AXIS,):
-        # Callers hand over whatever 1-D mesh they scale on (e.g. the
-        # batch engine's "pairs" mesh); re-label its devices as strips.
-        mesh = Mesh(mesh.devices.reshape(-1), (STRIP_AXIS,))
-    tok_a_np = np.asarray(tok_a_blk, dtype=np.int32)
-    tok_b_np = np.asarray(tok_b_ext, dtype=np.int32)
-    K = tok_a_np.shape[0] - 1
-    n = tok_b_np.shape[0] - 1
-    D = mesh.devices.size
-    if backend is None:
-        backend = (
-            "pallas" if jax.devices()[0].platform not in ("cpu",) else "scan"
-        )
-    RB = max(1, min(block_rows, K))
-    nblocks = max(1, -(-K // RB))
-
-    tok_a_pad = np.zeros((nblocks * RB + 1,), np.int32)
-    tok_a_pad[: K + 1] = tok_a_np
-    col0_np = np.asarray(col0, dtype=np.int32)
-    col0_pad = np.pad(
-        col0_np, ((0, 0), (0, nblocks * RB + 1 - col0_np.shape[1])),
-        mode="edge",
+    ctx = ShardedCheckpointFill(
+        mesh, tok_b_ext, cost_mat, gap_id, gap_open,
+        block_rows=block_rows, backend=backend,
     )
-
-    W = -(-n // D)
-    row0_np = np.asarray(row0, dtype=np.int32)
-    tok_b_strips = np.zeros((D, W + 1), np.int32)
-    strip_row0 = np.full((D, 3, W + 1), BIG, np.int32)
-    for dd in range(D):
-        c0 = dd * W
-        if c0 > n:
-            continue
-        hi = min(W, n - c0)
-        tok_b_strips[dd, 1 : hi + 1] = tok_b_np[c0 + 1 : c0 + hi + 1]
-        strip_row0[dd, :, : hi + 1] = row0_np[:, c0 : c0 + hi + 1]
-
-    sharding = NamedSharding(mesh, P(STRIP_AXIS))
-    tok_b_d = jax.device_put(jnp.asarray(tok_b_strips), sharding)
-    row0_d = jax.device_put(jnp.asarray(strip_row0), sharding)
-
-    gathered = np.asarray(
-        _seqpar_rows_jit(
-            mesh,
-            jnp.asarray(tok_a_pad),
-            tok_b_d,
-            row0_d,
-            jnp.asarray(col0_pad),
-            jnp.asarray(cost_mat, jnp.int32),
-            jnp.asarray(gap_id, jnp.int32),
-            jnp.asarray(gap_open, jnp.int32),
-            K,
-            nblocks,
-            RB,
-            backend,
-        )
-    )  # (D, 3, W+1)
-    out = np.zeros((3, n + 1), np.int32)
-    out[:, 0] = col0_np[:, K]
-    for dd in range(D):
-        c0 = dd * W
-        if c0 > n:
-            continue
-        hi = min(W, n - c0)
-        out[:, c0 + 1 : c0 + hi + 1] = gathered[dd][:, 1 : hi + 1]
-    return out
+    out_full = ctx.block_last_rows(tok_a_blk, ctx.pad_row0(row0), col0)
+    return np.asarray(out_full[:, : ctx.n + 1])
 
 
 def sharded_pair_cost(

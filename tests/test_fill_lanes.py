@@ -517,6 +517,70 @@ def test_lanes_split_fill_cost_matches_oracle():
         assert got == int(want3[0].min()), (trial, m, n)
 
 
+def test_lanes_split_fill_cost_zero_row_halves():
+    """The split's half_big corner masks, exercised EXPLICITLY: m == 0
+    (both halves empty), m == 1 (mid == 0, the whole problem in the
+    reversed half) and m == 2 — the fictitious corner levels of an empty
+    half must not leak a spurious -gap_open through the join."""
+    rng = np.random.default_rng(3)
+    for m in (0, 1, 2):
+        for n in (0, 1, 5):
+            ta = rng.integers(1, 5, (9,)).astype(np.int32)
+            tb = rng.integers(1, 5, (9,)).astype(np.int32)
+            ta[0] = tb[0] = 0
+            got = int(
+                fill_lanes.lanes_split_fill_cost(
+                    jnp.asarray(ta), jnp.asarray(tb), 0, 3, 2, 2, 4,
+                    m, n, w=4, pad_quantum=8, interpret=True,
+                )
+            )
+            cm, gid = _uniform_costing(4, 0, 3, 2, 2)
+            want3 = _expected_final3(
+                ta[None, : m + 1], tb[None, : n + 1], cm, gid, 4,
+                np.array([m]), np.array([n]),
+            )
+            assert got == int(want3[0].min()), (m, n)
+
+
+def test_lanes_split_fill_cost_general_matches_row_scan():
+    """The GENERAL-matrix branch of the split (cost_mat/gap_id: select-
+    chain halves, per-character iy0 prefix join) pinned to the row scan
+    (itself oracle-pinned) over random asymmetric matrices — the branch
+    wavefront_fill_cost dispatches for BLOSUM/custom single pairs.
+    Includes the m <= 1 zero-row-half corners."""
+    from globalign_tpu.ops import fill_rows
+
+    rng = np.random.default_rng(29)
+    for case in range(4):
+        A = int(rng.integers(4, 8))
+        gid = int(rng.integers(0, A))
+        cm = rng.integers(0, 9, (A, A)).astype(np.int32)
+        cm[gid, gid] = 0
+        toks = [k for k in range(A) if k != gid]
+        cap_m, cap_n = 18, 14
+        m = (0, 1, int(rng.integers(2, cap_m + 1)), cap_m)[case]
+        n = int(rng.integers(1, cap_n + 1))
+        go = int(rng.integers(0, 6))
+        ta = rng.choice(toks, (cap_m + 1,)).astype(np.int32)
+        tb = rng.choice(toks, (cap_n + 1,)).astype(np.int32)
+        ta[0] = tb[0] = 0
+        got = int(
+            fill_lanes.lanes_split_fill_cost(
+                jnp.asarray(ta), jnp.asarray(tb), 0, 0, 0, 0, go,
+                m, n, cost_mat=jnp.asarray(cm), gap_id=gid,
+                w=4, pad_quantum=8, interpret=True,
+            )
+        )
+        want3 = np.asarray(
+            fill_rows.row_fill_impl(
+                jnp.asarray(ta[: m + 1]), jnp.asarray(tb[: n + 1]),
+                jnp.asarray(cm), jnp.int32(gid), jnp.int32(go),
+                want_moves=False,
+            ).final3
+        )
+        assert got == int(want3.min()), (case, m, n, gid, go)
+
+
 def test_lanes_split_plan_scales():
     """The split dispatches only where the halved wave count wins: big
     near-square pairs yes, tiny pairs no; the chosen width must keep the

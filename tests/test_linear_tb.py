@@ -245,8 +245,14 @@ def test_blocked_lanes_backend_equals_full(monkeypatch):
     cm_gen = np.asarray(costing.values).copy()
     cm_gen[0, 1] = cm_gen[1, 0] = 7
     cm_gen[2, 3] = 9
+    # Two cases only: every distinct shape recompiles the interpret-mode
+    # lane kernels (~1 min each here, and each adds to the suite's
+    # cumulative LLVM-JIT load, CLAUDE.md).  Multi-block geometry and
+    # boundary injection are covered per-kernel in test_fill_lanes; this
+    # test pins the e2e blocked path for one uniform (odd block height)
+    # and one general-matrix case.
     for block_rows, m, n, mat in [
-        (16, 48, 30, cm), (21, 42, 61, cm), (64, 120, 50, cm),
+        (21, 42, 61, cm),
         (16, 32, 40, jnp.asarray(cm_gen)),
     ]:
         s1 = "".join(rng.choice(list("ACGT"), m))

@@ -20,21 +20,37 @@ AA = list("ARNDCQEGHILKMFPSTWYV")
 
 
 def random_cases():
-    cases = []
-    for seed in range(6):
-        div = [0.0, 0.15, 0.35, 0.6, 0.9, 1.0][seed]
-        s1, s2 = draw_two_random_seqs(
-            alphabet=DNA,
-            min_len_seq_1=3,
-            max_len_seq_1=40,
-            min_len_seq_2=2,
-            max_len_seq_2=50,
-            divergence=div,
-            seed_1=seed * 11 + 1,
-            seed_2=seed * 7 + 3,
-        )
-        cases.append((s1, s2))
-    return cases
+    # Runs at COLLECTION time and must be deterministic across processes
+    # (pytest-xdist requires identical test ids on every worker): the
+    # generator's substitution leg reseeds from OS entropy when no seed is
+    # given (reference call-order parity), so pin `random.seed(None)` to a
+    # fixed seed for the duration of the draw.
+    import random as _random
+
+    orig_seed = _random.seed
+
+    def _pinned(a=None, **kw):
+        orig_seed(97 if a is None else a, **kw)
+
+    _random.seed = _pinned
+    try:
+        cases = []
+        for seed in range(6):
+            div = [0.0, 0.15, 0.35, 0.6, 0.9, 1.0][seed]
+            s1, s2 = draw_two_random_seqs(
+                alphabet=DNA,
+                min_len_seq_1=3,
+                max_len_seq_1=40,
+                min_len_seq_2=2,
+                max_len_seq_2=50,
+                divergence=div,
+                seed_1=seed * 11 + 1,
+                seed_2=seed * 7 + 3,
+            )
+            cases.append((s1, s2))
+        return cases
+    finally:
+        _random.seed = orig_seed
 
 
 @pytest.mark.parametrize("seq_1,seq_2", random_cases())
