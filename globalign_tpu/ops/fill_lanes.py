@@ -81,6 +81,13 @@ MBLK = 8  # waves of move codes per outbound DMA block (moves mode)
 # docs/PERF.md), while a broadcast read + (nb-1) selects is a few ns.
 INJ_BCAST_MAX_B = 4
 
+# Hoist the (a_cur == k) token-compare masks out of the general-mode
+# per-phase substitution select chain (they are phase-invariant: one set
+# of asel-1 masks per wave instead of per phase).  Measured NEUTRAL on
+# chip (within-run A/B 0.92-1.17x, scratch/micro_subhoist.py) — Mosaic
+# already CSEs the recomputed compares; kept for the cheaper trace.
+_SUB_MASK_HOIST = True
+
 
 def _make_lane_kernel(
     w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False,
@@ -313,10 +320,17 @@ def _make_lane_kernel(
                     # column-0 Iy accumulates in scratch, seeded from
                     # c0t_ref, and is consumed at q0 lanes only (other
                     # lanes hold garbage sums, never read).
-                    ic_cur = jnp.zeros((R, LANES), jnp.int32)
-                    for k in range(asel):
+                    amask = (
+                        [a_cur == k for k in range(1, asel)]
+                        if _SUB_MASK_HOIST
+                        else None
+                    )
+                    ic_cur = jnp.full((R, LANES), itab_ref[0, 0], jnp.int32)
+                    for k in range(1, asel):
                         ic_cur = jnp.where(
-                            a_cur == k, itab_ref[0, k], ic_cur
+                            amask[k - 1] if amask else a_cur == k,
+                            itab_ref[0, k],
+                            ic_cur,
                         )
                     c0y_im1 = c0acc[:, :]
                     c0y_i = c0y_im1 + ic_cur
@@ -353,11 +367,14 @@ def _make_lane_kernel(
                         d_p = d
                     else:
                         # General substitution: select-chain over the
-                        # token values (ctab[p, k] = cost(k, b_{s,p})).
+                        # token values (ctab[p, k] = cost(k, b_{s,p}));
+                        # the compare masks are the per-wave hoisted set.
                         sub = ctab_ref[p * asel]
                         for k in range(1, asel):
                             sub = jnp.where(
-                                a_cur == k, ctab_ref[p * asel + k], sub
+                                amask[k - 1] if amask else a_cur == k,
+                                ctab_ref[p * asel + k],
+                                sub,
                             )
                         d_p = dtab_ref[p]
                     m_new = zdiag + sub

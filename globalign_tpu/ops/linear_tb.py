@@ -365,6 +365,15 @@ def align_blocked(
         state = last
         checkpoints.append(state)
 
+    if seqpar_ctx is not None and jax.process_count() > 1:
+        # On a multi-process (global) mesh the checkpoint rows live as
+        # fully-REPLICATED global arrays; the replay pass below runs
+        # process-local jits, which cannot consume cross-process arrays.
+        # Localize once per checkpoint (every process holds a complete
+        # copy, so the read is collective-free).
+        checkpoints = [jnp.asarray(np.asarray(c)) for c in checkpoints]
+        state = checkpoints[-1]
+
     final3 = np.asarray(state[:, n])
     cost = int(final3.min())
 

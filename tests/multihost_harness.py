@@ -98,6 +98,35 @@ def main() -> int:
     )
     global_costs = final3.min(axis=-1).tolist()
 
+    # Phase 3 — huge-pair axis in lockstep: ONE pair's blocked
+    # linear-space traceback with its checkpoint pass column-sharded over
+    # the global mesh (seqpar.ShardedCheckpointFill; each process owns 4
+    # of the 8 column strips, ppermute edges cross the process boundary)
+    # — the full alignment, not just the cost, must equal the
+    # single-device path.
+    import jax.numpy as jnp
+
+    from globalign_tpu.ops.linear_tb import align_blocked
+
+    rng = np.random.default_rng(77)
+    s1 = "".join(rng.choice(list("ACGT"), 83))
+    s2 = "".join(rng.choice(list("ACGT"), 61))
+    ta1 = np.asarray(encode_padded(alpha, s1, len(s1)))
+    tb1 = np.asarray(encode_padded(alpha, s2, len(s2)))
+    kw = dict(block_rows=16, use_pallas=False)
+    tb_local = align_blocked(
+        ta1, jnp.asarray(tb1), costing.values, alpha.gap_id, 4, s1, s2, **kw
+    )
+    tb_global = align_blocked(
+        ta1, jnp.asarray(tb1), costing.values, alpha.gap_id, 4, s1, s2,
+        mesh=make_pair_mesh(), **kw
+    )
+    assert (tb_global.cost, tb_global.seq_1_aligned, tb_global.middle_part,
+            tb_global.seq_2_aligned) == (
+        tb_local.cost, tb_local.seq_1_aligned, tb_local.middle_part,
+        tb_local.seq_2_aligned
+    ), (tb_global.cost, tb_local.cost)
+
     print(
         json.dumps(
             {
@@ -106,6 +135,7 @@ def main() -> int:
                 "pairs": stats.pairs,
                 "output": str(runner.output),
                 "global_costs": global_costs,
+                "blocked_pair_cost": tb_local.cost,
             }
         )
     )

@@ -58,6 +58,11 @@ def test_two_process_runner_matches_single_process(tmp_path):
     assert {o["chunks"] for o in outs} == {2}
     assert {o["pairs"] for o in outs} == {8}
 
+    # Phase-3 huge-pair blocked alignment (checkpoint pass column-sharded
+    # over the GLOBAL mesh): both processes computed — and already
+    # asserted equal to the single-device path in-harness — one cost.
+    assert len({o["blocked_pair_cost"] for o in outs}) == 1
+
     # Merge the per-process output shards and compare against the
     # single-process engine on the same pairs.
     rows = {}
