@@ -216,8 +216,6 @@ def align_blocked(
     tok_b = jnp.asarray(tok_b_np)
 
     if use_pallas is None:
-        import jax
-
         use_pallas = jax.devices()[0].platform not in ("cpu",)
 
     row0_g, col0_g = default_boundary(

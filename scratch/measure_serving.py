@@ -1,0 +1,82 @@
+"""Production serving throughput on one chip: the streaming BatchRunner
+end-to-end (TSV in -> resumable chunks -> bucketed lane-kernel fills ->
+deterministic traceback -> TSV out), wall-clocked at steady state.
+
+Writes a pairs TSV, runs the runner twice (first run pays remote
+compiles; second is the steady-state number) in both cost-only and
+traceback modes, and prints one JSON line per mode with pairs/s and
+GCUPS over true cells.
+
+PYTHONPATH=/root/.axon_site:/root/repo python scratch/measure_serving.py [npairs] [len]
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    npairs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    L = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+
+    from globalign_tpu.runner import BatchRunner
+    from globalign_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    rng = np.random.default_rng(42)
+    # Realistic length jitter inside one bucket quantum band plus a
+    # second band, so bucketing does real work.
+    pairs = []
+    cells = 0
+    for _ in range(npairs):
+        m = int(rng.integers(int(L * 0.8), L + 1))
+        n = int(rng.integers(int(L * 0.8), L + 1))
+        pairs.append(
+            (
+                "".join(rng.choice(list("ACGT"), m)),
+                "".join(rng.choice(list("ACGT"), n)),
+            )
+        )
+        cells += m * n
+
+    for with_tb in (False, True):
+        times = []
+        for rep in range(2):
+            with tempfile.TemporaryDirectory() as td:
+                out = os.path.join(td, "out.tsv")
+                runner = BatchRunner(
+                    output=out,
+                    chunk_pairs=512,
+                    with_traceback=with_tb,
+                    log=open(os.devnull, "w"),
+                )
+                t0 = time.perf_counter()
+                stats = runner.run(iter(pairs))
+                times.append(time.perf_counter() - t0)
+                assert stats.pairs == npairs, stats
+        steady = times[-1]
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "serving_traceback" if with_tb else "serving_cost"
+                    ),
+                    "pairs": npairs,
+                    "len": L,
+                    "first_s": round(times[0], 2),
+                    "steady_s": round(steady, 2),
+                    "pairs_per_s": round(npairs / steady, 1),
+                    "gcups": round(cells / steady / 1e9, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
