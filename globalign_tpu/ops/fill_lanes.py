@@ -88,6 +88,18 @@ INJ_BCAST_MAX_B = 4
 # already CSEs the recomputed compares; kept for the cheaper trace.
 _SUB_MASK_HOIST = True
 
+# Cost-only mode can shift a FUSED min(M, Iy) left-edge ring instead of
+# separate M and Iy rings (the neighbor edge triple is consumed only by
+# the Ix chain as min(m, y) + go, and x), removing one of the ~5
+# cross-lane shifts per wave.  Measured NEUTRAL on chip (within-run A/B,
+# scratch/micro_fused_edge.py: split 10 kb 1.02-1.04x, 64x1k batch
+# 0.95-0.97x) — the independent shifts already pipeline off the
+# critical path, so one fewer does not move the per-wave fixed cost.
+# Kept off; the toggle + kernel support stay for re-measurement on
+# future toolchains.  Moves mode always keeps the triple (the argmin
+# codes compare m, x, y individually).
+_FUSED_EDGE = False
+
 
 def _make_lane_kernel(
     w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False,
@@ -135,6 +147,7 @@ def _make_lane_kernel(
     # one (1, 128) row per pair, selected by pair id in-kernel.
     IP = 1
     IPW = IP * nb  # inject rows per wave
+    fused = _FUSED_EDGE and not moves  # fused min(M, Iy) edge ring
 
     def kernel(*refs):
         refs = list(refs)
@@ -307,7 +320,8 @@ def _make_lane_kernel(
                 # Ring slot g%2 still holds wave g-2's value (g%3 ->
                 # g-3) because this wave's store happens after the read.
                 a_cur = jnp.where(q0, a_inj, shift1(ah[g2], fill=0))
-                mp0 = jnp.where(q0, big, shift1(emh[g2]))
+                if not fused:
+                    mp0 = jnp.where(q0, big, shift1(emh[g2]))
                 xp0 = jnp.where(q0, big, shift1(exh[g2]))
                 if asel == 0:
                     ic_cur = ic
@@ -335,7 +349,12 @@ def _make_lane_kernel(
                     c0y_im1 = c0acc[:, :]
                     c0y_i = c0y_im1 + ic_cur
                     c0acc[:, :] = c0y_i
-                yp0 = jnp.where(q0, c0y_i, shift1(eyh[g2]))
+                if fused:
+                    # emh holds the published min(m, y) edge; at the q0
+                    # boundary min(BIG, c0y_i) == c0y_i.
+                    myp0 = jnp.where(q0, c0y_i, shift1(emh[g2]))
+                else:
+                    yp0 = jnp.where(q0, c0y_i, shift1(eyh[g2]))
                 zdiag0 = jnp.where(
                     i_t == 1,
                     zj0_ref[:, :],
@@ -354,7 +373,10 @@ def _make_lane_kernel(
                     )
 
                 hit = (i_t == mtrue) & active
-                mp, xp, yp = mp0, xp0, yp0
+                if fused:
+                    myp, xp = myp0, xp0
+                else:
+                    mp, xp, yp = mp0, xp0, yp0
                 z_prev = zdiag0  # placeholder; overwritten at p == 0
                 cz_prev = None
                 for p in range(w):
@@ -379,7 +401,7 @@ def _make_lane_kernel(
                         d_p = dtab_ref[p]
                     m_new = zdiag + sub
                     y_new = vprev + ic_cur
-                    mpgo = jnp.minimum(mp, yp) + go
+                    mpgo = (myp if fused else jnp.minimum(mp, yp)) + go
                     x_new = jnp.minimum(mpgo, xp) + d_p
                     mx = jnp.minimum(m_new, x_new)
                     z_new = jnp.minimum(mx, y_new)
@@ -427,13 +449,22 @@ def _make_lane_kernel(
                         out_ref[0, p] = jnp.where(hit, m_new, out_ref[0, p])
                         out_ref[1, p] = jnp.where(hit, x_new, out_ref[1, p])
                         out_ref[2, p] = jnp.where(hit, y_new, out_ref[2, p])
-                    mp, xp, yp, z_prev = m_new, x_new, y_new, z_new
+                    if fused:
+                        myp, xp, z_prev = (
+                            jnp.minimum(m_new, y_new), x_new, z_new
+                        )
+                    else:
+                        mp, xp, yp, z_prev = m_new, x_new, y_new, z_new
 
                 # Publish wave g into the rings (read slots free now).
                 zh[g3] = z_prev
-                emh[g2] = mp
-                exh[g2] = xp
-                eyh[g2] = yp
+                if fused:
+                    emh[g2] = myp
+                    exh[g2] = xp
+                else:
+                    emh[g2] = mp
+                    exh[g2] = xp
+                    eyh[g2] = yp
                 ah[g2] = a_cur
                 if moves:
                     zch[g3] = cz_prev
