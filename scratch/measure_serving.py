@@ -51,7 +51,7 @@ def main():
                 out = os.path.join(td, "out.tsv")
                 runner = BatchRunner(
                     output=out,
-                    chunk_pairs=512,
+                    chunk_pairs=128,
                     with_traceback=with_tb,
                     log=open(os.devnull, "w"),
                 )
