@@ -41,6 +41,10 @@ DEFAULT_BUCKET_QUANTUM = 32
 # replay instead of materializing the whole bucket's moves.
 DEFAULT_BATCH_MOVES_BUDGET = 256 * 1024 * 1024
 
+# General-matrix walk shape classes that survived their one blocking
+# probe (see _lanes_walked_traceback).
+_GENERAL_WALK_PROBED: set = set()
+
 
 def _use_pallas() -> bool:
     import jax
@@ -101,6 +105,90 @@ def _pallas_moves(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true):
         gap_open,
         jnp.asarray(m_true),
         jnp.asarray(n_true),
+    )
+
+
+def _lanes_walked_traceback(
+    tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+):
+    """Batch traceback with the walk ON DEVICE: lane-kernel moves fills
+    stay in HBM and each pair is walked in place in the skewed layout
+    (linear_tb.lanes_tile_walk); only the (B, 3) finals and O(m+n) op
+    tapes ever reach the host.  The host-unskew path (fill_pallas
+    .batch_moves) fetches O(B*m*n) move bytes instead — measured ~20x
+    the whole serving wall-clock through the dev tunnel
+    (scratch/measure_serving.py).  Returns DEVICE ``(final3 (B, 3),
+    tapes (B, tape_len), counts (B,))`` or None when the lane kernel
+    does not cover these shapes (caller falls back)."""
+    from .ops import fill_lanes
+    from .ops.fill_pallas import _tile_slice, uniform_scheme_params
+    from .ops.linear_tb import lanes_tile_walk
+
+    B = tok_a.shape[0]
+    m_pad = tok_a.shape[1] - 1
+    n_pad = tok_b.shape[1] - 1
+    cost_np = np.asarray(cost_mat)
+    uni = uniform_scheme_params(cost_np, int(gap_id))
+    asel = 0 if uni is not None else int(cost_np.shape[0])
+    if asel > fill_lanes.LANES_MAX_ALPHABET:
+        return None
+    plan = fill_lanes.lanes_plan(B, m_pad, n_pad, moves=True, asel=asel)
+    if plan is None:
+        return None
+    w, tile_l = plan
+    gkey = fill_lanes.general_lanes_key(
+        tile_l, m_pad, n_pad, w, asel, moves=True
+    )
+    if asel > 0 and not fill_lanes.general_lanes_ok(gkey):
+        return None
+    S_p, _R = fill_lanes._lanes_geometry(tile_l, n_pad, w, moves=True)
+    tape_len = m_pad + n_pad + 1
+    bases = jnp.arange(tile_l, dtype=jnp.int32) * S_p
+
+    tok_a = jnp.asarray(tok_a)
+    tok_b = jnp.asarray(tok_b)
+    m_t = jnp.asarray(m_true, jnp.int32)
+    n_t = jnp.asarray(n_true, jnp.int32)
+    pending = []
+    try:
+        for lo in range(0, B, tile_l):
+            hi = min(lo + tile_l, B)
+            ta, tb, mt, nt = _tile_slice(
+                (tok_a, tok_b, m_t, n_t), lo, hi, tile_l
+            )
+            if uni is not None:
+                cma, cmm, dco, ico = (int(v) for v in uni)
+                vals, mv = fill_lanes.lanes_batch_moves(
+                    ta, tb, cma, cmm, dco, ico, int(gap_open), mt, nt, w=w
+                )
+            else:
+                vals, mv = fill_lanes.lanes_general_moves(
+                    ta, tb, cost_mat, gap_id, gap_open, mt, nt, w=w
+                )
+            tapes, counts, _jx = lanes_tile_walk(
+                mv, vals, mt, nt, bases, w, tape_len
+            )
+            pending.append((vals[: hi - lo], tapes[: hi - lo],
+                            counts[: hi - lo]))
+        if asel > 0 and gkey not in _GENERAL_WALK_PROBED:
+            # One blocking probe per new shape class materializes a
+            # Mosaic rejection so the latch can catch it; probing every
+            # bucket would cost a ~35 ms sync each on the dev tunnel.
+            pending[0][1].block_until_ready()
+            _GENERAL_WALK_PROBED.add(gkey)
+    except Exception:  # pragma: no cover - backend-specific
+        if asel == 0:
+            raise
+        fill_lanes.mark_general_lanes_failed(gkey)
+        return None
+
+    # Device concat per bucket; the CALLER coalesces the fetch across
+    # every bucket of the align_pairs call (one tunnel round trip per
+    # array kind, not per bucket).
+    return (
+        jnp.concatenate([v for v, _, _ in pending], axis=0),
+        jnp.concatenate([t for _, t, _ in pending], axis=0),
+        jnp.concatenate([c for _, _, c in pending], axis=0),
     )
 
 
@@ -234,6 +322,12 @@ def align_pairs(
         buckets.setdefault(key, []).append(idx)
 
     results: list[PairResult | None] = [None] * len(pairs)
+    # Cost-only device finals awaiting the one coalesced end-of-call
+    # fetch: (device (B, 3) final lanes, pair indices) per bucket.
+    deferred: list[tuple[jnp.ndarray, list[int]]] = []
+    # Device-walked traceback buckets awaiting the same treatment:
+    # ((final3, tapes, counts) device arrays, pair indices) per bucket.
+    walked_pending: list[tuple[tuple, list[int]]] = []
     grouped: list[tuple[tuple[int, int], list[int]]] = []
     for (M, N), indices in buckets.items():
         if not with_traceback:
@@ -297,6 +391,7 @@ def align_pairs(
         m_true = np.array([len(pairs[i][0]) for i in indices], np.int32)
         n_true = np.array([len(pairs[i][1]) for i in indices], np.int32)
 
+        walked = None
         with _phase("fill"):
             if mesh is not None and with_traceback:
                 from .parallel.mesh import sharded_fill_moves
@@ -316,18 +411,40 @@ def align_pairs(
             elif not with_traceback and _use_pallas():
                 from .ops.fill_pallas import batch_final3
 
-                final3 = np.asarray(
-                    batch_final3(
-                        jnp.asarray(tok_a),
-                        jnp.asarray(tok_b),
-                        cost_mat,
-                        gap_id,
-                        gap_open,
-                        jnp.asarray(m_true),
-                        jnp.asarray(n_true),
+                # Dispatch only — JAX runs the bucket kernels async.  A
+                # ~1 kb stream splinters into dozens of (M, N) buckets
+                # per call, and a blocking np.asarray per bucket costs
+                # one full host<->device round trip each (~35 ms through
+                # the dev tunnel — measured 99% of serving wall-clock,
+                # scratch/measure_serving.py); all buckets' finals are
+                # coalesced below into ONE device concat + ONE fetch.
+                deferred.append(
+                    (
+                        batch_final3(
+                            jnp.asarray(tok_a),
+                            jnp.asarray(tok_b),
+                            cost_mat,
+                            gap_id,
+                            gap_open,
+                            jnp.asarray(m_true),
+                            jnp.asarray(n_true),
+                        ),
+                        indices,
                     )
                 )
-                moves = None
+                continue
+            elif (
+                with_traceback
+                and _use_pallas()
+                and (walked := _lanes_walked_traceback(
+                    tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+                ))
+                is not None
+            ):
+                # Device-walked traceback: the move matrices never leave
+                # HBM; string assembly from the op tapes happens below,
+                # outside the fill phase.
+                pass
             elif (
                 with_traceback
                 and _use_pallas()
@@ -351,6 +468,13 @@ def align_pairs(
                 final3 = np.asarray(res.final3)
                 moves = np.asarray(res.moves) if with_traceback else None
 
+        if walked is not None:
+            # Defer the fetch: all walked buckets of this call flush in
+            # ONE coalesced transfer below (per-bucket fetches measured
+            # most of serving wall-clock through the dev tunnel).
+            walked_pending.append((walked, indices))
+            continue
+
         for row, idx in enumerate(indices):
             s1, s2 = pairs[idx]
             cost = int(final3[row].min())
@@ -372,6 +496,64 @@ def align_pairs(
                 )
             else:
                 results[idx] = PairResult(cost=cost, score=score)
+
+    if walked_pending:
+        from .ops.linear_tb import assemble_from_tapes
+
+        # Three coalesced transfers for the whole call (tapes flattened
+        # across buckets — their widths differ per bucket).
+        with _phase("fill"):
+            vals_all = np.asarray(jnp.concatenate(
+                [w[0] for w, _ in walked_pending], axis=0
+            ))
+            tapes_flat = np.asarray(jnp.concatenate(
+                [w[1].reshape(-1) for w, _ in walked_pending]
+            ))
+            counts_all = np.asarray(jnp.concatenate(
+                [w[2] for w, _ in walked_pending]
+            ))
+        row = 0
+        off = 0
+        for (f3, tp, _c), indices in walked_pending:
+            L = tp.shape[1]
+            for k, idx in enumerate(indices):
+                s1, s2 = pairs[idx]
+                cost = int(vals_all[row + k].min())
+                score = final_cost_to_score(
+                    cost=cost, m=len(s1), n=len(s2),
+                    max_score=scheme.max_score,
+                )
+                tape = tapes_flat[
+                    off + k * L : off + k * L + int(counts_all[row + k])
+                ]
+                with _phase("traceback"):
+                    s1a, midl, s2a = assemble_from_tapes([tape], s1, s2)
+                results[idx] = PairResult(
+                    cost=cost,
+                    score=score,
+                    seq_1_aligned=s1a,
+                    middle_part=midl,
+                    seq_2_aligned=s2a,
+                )
+            row += len(indices)
+            off += tp.shape[0] * L
+
+    if deferred:
+        with _phase("fill"):
+            flat = np.asarray(
+                jnp.concatenate([f for f, _ in deferred], axis=0)
+            )
+        row = 0
+        for _, indices in deferred:
+            for k, idx in enumerate(indices):
+                s1, s2 = pairs[idx]
+                cost = int(flat[row + k].min())
+                score = final_cost_to_score(
+                    cost=cost, m=len(s1), n=len(s2),
+                    max_score=scheme.max_score,
+                )
+                results[idx] = PairResult(cost=cost, score=score)
+            row += len(indices)
 
     return results  # type: ignore[return-value]
 

@@ -71,19 +71,21 @@ OP_LEFT = 1  # gap in seq_1 (consume seq_2[j-1])
 OP_UP = 2  # gap in seq_2 (consume seq_1[i-1])
 
 
-@functools.partial(
-    jax.jit, static_argnames=("layout", "w", "k_rows", "width")
-)
-def _walk_block(moves, j_entry, level_entry, layout="row", w=0, k_rows=0,
-                width=0):
+def _walk_block_impl(moves, j_entry, level_entry, layout="row", w=0,
+                     k_rows=0, width=0, strip_base=0, tape_len=None):
     """Walk one replay block's move codes ON DEVICE, bottom row to top.
 
     ``layout="row"``: ``moves`` is (K+1, W) row-major.  ``layout=
-    "lanes"``: ``moves`` is the lane kernel's skewed single-pair buffer
+    "lanes"``: ``moves`` is the lane kernel's skewed buffer
     ((G_rows*w, R, 128) uint8, ops/fill_lanes.lanes_batch_moves) walked
     IN PLACE via the skew arithmetic — no unskew pass, no host traffic;
     ``w``/``k_rows``/``width`` give the strip width, block rows and
-    walkable column count the shapes no longer imply.
+    walkable column count the shapes no longer imply, and
+    ``strip_base`` the pair's first global strip lane (b * S_p) when
+    the buffer holds a whole BATCH tile (vmap-compatible over
+    j_entry/level_entry/k_rows/strip_base, which may be traced —
+    ``tape_len`` then supplies the static op-tape bound, >= the largest
+    k_rows + width of the batch).
 
     The move matrices are O(K x n) and the link to a tunnelled TPU is
     bandwidth-poor (~tens of MB/s measured; docs/PERF.md), so fetching
@@ -106,7 +108,7 @@ def _walk_block(moves, j_entry, level_entry, layout="row", w=0, k_rows=0,
         L = K + moves.shape[1]  # i decreases K times, j fewer than W
     else:
         K = k_rows
-        L = K + width
+        L = tape_len if tape_len is not None else K + width
 
     def cond(st):
         return st[0] > 0
@@ -117,14 +119,17 @@ def _walk_block(moves, j_entry, level_entry, layout="row", w=0, k_rows=0,
             code = moves[i_l, j].astype(jnp.int32)
         else:
             # Skew arithmetic: cell (i, j) lives at wave i-1 + 2q,
-            # phase (j-1) % w, strip q = (j-1)//w (B == 1).  j == 0 is
-            # the masked boundary — clamp its index, the code is unread.
+            # phase (j-1) % w, local strip q = (j-1)//w, global lane
+            # strip_base + q (strip_base = b * S_p for pair b of a
+            # batch tile).  j == 0 is the masked boundary — clamp its
+            # index, the code is unread.
             jc = jnp.maximum(j, 1) - 1
             qq = jc // w
             row = (i_l - 1 + 2 * qq) * w + jc % w
+            ss = strip_base + qq
             code = moves[
-                jnp.minimum(row, moves.shape[0] - 1), qq // LANES,
-                qq % LANES,
+                jnp.minimum(row, moves.shape[0] - 1), ss // LANES,
+                ss % LANES,
             ].astype(jnp.int32)
         boundary = j == 0
         is_m = level == 0
@@ -149,7 +154,7 @@ def _walk_block(moves, j_entry, level_entry, layout="row", w=0, k_rows=0,
         cond,
         body,
         (
-            jnp.int32(K),
+            jnp.asarray(K, jnp.int32),
             jnp.asarray(j_entry, jnp.int32),
             jnp.asarray(level_entry, jnp.int32),
             jnp.int32(0),
@@ -157,6 +162,45 @@ def _walk_block(moves, j_entry, level_entry, layout="row", w=0, k_rows=0,
         ),
     )
     return ops, t, j, level
+
+
+# Jitted entry point for the block-replay chain (k_rows/width static,
+# one compile per block-shape class); lanes_tile_walk below vmaps the
+# raw impl instead (k_rows/strip_base traced per pair).
+_walk_block = jax.jit(
+    _walk_block_impl,
+    static_argnames=("layout", "w", "k_rows", "width", "tape_len"),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "tape_len"))
+def lanes_tile_walk(mv, final3, m_true, n_true, strip_bases, w, tape_len):
+    """Walk every pair of one lanes moves tile ON DEVICE (vmapped
+    :func:`_walk_block`, lanes layout): full-matrix walks from each
+    pair's (m_true, n_true) at its argmin entry level.
+
+    Returns ``(tapes (B, tape_len) uint8, counts (B,), j_exits (B,))``
+    — only O(B * (m+n)) bytes ever cross to the host instead of the
+    O(B * m * n) move matrices (the dev tunnel is bandwidth-poor, and a
+    host unskew pass reads every byte; this is the batch traceback's
+    device-walk fast path, measured in scratch/measure_serving.py).
+    The caller appends ``j_exit`` boundary LEFT ops per pair
+    (reference globaligner.py:542-561 row-0 semantics)."""
+    levels = jnp.argmin(final3, axis=-1).astype(jnp.int32)
+
+    def one(j_entry, level, k_rows, base):
+        ops, t, j, _ = _walk_block_impl(
+            mv, j_entry, level, layout="lanes", w=w,
+            k_rows=k_rows, strip_base=base, tape_len=tape_len,
+        )
+        return ops, t, j
+
+    return jax.vmap(one)(
+        n_true.astype(jnp.int32),
+        levels,
+        m_true.astype(jnp.int32),
+        strip_bases.astype(jnp.int32),
+    )
 
 
 def align_blocked(
@@ -504,10 +548,20 @@ def align_blocked(
     ]
 
     # ---- host assembly from the op tapes --------------------------------
+    s1a, midl, s2a = assemble_from_tapes(tapes_np, seq_1, seq_2)
+    return Traceback(s1a, midl, s2a, cost)
+
+
+def assemble_from_tapes(
+    tapes_np, seq_1: str, seq_2: str
+) -> tuple[str, str, str]:
+    """Aligned strings from device-walked op tapes (walk order: from
+    (m, n) upward; any trailing row-0 LEFT moves are implicit —
+    reference globaligner.py:542-561)."""
     out_1: list[str] = []
     mid: list[str] = []
     out_2: list[str] = []
-    i, j = m, n
+    i, j = len(seq_1), len(seq_2)
     for ops_np in tapes_np:
         for op in ops_np:
             if op == OP_DIAG:
@@ -538,4 +592,4 @@ def align_blocked(
     out_1.reverse()
     mid.reverse()
     out_2.reverse()
-    return Traceback("".join(out_1), "".join(mid), "".join(out_2), cost)
+    return "".join(out_1), "".join(mid), "".join(out_2)

@@ -265,3 +265,46 @@ def test_blocked_lanes_backend_equals_full(monkeypatch):
             block_rows=block_rows, use_pallas=True,
         )
         assert t_full == t_blk, (block_rows, m, n)
+
+
+def test_lanes_tile_walk_matches_host_walk():
+    """Batch traceback with the walk ON DEVICE (lanes_tile_walk over the
+    skewed lanes moves buffer, one strip_base per pair) must reproduce
+    the host unskew + row-layout walk pair for pair — alignment strings
+    and trailing row-0 LEFT semantics included (the serving fast path,
+    batch._lanes_walked_traceback)."""
+    from globalign_tpu.ops import fill_lanes
+
+    rng = np.random.default_rng(17)
+    letters = np.array(list("ACGT"))
+    B, m_pad, n_pad, w = 3, 22, 30, 4
+    go = 4
+    ta = rng.integers(1, 5, (B, m_pad + 1)).astype(np.int32)
+    tb = rng.integers(1, 5, (B, n_pad + 1)).astype(np.int32)
+    ta[:, 0] = 0
+    tb[:, 0] = 0
+    mt = rng.integers(1, m_pad + 1, B).astype(np.int32)
+    nt = rng.integers(1, n_pad + 1, B).astype(np.int32)
+    final3, mv = fill_lanes.lanes_batch_moves(
+        jnp.asarray(ta), jnp.asarray(tb), 0, 5, 3, 2, go,
+        jnp.asarray(mt), jnp.asarray(nt), w=w, interpret=True,
+    )
+    final3 = np.asarray(final3)
+    S_p, _R = fill_lanes._lanes_geometry(B, n_pad, w, moves=True)
+    tapes, counts, _jx = linear_tb.lanes_tile_walk(
+        mv, jnp.asarray(final3), jnp.asarray(mt), jnp.asarray(nt),
+        jnp.arange(B, dtype=jnp.int32) * S_p, w, m_pad + n_pad + 1,
+    )
+    tapes, counts = np.asarray(tapes), np.asarray(counts)
+    rows = fill_lanes.lanes_moves_to_row(np.asarray(mv), B, n_pad, w, m_pad)
+    for b in range(B):
+        m, n = int(mt[b]), int(nt[b])
+        s1 = "".join(letters[ta[b, 1 : m + 1] - 1])
+        s2 = "".join(letters[tb[b, 1 : n + 1] - 1])
+        want = traceback_moves(rows[b], s1, s2, final3[b], layout="row")
+        got = linear_tb.assemble_from_tapes(
+            [tapes[b, : int(counts[b])]], s1, s2
+        )
+        assert got == (
+            want.seq_1_aligned, want.middle_part, want.seq_2_aligned
+        ), b
