@@ -20,6 +20,7 @@ the single-pair API (bit-identical to the reference's values).
 
 from __future__ import annotations
 
+import logging
 import math
 from dataclasses import dataclass
 from typing import Sequence
@@ -33,6 +34,8 @@ from .ops import fill_rows
 from .ops.traceback import traceback_moves
 from .ops.transforms import final_cost_to_score
 from .utils.tokenize import GAP, encode_padded
+
+_logger = logging.getLogger(__name__)
 
 DEFAULT_BUCKET_QUANTUM = 32
 
@@ -179,6 +182,14 @@ def _lanes_walked_traceback(
     except Exception:  # pragma: no cover - backend-specific
         if asel == 0:
             raise
+        # Log before latching: the latch is meant for Mosaic/backend
+        # rejections of a shape class, but this except also catches a
+        # genuine programming error (e.g. a bad slice shape), which
+        # would otherwise be silently absorbed as "backend declined".
+        _logger.debug(
+            "general-lane walked traceback failed for shape %s; "
+            "latching fallback", gkey, exc_info=True,
+        )
         fill_lanes.mark_general_lanes_failed(gkey)
         return None
 

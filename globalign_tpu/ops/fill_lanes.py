@@ -645,8 +645,8 @@ def general_lanes_key(
 def general_lanes_ok(key: tuple | None = None) -> bool:
     """Whether general-lane dispatch should be attempted for ``key``
     (a :func:`general_lanes_key` tuple).  ``None`` asks about the mode
-    overall (budget estimators): true unless every recorded state says
-    otherwise — per-shape failures never disable the mode globally."""
+    overall (budget estimators) and always answers True: per-shape
+    failures never disable the mode globally."""
     if key is None:
         return True
     return key not in _general_failed
