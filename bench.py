@@ -12,20 +12,20 @@ hard-caps m*n < 2e7 (start.py:213), so 10kb x 10kb cannot even run there.  The
 measured throughput of its interpreted fill is ~1e-3 GCUPS on one CPU core
 (BASELINE.md); vs_baseline is computed against that.
 
-Timing protocol: the per-call wall clock through the remote-TPU tunnel is
-dominated by a ~35 ms host<->device round trip, so the kernel is timed by
-slope — K chained fills (distinct inputs, summed outputs) inside one jit,
-fetched once, at two chain lengths:  t_kernel = (t_hi - t_lo) / (hi - lo).
-Both chain points are > 1 so each measurement is kernel-dominated and the
-residual tunnel jitter (a few ms per fetch) divides by the 10-call gap;
-each point takes the best of ``--repeats`` runs.
+Timing protocol (drift-robust, round 4): the per-call wall clock through
+the remote-TPU tunnel is dominated by a ~35 ms host<->device round trip,
+so every contender is timed by slope — K chained fills (distinct inputs,
+summed outputs) inside one jit, fetched once, at two chain lengths:
+t_kernel = (t_hi - t_lo) / (hi - lo).  All contenders (single-pair fill,
+batch fill, an optional w=32 batch A/B arm, and a FIXED VPU calibration
+loop that involves no engine code) are measured INTERLEAVED round-robin
+within the one run, best-of N rounds per chain point, so tunnel/chip
+drift hits every arm equally.  The artifact carries the raw per-round
+samples and the calibration number, so a slow-chip session is
+quantifiable in-artifact (CLAUDE.md: effective chip speed varies up to
+~4x between sessions; only within-run ratios are trustworthy).
 
-Alongside the single-pair headline the same artifact carries the batch
-axis (``batch_gcups``: B independent pairs through the stacked lane
-kernel) unless ``--no_batch`` is given, so both numbers ride one
-driver-verified JSON line.
-
-Usage: python bench.py [--m 10000 --n 10000] [--repeats 4] [--backend auto]
+Usage: python bench.py [--m 10000 --n 10000] [--repeats 6] [--no_ab]
 """
 
 import argparse
@@ -70,13 +70,13 @@ d = jax.devices()
 x = jnp.ones((8, 128), jnp.float32)
 v = float(jnp.sum(x @ x.T))
 assert v == 8 * 8 * 128, v
-print(d[0].platform)
+print(d[0].platform + "|" + d[0].device_kind)
 """
 
 
-def probe_device(timeout_s: float) -> str | None:
+def probe_device(timeout_s: float) -> tuple[str, str] | None:
     """Enumerate devices + run one tiny op in a SUBPROCESS with a hard
-    timeout.  Returns the platform string, or None if the backend is
+    timeout.  Returns (platform, device_kind), or None if the backend is
     unreachable (the axon tunnel blocks forever inside native code when
     its relay is down — only a subprocess can be killed reliably)."""
     try:
@@ -91,14 +91,18 @@ def probe_device(timeout_s: float) -> str | None:
     if r.returncode != 0:
         return None
     out = r.stdout.strip().splitlines()
-    return out[-1] if out else None
+    if not out or "|" not in out[-1]:
+        return None
+    platform, kind = out[-1].split("|", 1)
+    return platform, kind
 
 
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--m", type=int, default=10_000)
     parser.add_argument("--n", type=int, default=10_000)
-    parser.add_argument("--repeats", type=int, default=6)
+    parser.add_argument("--repeats", type=int, default=6,
+                        help="Interleaved measurement rounds (best-of).")
     parser.add_argument("--chain_lo", type=int, default=2)
     parser.add_argument("--chain", type=int, default=12)
     parser.add_argument(
@@ -127,15 +131,23 @@ def main() -> int:
     )
     parser.add_argument(
         "--no_batch", action="store_true",
-        help="Skip the secondary batch-throughput measurement.",
+        help="Skip the batch-throughput arms.",
+    )
+    parser.add_argument(
+        "--no_ab", action="store_true",
+        help="Skip the batch w=32 A/B arm (saves two compiles).",
     )
     parser.add_argument(
         "--batch_pairs", type=int, default=64,
-        help="B for the secondary batch metric (batch_gcups).",
+        help="B for the batch metric (batch_gcups).",
     )
     parser.add_argument(
         "--batch_len", type=int, default=1024,
-        help="Per-pair length for the secondary batch metric.",
+        help="Per-pair length for the batch metric.",
+    )
+    parser.add_argument(
+        "--batch_chain", type=int, default=24,
+        help="High chain length for the batch arms.",
     )
     args = parser.parse_args()
     t_start = time.monotonic()
@@ -157,12 +169,13 @@ def main() -> int:
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    platform = probe_device(args.probe_timeout)
-    if platform is None:
+    probed = probe_device(args.probe_timeout)
+    if probed is None:
         _emit(error="tpu_unreachable",
               detail=f"device probe failed or exceeded "
                      f"{args.probe_timeout:.0f}s (axon tunnel down?)")
         return 0
+    _state["device_kind"] = probed[1]
 
     # Everything past the probe still raises (compile failures, OOM,
     # implausible-total asserts): the artifact must carry a JSON error
@@ -184,6 +197,7 @@ def _run_measurements(args, t_start: float) -> None:
 
     import jax.numpy as jnp
     import numpy as np
+    from jax import lax
 
     from globalign_tpu.utils.platform import enable_compilation_cache
 
@@ -281,108 +295,154 @@ def _run_measurements(args, t_start: float) -> None:
                 ta, tb, cost_mat, gap_id, gap_open, want_moves=False
             ).final3[0]
 
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def run_k(tas, k):
-        return sum(one(tas[i]) for i in range(k))
+    def make_runk(fn):
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def run_k(tas, k):
+            return sum(fn(tas[i]) for i in range(k))
 
-    def measure(k):
-        tas = jnp.asarray(
-            np.stack([np.roll(tok_a, i) for i in range(k)])
+        return run_k
+
+    def single_tas(k):
+        return jnp.asarray(np.stack([np.roll(tok_a, i) for i in range(k)]))
+
+    # Contender registry: name -> (run_k, tas_of, (lo, hi), cells/call).
+    contenders = {
+        "single": (
+            make_runk(one), single_tas, (args.chain_lo, args.chain),
+            args.m * args.n,
+        ),
+    }
+
+    # Fixed VPU calibration loop — no engine code, one executable
+    # forever: its slope is the in-artifact chip-speed normalizer.
+    CAL_IT, CAL_R, CAL_C = 20_000, 256, 1024
+
+    def calib_one(x):
+        def body(_, v):
+            return v * 1.000001 + 0.5
+
+        return jnp.sum(lax.fori_loop(0, CAL_IT, body, x))
+
+    def calib_tas(k):
+        r = np.random.default_rng(1)
+        return jnp.asarray(
+            r.normal(size=(k, CAL_R, CAL_C)).astype(np.float32) * 0.01
         )
-        val = np.asarray(run_k(tas, k))  # compile + sanity
-        assert 0 <= int(val) < (1 << 31), f"implausible total {val}"
-        best = float("inf")
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            np.asarray(run_k(tas, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
 
-    t_lo = measure(args.chain_lo)
-    t_hi = measure(args.chain)
-    per = max((t_hi - t_lo) / (args.chain - args.chain_lo), 1e-9)
-    gcups = args.m * args.n / per / 1e9
+    if platform != "cpu":
+        # The normalizer targets the accelerator; on the CPU fallback
+        # the same loop would cost tens of seconds per chain.
+        contenders["calib"] = (
+            make_runk(calib_one), calib_tas, (2, 8),
+            CAL_IT * CAL_R * CAL_C * 2,
+        )
 
+    if not args.no_batch and backend == "pallas":
+        from globalign_tpu.ops import fill_lanes
+
+        B, L = args.batch_pairs, args.batch_len
+        brng = np.random.default_rng(0)
+        btok_a = np.zeros((B, L + 1), np.int32)
+        btok_b = np.zeros((B, L + 1), np.int32)
+        btok_a[:, 1:] = brng.integers(0, 4, (B, L))
+        btok_b[:, 1:] = brng.integers(0, 4, (B, L))
+        m_true = jnp.full((B,), L, jnp.int32)
+        n_true = jnp.full((B,), L, jnp.int32)
+        tbb = jnp.asarray(btok_b)
+
+        plan = fill_lanes.lanes_plan(B, L, L)
+        w_plan = plan[0] if plan is not None else fill_lanes.pick_w(B, L, L)
+        _state["batch_w"] = w_plan
+
+        def batch_one(w):
+            def fn(ta):
+                return jnp.sum(fill_lanes.lanes_batch_final3(
+                    ta, tbb, cma, cmm, dco, ico, 4, m_true, n_true, w=w
+                ))
+
+            return fn
+
+        def batch_tas(k):
+            return jnp.asarray(
+                np.stack([np.roll(btok_a, i, axis=1) for i in range(k)])
+            )
+
+        contenders["batch"] = (
+            make_runk(batch_one(w_plan)), batch_tas,
+            (args.chain_lo, args.batch_chain), B * L * L,
+        )
+        if not args.no_ab and w_plan != 32:
+            # In-run A/B arm: the round-3 dispatch width, so the
+            # artifact itself proves the w choice (VERDICT r3 item 1).
+            contenders["batch_w32"] = (
+                make_runk(batch_one(32)), batch_tas,
+                (args.chain_lo, args.batch_chain), B * L * L,
+            )
+
+    # Compile + sanity phase.  Batch/calib arms are best-effort: their
+    # failure or a tight deadline never loses the headline value.
+    ready = {}
+    for name, (run_k, tas_of, (lo, hi), cells) in contenders.items():
+        if name != "single" and (
+            time.monotonic() - t_start > args.deadline * 0.6
+        ):
+            _state[f"{name}_error"] = "skipped_near_deadline"
+            continue
+        try:
+            tas = {k: tas_of(k) for k in (lo, hi)}
+            val = np.asarray(run_k(tas[lo], lo))
+            if name != "calib":
+                assert 0 <= float(val) < (1 << 31), \
+                    f"implausible total {val}"
+            np.asarray(run_k(tas[hi], hi))
+            ready[name] = (run_k, tas, lo, hi, cells)
+        except Exception as e:  # noqa: BLE001 - secondary arms
+            if name == "single":
+                raise
+            _state[f"{name}_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # Interleaved measurement rounds: every arm sees the same drift.
+    samples: dict = {
+        name: {str(k): [] for k in (lo, hi)}
+        for name, (_, _, lo, hi, _) in ready.items()
+    }
+    for _ in range(max(4, args.repeats)):
+        for name, (run_k, tas, lo, hi, _) in ready.items():
+            for k in (lo, hi):
+                t0 = time.perf_counter()
+                np.asarray(run_k(tas[k], k))
+                samples[name][str(k)].append(
+                    round(time.perf_counter() - t0, 5)
+                )
+
+    def slope(name):
+        _, _, lo, hi, cells = ready[name]
+        t_lo = min(samples[name][str(lo)])
+        t_hi = min(samples[name][str(hi)])
+        return max((t_hi - t_lo) / (hi - lo), 1e-9), cells
+
+    per, cells = slope("single")
+    gcups = cells / per / 1e9
     _state.update(
         metric=f"GCUPS_{args.m//1000}kb_affine_fill_{platform}_{backend}",
         value=round(gcups, 4),
         vs_baseline=round(gcups / REFERENCE_GCUPS, 1),
     )
-
-    # Secondary axis: batch throughput (bench_batch.py protocol inline),
-    # riding the same artifact so the driver captures both numbers.
-    # Best-effort: a failure or a tight deadline never loses the
-    # headline value.
-    if not args.no_batch and backend == "pallas":
-        elapsed = time.monotonic() - t_start
-        if elapsed < args.deadline * 0.6:
-            try:
-                _state["batch_gcups"] = round(
-                    _measure_batch(args, costing, alphabet), 4
-                )
-                _state["batch_metric"] = (
-                    f"GCUPS_batch{args.batch_pairs}x{args.batch_len}"
-                    f"_lanes_{platform}"
-                )
-            except Exception as e:  # noqa: BLE001 - secondary metric
-                _state["batch_error"] = f"{type(e).__name__}: {e}"
-        else:
-            _state["batch_error"] = "skipped_near_deadline"
-
+    if "calib" in ready:
+        per, cells = slope("calib")
+        _state["calib_gops"] = round(cells / per / 1e9, 1)
+    if "batch" in ready:
+        per, cells = slope("batch")
+        _state["batch_gcups"] = round(cells / per / 1e9, 4)
+        _state["batch_metric"] = (
+            f"GCUPS_batch{args.batch_pairs}x{args.batch_len}"
+            f"_lanes_w{_state.get('batch_w')}_{platform}"
+        )
+    if "batch_w32" in ready:
+        per, cells = slope("batch_w32")
+        _state["batch_w32_gcups"] = round(cells / per / 1e9, 4)
+    _state["samples"] = samples
     _emit()
-
-
-def _measure_batch(args, costing, alphabet) -> float:
-    """bench_batch.py's lanes cost-mode protocol, inlined (B pairs of
-    length L through `lanes_batch_final3`, slope-timed)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from globalign_tpu.ops import fill_lanes, fill_pallas
-
-    B, L = args.batch_pairs, args.batch_len
-    rng = np.random.default_rng(0)
-    tok_a = np.zeros((B, L + 1), np.int32)
-    tok_b = np.zeros((B, L + 1), np.int32)
-    tok_a[:, 1:] = rng.integers(0, 4, (B, L))
-    tok_b[:, 1:] = rng.integers(0, 4, (B, L))
-
-    prm = fill_pallas.uniform_scheme_params(costing.values, alphabet.gap_id)
-    cma, cmm, dco, ico = (int(v) for v in prm)
-    w = fill_lanes.pick_w(B, L, L)
-    m_true = jnp.full((B,), L, jnp.int32)
-    n_true = jnp.full((B,), L, jnp.int32)
-    tbb = jnp.asarray(tok_b)
-
-    def one(ta):
-        vals = fill_lanes.lanes_batch_final3(
-            ta, tbb, cma, cmm, dco, ico, 4, m_true, n_true, w=w
-        )
-        return jnp.sum(vals)
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def run_k(tas, k):
-        return sum(one(tas[i]) for i in range(k))
-
-    chain_lo, chain = 2, 24
-
-    def measure(k):
-        tas = jnp.asarray(
-            np.stack([np.roll(tok_a, i, axis=1) for i in range(k)])
-        )
-        np.asarray(run_k(tas, k))
-        best = float("inf")
-        for _ in range(args.repeats):
-            t0 = time.perf_counter()
-            np.asarray(run_k(tas, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    t1 = measure(chain_lo)
-    tk = measure(chain)
-    per = max((tk - t1) / (chain - chain_lo), 1e-9)
-    return B * L * L / per / 1e9
 
 
 if __name__ == "__main__":

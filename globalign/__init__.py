@@ -8,10 +8,13 @@ module layout, function names, signatures, and nested-dict matrix formats
 costs are bit-identical to the reference; alignments are deterministic
 where the reference tie-broke at random.
 
-Not shimmed: the reference's internal DP helpers (``get_next_best_costs``,
-``dp_array_forward``/``backward``, ``make_dp_array``, the four ``take_*``
-move functions, ``cost_ranks_dispatcher``) — they are implementation
-details of its interpreted fill with no meaning for the TPU engine.
+The reference's DP-internal API (``make_dp_array``,
+``dp_array_forward``/``backward``, ``get_next_best_costs``, the four
+``take_*`` move functions) is shimmed by list-of-lists adapters in
+:mod:`globalign.dp_compat` — interpreted compatibility views over the
+same semantics, NOT the TPU compute path.  ``cost_ranks_dispatcher`` is
+deliberately absent: it exists only to drive the reference's random
+tie-breaking, which this engine replaces with a deterministic order.
 """
 
 from . import conclude, globaligner, start  # noqa: F401

@@ -60,6 +60,8 @@ sublane tiles).
 from __future__ import annotations
 
 import functools
+import logging
+import os
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +70,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fill_scan import BIG
 from .fill_pallas import LANES, _lane_ops
+
+_logger = logging.getLogger(__name__)
 
 DEFAULT_W = 8
 _STAGE = 64  # inject rows staged per DMA block
@@ -556,14 +560,46 @@ def lanes_vmem_bytes(
 LANES_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _w_candidates(B: int, n_pad: int) -> tuple[int, ...]:
+def _w_candidates(
+    B: int, n_pad: int, moves: bool = False
+) -> tuple[int, ...]:
     """Strip-width candidates: powers of two plus the width that fills
     the 8 sublanes exactly (strips ~ 1024, every VPU op one (8, 128)
-    tile — the issue-bound optimum).  w caps at 32: the kernel unrolls
-    w phases twice (light + capture loop), so wider strips inflate
-    Mosaic code size for little gain."""
-    w_full = min(32, max(4, -(-B * n_pad // 1024)))
-    return tuple(sorted({4, 8, 16, 32, w_full}))
+    tile — the issue-bound optimum).
+
+    Cost mode includes w=64 (round 4): at 64 x 1 kb it measured 1.7x
+    the w=32 dispatch (45-48 vs 27 GCUPS, 1.13-1.23x the issue model —
+    scratch/micro_batch_bsweep2.py) because halving the strips-per-pair
+    halves an un-modeled per-wave staging cost; bit-exactness on ragged
+    batches pinned on-chip (scratch/micro_w64.py).  Moves mode stays
+    capped at 32: the kernel unrolls w phases twice there (light +
+    capture loop) and the wider skewed buffer grows the uint8 stream;
+    w=64 moves compiles and matches but is unmeasured for speed."""
+    cap = 32 if moves else 64
+    w_full = min(cap, max(4, -(-B * n_pad // 1024)))
+    cands = {4, 8, 16, 32, w_full}
+    if cap >= 64:
+        cands.add(64)
+    return tuple(sorted(cands))
+
+
+# Perf-model constants, calibrated on ONE v5e through the dev tunnel
+# (the measured w-sweeps in docs/PERF.md).  Module-level on purpose: a
+# different TPU generation or toolchain may shift these ratios, so they
+# are perturbable (tests pin that dispatch self-reports the change) and
+# checkable against live timings via :func:`model_rank_selfcheck`.
+ISSUE_PHASE_OPS = 17  # vector ops per (phase x sublane-tile)
+ISSUE_SELECT_OPS = 2  # extra ops per alphabet char (general mode)
+ISSUE_WAVE_OPS = 15  # per-wave overhead ops
+LATENCY_WAVE_COST = 41  # fixed per-wave units (~185 ns vs ~4.5 ns/pt)
+
+# Set GLOBALIGN_DEBUG_DISPATCH=1 to log every lanes_plan /
+# lanes_split_plan decision with its model cost (INFO level).
+_DEBUG_DISPATCH_ENV = "GLOBALIGN_DEBUG_DISPATCH"
+
+
+def _debug_dispatch() -> bool:
+    return bool(os.environ.get(_DEBUG_DISPATCH_ENV))
 
 
 def _issue_cost(
@@ -573,7 +609,8 @@ def _issue_cost(
     sublane-tiles + per-wave overhead).  Constants validated against
     the measured w-sweep at 1 kb / 10 kb on v5e (docs/PERF.md).
     General matrices add a 2-op select per alphabet character."""
-    c_phase, c_wave = 17 + 2 * asel, 15
+    c_phase = ISSUE_PHASE_OPS + ISSUE_SELECT_OPS * asel
+    c_wave = ISSUE_WAVE_OPS
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
     tiles = -(-R // 8)
     return (m + 2 * (S_p - 1)) * (w * c_phase * tiles + c_wave)
@@ -592,6 +629,53 @@ def pick_w(B: int, m: int, n_pad: int) -> int:
         if best_cost is None or cost < best_cost:
             best_cost, best_w = cost, w
     return best_w
+
+
+def model_rank_selfcheck(
+    B: int, m: int, n_pad: int, time_fn, asel: int = 0
+) -> dict:
+    """Compare the issue model's strip-width ranking against LIVE
+    timings — the guard against silently-wrong dispatch on a chip or
+    toolchain the constants were never calibrated for (the 17/15 and
+    41:1 ratios above come from one v5e through one tunnel).
+
+    ``time_fn(w) -> seconds`` measures one fill at width ``w`` (the
+    caller owns the timing protocol; slope timing recommended through
+    remote tunnels).  Returns a report dict and logs a WARNING when the
+    model's best width is not within 10% of the measured best — the
+    model mis-ranks on this hardware and the constants need recalibration.
+    Used by bench.py's ``--selfcheck`` and scratch/micro sweeps."""
+    ws = _w_candidates(B, n_pad)
+    model = {w: _issue_cost(B, m, n_pad, w, False, asel) for w in ws}
+    measured = {w: float(time_fn(w)) for w in ws}
+    model_best = min(model, key=model.get)
+    measured_best = min(measured, key=measured.get)
+    agree = (
+        measured[model_best]
+        <= 1.10 * measured[measured_best]
+    )
+    report = {
+        "candidates": list(ws),
+        "model_cost": model,
+        "measured_s": measured,
+        "model_best_w": model_best,
+        "measured_best_w": measured_best,
+        "agree": agree,
+        "constants": {
+            "ISSUE_PHASE_OPS": ISSUE_PHASE_OPS,
+            "ISSUE_SELECT_OPS": ISSUE_SELECT_OPS,
+            "ISSUE_WAVE_OPS": ISSUE_WAVE_OPS,
+        },
+    }
+    if not agree:
+        _logger.warning(
+            "lanes issue model mis-ranks on this backend: model best "
+            "w=%d is %.0f%% slower than measured best w=%d — dispatch "
+            "constants need recalibration (%s)", model_best,
+            100.0 * (measured[model_best] / measured[measured_best] - 1),
+            measured_best, report,
+        )
+    return report
 
 
 def lanes_moves_bytes(B: int, m_pad: int, n_pad: int, w: int) -> int:
@@ -673,11 +757,15 @@ def lanes_plan(
     Deterministic in the padded shapes only, so a host wrapper and a
     shard_map body recompute the identical plan."""
     w = pick_w(B, m_pad, n_pad)
+    if moves:
+        w = min(w, 32)  # moves candidates stay capped (_w_candidates)
     tile = lanes_tile_size(B, n_pad, w, moves, asel)
     if tile < B:
         # The batch splits: re-pick the width for the tile the kernel
         # actually runs, then re-fit the tile to that width.
         w = pick_w(tile, m_pad, n_pad)
+        if moves:
+            w = min(w, 32)
         tile = lanes_tile_size(tile, n_pad, w, moves, asel)
     if not moves:
         # Re-cost candidates with asel: general mode's 2-ops-per-token
@@ -692,6 +780,12 @@ def lanes_plan(
                 best = (cost, wc)
         if best is None:
             return None
+        if _debug_dispatch():
+            _logger.info(
+                "lanes_plan(B=%d, m=%d, n=%d, asel=%d) -> w=%d tile=%d "
+                "issue_cost=%d", B, m_pad, n_pad, asel, best[1], tile,
+                best[0],
+            )
         return best[1], tile
 
     # Moves mode: the issue-model optimum may fail the drain guard
@@ -712,7 +806,7 @@ def lanes_plan(
         )
 
     best = None
-    for wc in sorted({*_w_candidates(tile, n_pad), w}):
+    for wc in sorted({*_w_candidates(tile, n_pad, moves=True), w}):
         if not feasible(wc):
             continue
         cost = _issue_cost(tile, m_pad, n_pad, wc, True, asel)
@@ -720,6 +814,12 @@ def lanes_plan(
             best = (cost, wc)
     if best is None:
         return None
+    if _debug_dispatch():
+        _logger.info(
+            "lanes_plan(B=%d, m=%d, n=%d, asel=%d, moves) -> w=%d "
+            "tile=%d issue_cost=%d", B, m_pad, n_pad, asel, best[1],
+            tile, best[0],
+        )
     return best[1], tile
 
 
@@ -1292,7 +1392,7 @@ def _latency_cost(B: int, m: int, n_pad: int, w: int, asel: int = 0) -> int:
     ~41:1 ratio.  It decides wave-count tradeoffs such as the
     meet-in-the-middle split, where halving the waves doubles the
     strips."""
-    c_wave, c_pt = 41, 1 + asel // 8
+    c_wave, c_pt = LATENCY_WAVE_COST, 1 + asel // 8
     S_p, R = _lanes_geometry(B, n_pad, w)
     tiles = -(-R // 8)
     return (m + 2 * (S_p - 1)) * (c_wave + w * tiles * c_pt)
@@ -1323,6 +1423,14 @@ def lanes_split_plan(
         cost = _latency_cost(2, mh, ncap, w, asel)
         if best is None or cost < best[0]:
             best = (cost, w)
+    if _debug_dispatch():
+        _logger.info(
+            "lanes_split_plan(m=%d, n=%d, asel=%d): direct w=%d "
+            "latency=%d, split best=%s -> %s", mcap, ncap, asel, w1,
+            direct, best,
+            "decline" if (best is None or best[0] * 10 >= direct * 9)
+            else f"w={best[1]} mh={mh}",
+        )
     if best is None or best[0] * 10 >= direct * 9:
         return None
     return best[1], mh

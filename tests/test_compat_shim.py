@@ -121,3 +121,75 @@ def test_shim_create_scoring_mat_mutates_like_reference():
     alpha = ["A", "C"]
     create_scoring_mat(alpha, 1, -1, -1)
     assert alpha == ["A", "C", "-"]
+
+
+def test_dp_array_forward_reference_golden():
+    """The reference's OWN golden case for dp_array_forward
+    (reference tests/globaligner_test.py:6-37): a hand-seeded boundary,
+    exact (M, Ix, Iy) tuples after the fill."""
+    from globalign.globaligner import dp_array_forward
+
+    dp_array = [
+        [(0, 7, 7), (6, 3, 9), (5, 5, 11)],
+        [(4, 10, 4), None, None],
+        [(10, 13, 7), None, None],
+    ]
+    costing_mat = {
+        "A": {"A": 0, "G": 3, "-": 3},
+        "G": {"A": 3, "G": 0, "-": 3},
+        "-": {"A": 2, "G": 2, "-": 0},
+    }
+    dp_array_forward(dp_array, "AG", "GA", costing_mat, 1)
+    assert dp_array == [
+        [(0, 7, 7), (6, 3, 9), (5, 5, 11)],
+        [(4, 10, 4), (3, 7, 7), (3, 6, 9)],
+        [(10, 13, 7), (4, 10, 7), (6, 7, 7)],
+    ]
+
+
+def test_dp_compat_end_to_end_matches_engine():
+    """make_dp_array + dp_array_forward + dp_array_backward reproduce
+    the engine's cost, and the emitted alignment prices to it."""
+    from globalign.globaligner import (
+        dp_array_backward,
+        dp_array_forward,
+        make_dp_array,
+    )
+    from globalign_tpu import find_global_alignment
+    from globalign_tpu.ops.traceback import alignment_cost
+    from globalign_tpu.utils.matrices import SubstitutionMatrix
+
+    for s1, s2 in [("ACGT", "AGT"), ("TAAAGCTAA", "TAGCTC"),
+                   ("A", "TTTT"), ("GATTACA", "GATTACA")]:
+        res = find_global_alignment(seq_1=s1, seq_2=s2)
+        costing = res.costing_mat
+        max_cost = max(
+            v for row in costing.values() for v in row.values()
+        )
+        dp = make_dp_array(s1, s2, costing, max_cost, res.gap_open_cost)
+        dp_array_forward(dp, s1, s2, costing, res.gap_open_cost)
+        s1a, mid, s2a, cost = dp_array_backward(
+            dp, s1, s2, costing, res.gap_open_cost
+        )
+        assert cost == res.cost
+        assert len(s1a) == len(mid) == len(s2a)
+        sub = SubstitutionMatrix.from_nested_dict(costing)
+        assert alignment_cost(s1a, s2a, sub, res.gap_open_cost) == cost
+
+
+def test_dp_compat_take_functions():
+    from globalign.globaligner import (
+        take_gap_in_seq_1,
+        take_gap_in_seq_2,
+        take_match,
+        take_mismatch,
+    )
+
+    o1, mid, o2 = [], [], []
+    take_match("AC", "AG", 0, 0, o1, mid, o2)
+    take_mismatch("AC", "AG", 1, 1, o1, mid, o2)
+    take_gap_in_seq_1("AC", "AG", 1, 1, o1, mid, o2)
+    take_gap_in_seq_2("AC", "AG", 1, 1, o1, mid, o2)
+    assert o1 == ["A", "C", "-", "C"]
+    assert mid == ["|", "*", " ", " "]
+    assert o2 == ["A", "G", "G", "-"]

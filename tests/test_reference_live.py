@@ -132,3 +132,104 @@ def test_score_cost_parity_with_live_reference():
             )
             == res.cost
         )
+
+
+def _write_random_scoring_mat(rng, path, b: int) -> None:
+    """Random symmetric scoring matrix over ACGT- with max score b on
+    the letter diagonal (the reference's scoring_mat_path contract:
+    symmetric + max-on-main-diagonal, start.py:291-318).  Odd b makes
+    the score->cost transform's deletion/insertion deltas asymmetric
+    (Δd=floor(b/2) != Δi=ceil(b/2)) — exercised deliberately here."""
+    letters = list("ACGT-")
+    A = len(letters)
+    off = rng.integers(-6, 0, size=(A, A))
+    mat = np.minimum(off, off.T)
+    gap = -int(rng.integers(1, 7))
+    mat[-1, :] = gap
+    mat[:, -1] = gap
+    for i in range(A - 1):
+        mat[i, i] = b
+    lines = ["   " + "  ".join(letters)]
+    for i, ch in enumerate(letters):
+        lines.append(ch + " " + " ".join(f"{v:3d}" for v in mat[i]))
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_parity_custom_matrix_file(tmp_path):
+    """Scheme branch (b): custom scoring_mat_path files, odd AND even
+    max score (reference start.py:291-318)."""
+    from globalign_tpu import find_global_alignment
+
+    rng = np.random.default_rng(41)
+    cases = []
+    for k, b in enumerate([2, 3, 4, 5, 7, 8]):
+        p = tmp_path / f"mat_{b}.mtx"
+        _write_random_scoring_mat(rng, p, b)
+        m = int(rng.integers(1, 40))
+        n = int(rng.integers(1, 40))
+        cases.append({
+            "seq_1": "".join(rng.choice(list("ACGT"), m)),
+            "seq_2": "".join(rng.choice(list("ACGT"), n)),
+            "scoring_mat_path": str(p),
+        })
+    want = _reference_results(cases)
+    for case, ref in zip(cases, want):
+        res = find_global_alignment(**case)
+        assert (res.score, res.cost) == (ref["score"], ref["cost"]), (
+            case, (res.score, res.cost), ref,
+        )
+
+
+def test_parity_fasta_input(tmp_path):
+    """FASTA-file input path against the live reference (reference
+    start.py:614-688): multi-line records, lower-case upcasing, first
+    two records taken."""
+    from globalign_tpu import find_global_alignment
+
+    fa = tmp_path / "pair.fasta"
+    fa.write_text(
+        ">first record | demo\n"
+        "acgtacGTAC\n"
+        "GTACGT\n"
+        ">second record\n"
+        "ttgacaTGA\n"
+        ">third record is ignored\n"
+        "AAAA\n"
+    )
+    cases = [
+        {"input_fasta": str(fa)},
+        {"input_fasta": str(fa), "scoring_mat_name": "BLOSUM62"},
+        {"input_fasta": str(fa), "mismatch_cost": 7, "gap_open_cost": 2,
+         "gap_extension_cost": 4},
+    ]
+    want = _reference_results(cases)
+    for case, ref in zip(cases, want):
+        res = find_global_alignment(**case)
+        assert (res.score, res.cost) == (ref["score"], ref["cost"]), (
+            case, (res.score, res.cost), ref,
+        )
+
+
+def test_parity_long_pairs():
+    """A few 200-500-length pairs (the reference supports ~4.4 kb; the
+    short fuzz never leaves length 40)."""
+    from globalign_tpu import find_global_alignment
+
+    rng = np.random.default_rng(97)
+    prot = list("ARNDCQEGHILKMFPSTWYV")
+    cases = [
+        {"seq_1": "".join(rng.choice(list("ACGT"), 317)),
+         "seq_2": "".join(rng.choice(list("ACGT"), 489))},
+        {"seq_1": "".join(rng.choice(prot, 251)),
+         "seq_2": "".join(rng.choice(prot, 203)),
+         "scoring_mat_name": "BLOSUM62"},
+        {"seq_1": "".join(rng.choice(list("ACGT"), 500)),
+         "seq_2": "".join(rng.choice(list("ACGT"), 211)),
+         "mismatch_cost": 5, "gap_open_cost": 3, "gap_extension_cost": 2},
+    ]
+    want = _reference_results(cases)
+    for case, ref in zip(cases, want):
+        res = find_global_alignment(**case)
+        assert (res.score, res.cost) == (ref["score"], ref["cost"]), (
+            case, (res.score, res.cost), ref,
+        )
