@@ -42,7 +42,8 @@ def _spawn_processes(args) -> int:
             GLOBALIGN_MH_N=str(args.processes),
             GLOBALIGN_MH_PORT=str(port),
             JAX_PLATFORMS="cpu",
-            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            XLA_FLAGS="--xla_force_host_platform_device_count="
+            f"{args.devices_per_process}",
         )
         procs.append(
             subprocess.Popen(
@@ -71,6 +72,16 @@ def main() -> int:
         type=int,
         default=1,
         help="Also measure N-process distributed scaling (spawns workers).",
+    )
+    parser.add_argument(
+        "--devices_per_process",
+        type=int,
+        default=4,
+        help="Virtual CPU devices per spawned process.  Keep "
+        "processes*devices_per_process <= physical cores: virtual "
+        "devices are threads, and oversubscription reads as (fake) "
+        "scaling loss (measured: 8 virtual devices on 4 cores cap "
+        "single-process weak-scaling efficiency at ~0.35).",
     )
     args = parser.parse_args()
 

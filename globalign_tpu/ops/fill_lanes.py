@@ -561,25 +561,30 @@ LANES_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _w_candidates(
-    B: int, n_pad: int, moves: bool = False
+    B: int, n_pad: int, moves: bool = False, asel: int = 0
 ) -> tuple[int, ...]:
     """Strip-width candidates: powers of two plus the width that fills
     the 8 sublanes exactly (strips ~ 1024, every VPU op one (8, 128)
     tile — the issue-bound optimum).
 
-    Cost mode includes w=64 (round 4): at 64 x 1 kb it measured 1.7x
-    the w=32 dispatch (45-48 vs 27 GCUPS, 1.13-1.23x the issue model —
-    scratch/micro_batch_bsweep2.py) because halving the strips-per-pair
-    halves an un-modeled per-wave staging cost; bit-exactness on ragged
-    batches pinned on-chip (scratch/micro_w64.py).  Moves mode stays
-    capped at 32: the kernel unrolls w phases twice there (light +
-    capture loop) and the wider skewed buffer grows the uint8 stream;
-    w=64 moves compiles and matches but is unmeasured for speed."""
-    cap = 32 if moves else 64
+    Uniform cost mode allows up to w=128 (round 4): the measured
+    (B, L, w) grid (scratch/micro_batch_bsweep2.py, micro_tilecap.py,
+    micro_wrule*.py) shows wider strips keep winning while >= 4
+    lane-chunks stay busy — 64 x 1 kb measured 27 GCUPS at the old w=32
+    cap, 45 at w=64, 61 at w=128, bit-exact on ragged batches
+    (scratch/micro_w64.py); Mosaic code size stays sane (w=128 compiles
+    in ~7 s).  Moves mode stays capped at 32 (the kernel unrolls w
+    phases twice there — light + capture — and the wider skewed buffer
+    grows the uint8 stream; w=64 moves compiles and matches but is
+    unmeasured for speed).  General mode (asel > 0) stays capped at 32
+    too: the per-phase select chain multiplies the unrolled code by the
+    alphabet size, and widths past 32 are unmeasured there."""
+    cap = 32 if (moves or asel > 0) else 128
     w_full = min(cap, max(4, -(-B * n_pad // 1024)))
     cands = {4, 8, 16, 32, w_full}
-    if cap >= 64:
-        cands.add(64)
+    for wide in (64, 128):
+        if wide <= cap:
+            cands.add(wide)
     return tuple(sorted(cands))
 
 
@@ -616,16 +621,57 @@ def _issue_cost(
     return (m + 2 * (S_p - 1)) * (w * c_phase * tiles + c_wave)
 
 
-def pick_w(B: int, m: int, n_pad: int) -> int:
-    """Strip width minimizing the issue-bound instruction model.
+# Occupancy bounds for the round-4 empirical width rule (below) and the
+# batch tile cap: keep at least PICKW_MIN_R lane-chunks busy when
+# widening strips, and never run one kernel call past TILE_MAX_R
+# lane-chunks (2 sublane tiles) — 64x1kb tile=256/w=64 measured 31.7
+# GCUPS vs 49.2 split into tile=128 calls (scratch/micro_tilecap.py).
+PICKW_MIN_R = 4
+TILE_MAX_R = 16
 
-    The kernel is VPU issue-bound (docs/PERF.md): each phase op covers
-    all strips while R <= 8 sublanes, then splits into ceil(R/8) tiles;
-    drain waves scale with strips-per-pair.
+
+def _pick_w_occupancy(B: int, n_pad: int, cands) -> int:
+    """Round-4 empirical width rule for UNIFORM batch fills: the widest
+    candidate whose lane-chunk count R stays >= PICKW_MIN_R; when every
+    candidate underfills, maximize R (then width).  The measured
+    (B, L, w) grid behind it (docs/PERF.md "140-400 retraction" section;
+    scratch/micro_tilecap.py, micro_wrule*.py): wider strips halve an
+    issue-model-invisible per-wave staging cost, and the rule matches
+    the measured optimum at every grid point within 8%
+    (L=1024 B=8/32/64/128/256, L=4096 B=16) — vs up to 5x losses from
+    the pure issue-model rank (B=8 w=8: 4.4 GCUPS vs w=16: 22)."""
+    # Widths past the row length only add pad phases (S_p is already 1).
+    fit = [w for w in cands if w <= max(4, n_pad)] or list(cands)[:1]
+    ok = [w for w in fit if _lanes_geometry(B, n_pad, w)[1] >= PICKW_MIN_R]
+    if ok:
+        return max(ok)
+    # Underfilled (every width leaves R < PICKW_MIN_R): keep the most
+    # lanes busy — R first, exact busy-lane count next, narrower strips
+    # (less pad-phase work) as the tie-break.
+    def _underfill_key(w):
+        S_p, R = _lanes_geometry(B, n_pad, w)
+        return (R, B * S_p, -w)
+
+    return max(fit, key=_underfill_key)
+
+
+def pick_w(B: int, m: int, n_pad: int, asel: int = 0) -> int:
+    """Strip width for a (B, m, n_pad) fill.
+
+    Uniform batches (B >= 4, asel == 0) use the empirical occupancy
+    rule (:func:`_pick_w_occupancy`).  Single/split pairs and general
+    matrices rank the issue-bound instruction model instead (each phase
+    op covers all strips while R <= 8 sublanes, then splits into
+    ceil(R/8) tiles; drain waves scale with strips-per-pair) — measured
+    best for B <= 2 (scratch/micro_w64.py: split w=20 ~ w=32 > w=64)
+    and unmeasured past w=32 for general mode.
     """
+    cands = _w_candidates(B, n_pad, asel=asel)
+    if B >= 4 and asel == 0:
+        return _pick_w_occupancy(B, n_pad, cands)
     best_cost, best_w = None, DEFAULT_W
-    for w in _w_candidates(B, n_pad):
-        cost = _issue_cost(B, m, n_pad, w, False)
+    for w in cands:
+        cost = _issue_cost(B, m, n_pad, w, False, asel)
         if best_cost is None or cost < best_cost:
             best_cost, best_w = cost, w
     return best_w
@@ -768,25 +814,33 @@ def lanes_plan(
             w = min(w, 32)
         tile = lanes_tile_size(tile, n_pad, w, moves, asel)
     if not moves:
-        # Re-cost candidates with asel: general mode's 2-ops-per-token
-        # select chain shifts the phase/drain tradeoff (4x at BLOSUM).
-        best = None
-        for wc in sorted({*_w_candidates(tile, n_pad), w}):
-            if lanes_vmem_bytes(tile, n_pad, wc, False, asel) \
-                    > LANES_VMEM_BUDGET:
-                continue
-            cost = _issue_cost(tile, m_pad, n_pad, wc, False, asel)
-            if best is None or cost < best[0]:
-                best = (cost, wc)
-        if best is None:
+        # Candidates that fit VMEM at this tile; uniform batches then
+        # apply the occupancy rule, general mode re-costs with asel
+        # (the 2-ops-per-token select chain shifts the phase/drain
+        # tradeoff, 4x at BLOSUM).
+        feas = [
+            wc
+            for wc in sorted({*_w_candidates(tile, n_pad, asel=asel), w})
+            if lanes_vmem_bytes(tile, n_pad, wc, False, asel)
+            <= LANES_VMEM_BUDGET
+        ]
+        if not feas:
             return None
+        if asel == 0 and tile >= 4:
+            wbest = _pick_w_occupancy(tile, n_pad, feas)
+        else:
+            wbest = min(
+                feas,
+                key=lambda wc: _issue_cost(tile, m_pad, n_pad, wc,
+                                           False, asel),
+            )
         if _debug_dispatch():
             _logger.info(
                 "lanes_plan(B=%d, m=%d, n=%d, asel=%d) -> w=%d tile=%d "
-                "issue_cost=%d", B, m_pad, n_pad, asel, best[1], tile,
-                best[0],
+                "issue_cost=%d", B, m_pad, n_pad, asel, wbest, tile,
+                _issue_cost(tile, m_pad, n_pad, wbest, False, asel),
             )
-        return best[1], tile
+        return wbest, tile
 
     # Moves mode: the issue-model optimum may fail the drain guard
     # (short blocks over wide rows — fewer, wider strips fix it), so
@@ -827,10 +881,17 @@ def lanes_tile_size(
     B: int, n_pad: int, w: int, moves: bool = False, asel: int = 0
 ) -> int:
     """Largest per-call pair count whose working set fits the VMEM
-    budget (the batch dispatcher splits bigger batches into tiles)."""
-    if lanes_vmem_bytes(B, n_pad, w, moves, asel) <= LANES_VMEM_BUDGET:
-        return B
+    budget (the batch dispatcher splits bigger batches into tiles).
+
+    Cost mode also caps one call at TILE_MAX_R lane-chunks: VMEM alone
+    allowed 64-chunk tiles whose issue pipeline ran 1.6x slower than
+    two 16-chunk calls (scratch/micro_tilecap.py, docs/PERF.md)."""
     t = B
+    if not moves:
+        S_p = max(1, -(-n_pad // w))
+        t = min(t, max(1, (TILE_MAX_R * LANES) // S_p))
+    if lanes_vmem_bytes(t, n_pad, w, moves, asel) <= LANES_VMEM_BUDGET:
+        return t
     while t > 1 and lanes_vmem_bytes(t, n_pad, w, moves, asel) \
             > LANES_VMEM_BUDGET:
         t //= 2

@@ -4,12 +4,15 @@ deterministic traceback -> TSV out), wall-clocked at steady state.
 
 Writes a pairs TSV, runs the runner twice (first run pays remote
 compiles; second is the steady-state number) in both cost-only and
-traceback modes, and prints one JSON line per mode with pairs/s and
-GCUPS over true cells.
+traceback modes, and prints one JSON line per mode with pairs/s, GCUPS
+over true cells, and the aggregated per-phase wall-clock decomposition
+(fill vs traceback vs blocked) parsed from the runner's chunk log —
+the data behind docs/PERF.md's serving table (VERDICT r3 item 6).
 
 PYTHONPATH=/root/.axon_site:/root/repo python scratch/measure_serving.py [npairs] [len]
 """
 
+import io
 import json
 import os
 import sys
@@ -19,11 +22,36 @@ import time
 import numpy as np
 
 
+def run_once(pairs, with_tb, chunk_pairs=128):
+    from globalign_tpu.runner import BatchRunner
+
+    log = io.StringIO()
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "out.tsv")
+        runner = BatchRunner(
+            output=out,
+            chunk_pairs=chunk_pairs,
+            with_traceback=with_tb,
+            log=log,
+        )
+        t0 = time.perf_counter()
+        stats = runner.run(iter(pairs))
+        dt = time.perf_counter() - t0
+    phases: dict = {}
+    for line in log.getvalue().splitlines():
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        for k, v in rec.get("phase_seconds", {}).items():
+            phases[k] = phases.get(k, 0.0) + v
+    return stats, dt, phases
+
+
 def main():
     npairs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 
-    from globalign_tpu.runner import BatchRunner
     from globalign_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
@@ -47,19 +75,11 @@ def main():
     for with_tb in (False, True):
         times = []
         for rep in range(2):
-            with tempfile.TemporaryDirectory() as td:
-                out = os.path.join(td, "out.tsv")
-                runner = BatchRunner(
-                    output=out,
-                    chunk_pairs=128,
-                    with_traceback=with_tb,
-                    log=open(os.devnull, "w"),
-                )
-                t0 = time.perf_counter()
-                stats = runner.run(iter(pairs))
-                times.append(time.perf_counter() - t0)
-                assert stats.pairs == npairs, stats
+            stats, dt, phases = run_once(pairs, with_tb)
+            assert stats.pairs == npairs, stats
+            times.append(dt)
         steady = times[-1]
+        unattributed = steady - sum(phases.values())
         print(
             json.dumps(
                 {
@@ -72,6 +92,10 @@ def main():
                     "steady_s": round(steady, 2),
                     "pairs_per_s": round(npairs / steady, 1),
                     "gcups": round(cells / steady / 1e9, 2),
+                    "phase_seconds": {
+                        k: round(v, 3) for k, v in sorted(phases.items())
+                    },
+                    "unattributed_s": round(unattributed, 2),
                 }
             ),
             flush=True,

@@ -613,8 +613,10 @@ def test_dispatch_self_reports_perturbed_model(monkeypatch, caplog):
     assert wide_w != base_w
 
     monkeypatch.setenv("GLOBALIGN_DEBUG_DISPATCH", "1")
+    # B=2 stays on the model-ranked path (B >= 4 uniform batches use
+    # the measured occupancy rule, which the constants don't steer).
     with caplog.at_level(logging.INFO, logger="globalign_tpu.ops.fill_lanes"):
-        plan = fl.lanes_plan(4, 512, 512)
+        plan = fl.lanes_plan(2, 512, 512)
     assert plan is not None and plan[0] == wide_w
     assert any("lanes_plan" in r.message for r in caplog.records)
 
