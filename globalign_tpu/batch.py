@@ -203,6 +203,26 @@ def _lanes_walked_traceback(
     )
 
 
+@dataclass
+class PendingAlignments:
+    """A dispatched-but-unfetched :func:`align_pairs` call.
+
+    Returned by ``align_pairs(..., flush=False)``: every bucket's fill
+    (and device walk, in traceback mode) has been DISPATCHED, but the
+    coalesced device->host fetches have not run yet.  ``resolve()``
+    performs them and returns the final results.  The point is chunk
+    pipelining: a device fetch costs ~2 tunnel round trips (~80 ms
+    measured, scratch/micro_chunk_decompose.py) and dominates serving
+    wall-clock at short lengths — the runner dispatches chunk k+1
+    before resolving chunk k so the fetch latency overlaps the next
+    chunk's fills (SURVEY.md §5 metrics row; VERDICT r3 item 6)."""
+
+    _flush: object
+
+    def resolve(self) -> "list[PairResult]":
+        return self._flush()
+
+
 @dataclass(frozen=True)
 class PairResult:
     """Result for one pair in a batch (traceback fields None in cost-only mode)."""
@@ -259,7 +279,8 @@ def align_pairs(
     bucket_quantum: int = DEFAULT_BUCKET_QUANTUM,
     mesh=None,
     phase_seconds: dict | None = None,
-) -> list[PairResult]:
+    flush: bool = True,
+) -> "list[PairResult] | PendingAlignments":
     """Align many independent pairs on device, in input order.
 
     Scheme options mirror :func:`globalign_tpu.find_global_alignment`; a
@@ -272,6 +293,12 @@ def align_pairs(
     ("fill" = device DP fills, "traceback" = host move walks) — the
     runner surfaces these in its structured stats; device phases are also
     annotated with ``jax.named_scope`` for jax.profiler traces.
+
+    ``flush=False`` returns a :class:`PendingAlignments` whose
+    ``resolve()`` runs the coalesced device fetches and final host
+    assembly — the runner's chunk-pipelining hook.  Buckets that take a
+    non-deferrable path (blocked per-pair traceback, CPU row scan) are
+    resolved eagerly either way.
     """
     import time as _time
 
@@ -508,7 +535,17 @@ def align_pairs(
             else:
                 results[idx] = PairResult(cost=cost, score=score)
 
-    if walked_pending:
+    def _flush() -> list[PairResult]:
+        _flush_pending()
+        return results  # type: ignore[return-value]
+
+    def _flush_pending() -> None:
+        if walked_pending:
+            _flush_walked()
+        if deferred:
+            _flush_deferred()
+
+    def _flush_walked() -> None:
         from .ops.linear_tb import assemble_from_tapes
 
         # Three coalesced transfers for the whole call (tapes flattened
@@ -549,7 +586,7 @@ def align_pairs(
             row += len(indices)
             off += tp.shape[0] * L
 
-    if deferred:
+    def _flush_deferred() -> None:
         with _phase("fill"):
             flat = np.asarray(
                 jnp.concatenate([f for f, _ in deferred], axis=0)
@@ -566,7 +603,9 @@ def align_pairs(
                 results[idx] = PairResult(cost=cost, score=score)
             row += len(indices)
 
-    return results  # type: ignore[return-value]
+    if flush:
+        return _flush()
+    return PendingAlignments(_flush)
 
 
 def alignment_to_pair_result(a: GotohAlignment) -> PairResult:

@@ -576,10 +576,22 @@ def _w_candidates(
     in ~7 s).  Moves mode stays capped at 32 (the kernel unrolls w
     phases twice there — light + capture — and the wider skewed buffer
     grows the uint8 stream; w=64 moves compiles and matches but is
-    unmeasured for speed).  General mode (asel > 0) stays capped at 32
-    too: the per-phase select chain multiplies the unrolled code by the
-    alphabet size, and widths past 32 are unmeasured there."""
-    cap = 32 if (moves or asel > 0) else 128
+    unmeasured for speed).  General mode (asel > 0): the occupancy
+    lever transfers (A=25: w=64 at 23.9 GCUPS vs w=32's 21; A=5: w=128
+    at 50-53 vs w=32's 26 — scratch/micro_general_w64.py, bit-exact,
+    ~7 s compiles), but the unrolled select-chain code grows as
+    w x asel (twice), so widths are admitted while w*asel stays within
+    the measured-safe budget (128x5=640 and 64x25=1600 both compiled in
+    seconds; 128x25=3200 is unmeasured and excluded)."""
+    if moves:
+        cap = 32
+    elif asel > 0:
+        cap = 32
+        for wide in (64, 128):
+            if wide * asel <= 1664:  # 64 x 26 (LANES_MAX_ALPHABET)
+                cap = wide
+    else:
+        cap = 128
     w_full = min(cap, max(4, -(-B * n_pad // 1024)))
     cands = {4, 8, 16, 32, w_full}
     for wide in (64, 128):
@@ -658,16 +670,19 @@ def _pick_w_occupancy(B: int, n_pad: int, cands) -> int:
 def pick_w(B: int, m: int, n_pad: int, asel: int = 0) -> int:
     """Strip width for a (B, m, n_pad) fill.
 
-    Uniform batches (B >= 4, asel == 0) use the empirical occupancy
-    rule (:func:`_pick_w_occupancy`).  Single/split pairs and general
-    matrices rank the issue-bound instruction model instead (each phase
-    op covers all strips while R <= 8 sublanes, then splits into
-    ceil(R/8) tiles; drain waves scale with strips-per-pair) — measured
-    best for B <= 2 (scratch/micro_w64.py: split w=20 ~ w=32 > w=64)
-    and unmeasured past w=32 for general mode.
+    Batches (B >= 4, uniform or general) use the empirical occupancy
+    rule (:func:`_pick_w_occupancy`).  Single/split pairs rank the
+    issue-bound instruction model instead (each phase op covers all
+    strips while R <= 8 sublanes, then splits into ceil(R/8) tiles;
+    drain waves scale with strips-per-pair) — measured best for B <= 2
+    (scratch/micro_w64.py: split w=20 ~ w=32 > w=64).
     """
     cands = _w_candidates(B, n_pad, asel=asel)
-    if B >= 4 and asel == 0:
+    if B >= 4:
+        # The occupancy rule transfers to general mode (measured at
+        # A=25 and A=5, scratch/micro_general_w64.py) — the select
+        # chain scales the per-phase work but not the staging cost the
+        # rule exists to shrink.
         return _pick_w_occupancy(B, n_pad, cands)
     best_cost, best_w = None, DEFAULT_W
     for w in cands:
@@ -802,14 +817,14 @@ def lanes_plan(
 
     Deterministic in the padded shapes only, so a host wrapper and a
     shard_map body recompute the identical plan."""
-    w = pick_w(B, m_pad, n_pad)
+    w = pick_w(B, m_pad, n_pad, asel=asel)
     if moves:
         w = min(w, 32)  # moves candidates stay capped (_w_candidates)
     tile = lanes_tile_size(B, n_pad, w, moves, asel)
     if tile < B:
         # The batch splits: re-pick the width for the tile the kernel
         # actually runs, then re-fit the tile to that width.
-        w = pick_w(tile, m_pad, n_pad)
+        w = pick_w(tile, m_pad, n_pad, asel=asel)
         if moves:
             w = min(w, 32)
         tile = lanes_tile_size(tile, n_pad, w, moves, asel)
@@ -826,7 +841,7 @@ def lanes_plan(
         ]
         if not feas:
             return None
-        if asel == 0 and tile >= 4:
+        if tile >= 4:
             wbest = _pick_w_occupancy(tile, n_pad, feas)
         else:
             wbest = min(

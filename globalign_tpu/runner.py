@@ -267,6 +267,8 @@ class BatchRunner:
         stats = RunStats()
         done = self._completed_chunks()
         self._dedupe_output(done)
+        # The dispatched-but-unresolved previous chunk (chunk pipeline).
+        in_flight = None
 
         from .parallel.multihost import owns_chunk
 
@@ -288,62 +290,83 @@ class BatchRunner:
             scheme = self._chunk_scheme(chunk, scheme)
             phases: dict[str, float] = {}
             t0 = time.perf_counter()
-            results = align_pairs(
+            # One-deep chunk pipeline: dispatch this chunk's fills
+            # (flush=False defers the coalesced device->host fetches),
+            # then resolve + write + journal the PREVIOUS chunk while
+            # this one computes.  A fetch costs ~2 tunnel round trips
+            # (~80 ms measured, scratch/micro_chunk_decompose.py) and
+            # dominated short-length serving before the overlap.
+            pending = align_pairs(
                 chunk,
                 scheme=scheme,
                 with_traceback=self.with_traceback,
                 bucket_quantum=self.bucket_quantum,
                 mesh=self.mesh,
                 phase_seconds=phases,
+                flush=False,
             )
             dt = time.perf_counter() - t0
+            if in_flight is not None:
+                self._finish_chunk(stats, *in_flight)
+            in_flight = (pending, chunk_id, base, chunk, sha, phases, dt)
 
-            with self.output.open("a") as out:
-                for k, r in enumerate(results):
-                    row = [str(base + k), str(r.cost), str(r.score)]
-                    if self.with_traceback:
-                        row += [
-                            r.seq_1_aligned,
-                            r.middle_part,
-                            r.seq_2_aligned,
-                        ]
-                        if self.emit_cigar:
-                            row.append(r.cigar())
-                    out.write("\t".join(row) + "\n")
-
-            true_cells = sum(len(a) * len(b) for a, b in chunk)
-            padded = sum(
-                bucket_length(len(a), self.bucket_quantum)
-                * bucket_length(len(b), self.bucket_quantum)
-                for a, b in chunk
-            )
-            stats.pairs += len(chunk)
-            stats.chunks += 1
-            stats.true_cells += true_cells
-            stats.padded_cells += padded
-            stats.seconds += dt
-            self._journal(chunk_id, len(chunk), dt, sha)
-            print(
-                json.dumps(
-                    {
-                        "chunk": chunk_id,
-                        "pairs": len(chunk),
-                        "gcups": round(true_cells / dt / 1e9, 4),
-                        "pairs_per_s": round(len(chunk) / dt, 2),
-                        "pad_waste": round(1 - true_cells / padded, 4),
-                        # Per-phase wall-clock (device fill vs host walk vs
-                        # blocked checkpoint+replay) — SURVEY.md §5 row 1.
-                        "phase_seconds": {
-                            k: round(v, 4) for k, v in sorted(phases.items())
-                        },
-                    }
-                ),
-                file=self.log,
-            )
+        if in_flight is not None:
+            self._finish_chunk(stats, *in_flight)
 
         print(json.dumps({"run": self._fingerprint(), **stats.as_dict()}),
               file=self.log)
         return stats
+
+    def _finish_chunk(
+        self, stats, pending, chunk_id, base, chunk, sha, phases, dt
+    ) -> None:
+        """Resolve a dispatched chunk: fetch, write rows, journal, log."""
+        t0 = time.perf_counter()
+        results = pending.resolve()
+        dt += time.perf_counter() - t0
+
+        with self.output.open("a") as out:
+            for k, r in enumerate(results):
+                row = [str(base + k), str(r.cost), str(r.score)]
+                if self.with_traceback:
+                    row += [
+                        r.seq_1_aligned,
+                        r.middle_part,
+                        r.seq_2_aligned,
+                    ]
+                    if self.emit_cigar:
+                        row.append(r.cigar())
+                out.write("\t".join(row) + "\n")
+
+        true_cells = sum(len(a) * len(b) for a, b in chunk)
+        padded = sum(
+            bucket_length(len(a), self.bucket_quantum)
+            * bucket_length(len(b), self.bucket_quantum)
+            for a, b in chunk
+        )
+        stats.pairs += len(chunk)
+        stats.chunks += 1
+        stats.true_cells += true_cells
+        stats.padded_cells += padded
+        stats.seconds += dt
+        self._journal(chunk_id, len(chunk), dt, sha)
+        print(
+            json.dumps(
+                {
+                    "chunk": chunk_id,
+                    "pairs": len(chunk),
+                    "gcups": round(true_cells / dt / 1e9, 4),
+                    "pairs_per_s": round(len(chunk) / dt, 2),
+                    "pad_waste": round(1 - true_cells / padded, 4),
+                    # Per-phase wall-clock (device fill vs host walk vs
+                    # blocked checkpoint+replay) — SURVEY.md §5 row 1.
+                    "phase_seconds": {
+                        k: round(v, 4) for k, v in sorted(phases.items())
+                    },
+                }
+            ),
+            file=self.log,
+        )
 
 
 def pairs_from_fasta(path) -> Iterator[tuple[str, str]]:
