@@ -125,6 +125,12 @@ def main() -> int:
         help="Hard deadline (s) for the subprocess device probe.",
     )
     parser.add_argument(
+        "--probe_retries", type=int, default=3,
+        help="Max device-probe attempts (the tunnel has transient "
+        "outages measured in minutes; retries ride them out while the "
+        "overall deadline still guards the artifact).",
+    )
+    parser.add_argument(
         "--deadline", type=float, default=1200.0,
         help="Overall wall-clock budget (s); a watchdog emits the "
         "best-known JSON line and exits if it is exceeded.",
@@ -169,13 +175,29 @@ def main() -> int:
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    probed = probe_device(args.probe_timeout)
+    # Probe with retries: the tunnel has transient multi-minute outages
+    # (a 2026-08-20 session saw enumeration succeed while the first op
+    # wedged for >20 min).  Stop retrying once another attempt would eat
+    # the minimum measurement budget under the deadline.
+    probed = None
+    attempts = 0
+    for attempt in range(max(1, args.probe_retries)):
+        attempts = attempt + 1
+        probed = probe_device(args.probe_timeout)
+        if probed is not None:
+            break
+        remaining = args.deadline - (time.monotonic() - t_start)
+        if remaining < args.probe_timeout + 300.0:
+            break
+        time.sleep(min(30.0, remaining / 10))
     if probed is None:
         _emit(error="tpu_unreachable",
               detail=f"device probe failed or exceeded "
-                     f"{args.probe_timeout:.0f}s (axon tunnel down?)")
+                     f"{args.probe_timeout:.0f}s x{attempts} attempts "
+                     f"(axon tunnel down?)")
         return 0
     _state["device_kind"] = probed[1]
+    _state["probe_attempts"] = attempts
 
     # Everything past the probe still raises (compile failures, OOM,
     # implausible-total asserts): the artifact must carry a JSON error

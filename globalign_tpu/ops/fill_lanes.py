@@ -92,17 +92,30 @@ INJ_BCAST_MAX_B = 4
 # already CSEs the recomputed compares; kept for the cheaper trace.
 _SUB_MASK_HOIST = True
 
-# Cost-only mode can shift a FUSED min(M, Iy) left-edge ring instead of
-# separate M and Iy rings (the neighbor edge triple is consumed only by
-# the Ix chain as min(m, y) + go, and x), removing one of the ~5
-# cross-lane shifts per wave.  Measured NEUTRAL on chip (within-run A/B,
-# scratch/micro_fused_edge.py: split 10 kb 1.02-1.04x, 64x1k batch
-# 0.95-0.97x) — the independent shifts already pipeline off the
-# critical path, so one fewer does not move the per-wave fixed cost.
-# Kept off; the toggle + kernel support stay for re-measurement on
-# future toolchains.  Moves mode always keeps the triple (the argmin
-# codes compare m, x, y individually).
-_FUSED_EDGE = False
+# Cost-only mode carries min(M, Iy) as ONE running value (and one fused
+# left-edge ring) instead of M and Iy separately — the "my-carry"
+# reformulation (round 4).  The neighbor edge triple is consumed only by
+# the Ix chain as min(m, y) + go, and the cell minima regroup as
+#
+#     my = min(M, Iy);  z = min(my, Ix);  v = min(z + go, Iy)
+#
+# (the last identity needs gap_open >= 0, which cost space guarantees —
+# config.SimpleCostingSettings rejects negative gap_open_cost, and the
+# score->cost transform produces non-negative costs): one fewer ALU op
+# per cell than the mx = min(M, Ix) grouping, one fewer cross-lane edge
+# shift + ring store per wave.  Bit-exact vs the oracle at every cell
+# (tests/test_fill_lanes.py pins both flag settings).  Moves mode keeps
+# the (M, Ix, Iy) triple — the argmin codes compare the three levels
+# individually.  Module-level toggle for within-run A/B.
+_MYCARRY = True
+
+# Drop the per-phase `where(active, ...)` strip-activity selects on
+# waves where EVERY strip has started its rows (wave >= 2*(S_p - 1), a
+# static bound): the wave loop splits into masked/unmasked x
+# light/capture regimes — 2 selects per phase saved on ~98% of batch
+# waves (fori_loop bounds are traced; empty regimes cost nothing at run
+# time).  Module-level toggle for within-run A/B.
+_ACTIVE_SPLIT = True
 
 
 def _make_lane_kernel(
@@ -151,7 +164,7 @@ def _make_lane_kernel(
     # one (1, 128) row per pair, selected by pair id in-kernel.
     IP = 1
     IPW = IP * nb  # inject rows per wave
-    fused = _FUSED_EDGE and not moves  # fused min(M, Iy) edge ring
+    mycarry = _MYCARRY and not moves  # fused min(M, Iy) carry + edge ring
 
     def kernel(*refs):
         refs = list(refs)
@@ -270,7 +283,7 @@ def _make_lane_kernel(
                     osems.at[slot],
                 )
 
-        def make_wave(do_capture):
+        def make_wave(do_capture, masked=True):
             def wave(g, _):
                 blk = jax.lax.div(g, _STAGE)
                 slot = jax.lax.rem(blk, 2)
@@ -303,7 +316,9 @@ def _make_lane_kernel(
                 a_inj = plane(0)
 
                 i_t = (g + 1) - 2 * q_t  # this strip's DP row this wave
-                active = i_t >= 1
+                # Unmasked regimes (wave >= 2*(S_p - 1)) have every
+                # strip past row 1, so activity never gates a store.
+                active = i_t >= 1 if masked else None
                 g2 = jax.lax.rem(g, 2)
                 g3 = jax.lax.rem(g, 3)
 
@@ -324,7 +339,7 @@ def _make_lane_kernel(
                 # Ring slot g%2 still holds wave g-2's value (g%3 ->
                 # g-3) because this wave's store happens after the read.
                 a_cur = jnp.where(q0, a_inj, shift1(ah[g2], fill=0))
-                if not fused:
+                if not mycarry:
                     mp0 = jnp.where(q0, big, shift1(emh[g2]))
                 xp0 = jnp.where(q0, big, shift1(exh[g2]))
                 if asel == 0:
@@ -353,7 +368,7 @@ def _make_lane_kernel(
                     c0y_im1 = c0acc[:, :]
                     c0y_i = c0y_im1 + ic_cur
                     c0acc[:, :] = c0y_i
-                if fused:
+                if mycarry:
                     # emh holds the published min(m, y) edge; at the q0
                     # boundary min(BIG, c0y_i) == c0y_i.
                     myp0 = jnp.where(q0, c0y_i, shift1(emh[g2]))
@@ -376,8 +391,13 @@ def _make_lane_kernel(
                         jnp.where(q0, 2, shift1(zch[g3])),
                     )
 
-                hit = (i_t == mtrue) & active
-                if fused:
+                # In the unmasked regimes every strip has i_t >= 1, so
+                # pad/mtrue == -1 strips still never hit and the row-0
+                # seeds of m_true == 0 pairs cannot be overwritten
+                # (those hit only at i_t == 0, which requires a masked
+                # wave).
+                hit = (i_t == mtrue) & active if masked else i_t == mtrue
+                if mycarry:
                     myp, xp = myp0, xp0
                 else:
                     mp, xp, yp = mp0, xp0, yp0
@@ -405,11 +425,20 @@ def _make_lane_kernel(
                         d_p = dtab_ref[p]
                     m_new = zdiag + sub
                     y_new = vprev + ic_cur
-                    mpgo = (myp if fused else jnp.minimum(mp, yp)) + go
+                    mpgo = (myp if mycarry else jnp.minimum(mp, yp)) + go
                     x_new = jnp.minimum(mpgo, xp) + d_p
-                    mx = jnp.minimum(m_new, x_new)
-                    z_new = jnp.minimum(mx, y_new)
-                    v_new = jnp.minimum(mx + go, y_new)
+                    if mycarry:
+                        # Regrouped minima: my doubles as the next
+                        # phase's carry, and v = min(z + go, y) ==
+                        # min(min(m, x) + go, y) for go >= 0 (when
+                        # y < min(m, x) both sides reduce to y).
+                        my_new = jnp.minimum(m_new, y_new)
+                        z_new = jnp.minimum(my_new, x_new)
+                        v_new = jnp.minimum(z_new + go, y_new)
+                    else:
+                        mx = jnp.minimum(m_new, x_new)
+                        z_new = jnp.minimum(mx, y_new)
+                        v_new = jnp.minimum(mx + go, y_new)
                     if moves:
                         czdiag = czd0 if p == 0 else zcb[p - 1]
                         cvprev = vcb[p]
@@ -437,8 +466,14 @@ def _make_lane_kernel(
                             jnp.where(x_new + go == v_new, 1, 2),
                         )
                         if p >= 1:
-                            zcb[p - 1] = jnp.where(active, cz_prev, czdiag)
-                        vcb[p] = jnp.where(active, c_v, cvprev)
+                            zcb[p - 1] = (
+                                jnp.where(active, cz_prev, czdiag)
+                                if masked else cz_prev
+                            )
+                        vcb[p] = (
+                            jnp.where(active, c_v, cvprev)
+                            if masked else c_v
+                        )
                         cz_prev = c_z
                     if clamp:
                         z_new = jnp.minimum(z_new, BIG)
@@ -447,22 +482,26 @@ def _make_lane_kernel(
                         # The slot just read as zdiag now takes this
                         # row's value for the same column (computed
                         # last phase).
-                        zbuf_s[p - 1] = jnp.where(active, z_prev, zdiag)
-                    vbuf_s[p] = jnp.where(active, v_new, vprev)
+                        zbuf_s[p - 1] = (
+                            jnp.where(active, z_prev, zdiag)
+                            if masked else z_prev
+                        )
+                    vbuf_s[p] = (
+                        jnp.where(active, v_new, vprev)
+                        if masked else v_new
+                    )
                     if do_capture:
                         out_ref[0, p] = jnp.where(hit, m_new, out_ref[0, p])
                         out_ref[1, p] = jnp.where(hit, x_new, out_ref[1, p])
                         out_ref[2, p] = jnp.where(hit, y_new, out_ref[2, p])
-                    if fused:
-                        myp, xp, z_prev = (
-                            jnp.minimum(m_new, y_new), x_new, z_new
-                        )
+                    if mycarry:
+                        myp, xp, z_prev = my_new, x_new, z_new
                     else:
                         mp, xp, yp, z_prev = m_new, x_new, y_new, z_new
 
                 # Publish wave g into the rings (read slots free now).
                 zh[g3] = z_prev
-                if fused:
+                if mycarry:
                     emh[g2] = myp
                     exh[g2] = xp
                 else:
@@ -485,12 +524,32 @@ def _make_lane_kernel(
         # prefix of the wave range runs a light body with no output
         # read-modify-write at all — 3x(load, select, store) per phase
         # saved on ~(m_min / G) of the waves (~89% for a square
-        # single pair).  Two SEQUENTIAL uniform fori_loops keep Mosaic's
+        # single pair).  SEQUENTIAL uniform fori_loops keep Mosaic's
         # software pipelining (a per-wave pl.when branch measured 5x
-        # slower than this).
+        # slower than this).  The _ACTIVE_SPLIT refinement additionally
+        # separates the waves where some strip is still waiting to start
+        # (g < 2*(S_p - 1), a STATIC bound) from the all-active steady
+        # state, whose body drops the per-phase activity selects; the
+        # four regime boundaries are traced, so empty regimes cost one
+        # trip test at run time.
         cap_lo = jnp.clip(m_min - 1, 0, G)
-        jax.lax.fori_loop(0, cap_lo, make_wave(False), 0)
-        jax.lax.fori_loop(cap_lo, G, make_wave(True), 0)
+        act = 2 * (S_p - 1)  # static: all strips active at wave >= act
+        if not _ACTIVE_SPLIT or act == 0:
+            # S_p == 1 starts every strip at wave 0 — the masked bodies
+            # would never run, so don't trace them.  With the split
+            # toggled off, keep the original always-masked bodies (the
+            # A/B contender).
+            masked = not _ACTIVE_SPLIT or act != 0
+            jax.lax.fori_loop(0, cap_lo, make_wave(False, masked), 0)
+            jax.lax.fori_loop(cap_lo, G, make_wave(True, masked), 0)
+        else:
+            act_c = jnp.minimum(jnp.int32(act), G)
+            s1 = jnp.minimum(act_c, cap_lo)
+            s3 = jnp.maximum(act_c, cap_lo)
+            jax.lax.fori_loop(0, s1, make_wave(False, True), 0)
+            jax.lax.fori_loop(s1, cap_lo, make_wave(False, False), 0)
+            jax.lax.fori_loop(cap_lo, s3, make_wave(True, True), 0)
+            jax.lax.fori_loop(s3, G, make_wave(True, False), 0)
 
         # Drain the last prefetched block before the kernel retires.
         lastblk = jax.lax.div(jnp.maximum(G - 1, 0), _STAGE) + 1

@@ -3,6 +3,11 @@ wave) vs the separate M/Iy rings (5 shifts) in the cost-only lane
 kernel (fill_lanes._FUSED_EDGE).  Measures the single-pair split
 dispatch at 10 kb (the bench.py headline path) and the 64x1k batch.
 
+SUPERSEDED (round 4): _FUSED_EDGE no longer exists — the my-carry
+recurrence (fill_lanes._MYCARRY) subsumes the fused ring and adds the
+regrouped minima; A/B it with scratch/micro_mycarry.py instead.  This
+script's flag writes would silently no-op against the current module.
+
 PYTHONPATH=/root/.axon_site:/root/repo python scratch/micro_fused_edge.py
 """
 

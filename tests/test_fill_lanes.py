@@ -646,3 +646,81 @@ def test_model_rank_selfcheck(caplog):
         )
     assert not bad["agree"]
     assert any("mis-ranks" in r.message for r in caplog.records)
+
+
+@pytest.mark.parametrize("mycarry", [True, False])
+@pytest.mark.parametrize("active_split", [True, False])
+def test_lanes_round4_toggles_bit_identical(monkeypatch, mycarry,
+                                            active_split):
+    """The round-4 kernel toggles — the min(M, Iy)-carry recurrence
+    (_MYCARRY: z = min(my, x), v = min(z + go, y), one fused edge ring)
+    and the all-strips-active wave-loop split (_ACTIVE_SPLIT) — are pure
+    reformulations: every (flag, flag) combination returns identical
+    final3 values AND identical move-code streams.  Calls go through
+    _lanes_run directly (unjitted) so the module flags take effect
+    per-case; w stays small (LLVM-JIT note at the top of this file).
+    The batch includes an m_true == 0 pair: the unmasked capture body
+    must still never overwrite its row-0 output seeds."""
+    from globalign_tpu.ops import fill_lanes as fl
+
+    monkeypatch.setattr(fl, "_MYCARRY", mycarry)
+    monkeypatch.setattr(fl, "_ACTIVE_SPLIT", active_split)
+
+    rng = np.random.default_rng(13)
+    B, m_pad, n_pad, w = 3, 22, 30, 4
+    ta = rng.integers(1, 5, (B, m_pad + 1)).astype(np.int32)
+    tb = rng.integers(1, 5, (B, n_pad + 1)).astype(np.int32)
+    ta[:, 0] = 0
+    tb[:, 0] = 0
+    mt = np.array([22, 0, 7], np.int32)
+    nt = np.array([30, 11, 1], np.int32)
+    cm, gid = _uniform_costing(4, 0, 5, 3, 2)
+
+    run = dict(w=w, interpret=True, force_clamp=None, moves=False)
+    f3, _, _ = fl._lanes_run(
+        jnp.asarray(ta), jnp.asarray(tb), 0, 5, 3, 2, 4,
+        jnp.asarray(mt), jnp.asarray(nt), **run,
+    )
+    want = _expected_final3(ta, tb, cm, gid, 4, mt, nt)
+    got = np.asarray(f3)
+    real = (mt > 0) & (nt > 0)  # zero-length rows resolve on the host
+    assert (got[real] == want[real]).all(), (mycarry, active_split, got)
+
+    # General-matrix mode (asymmetric gaps, clamp always on).
+    gm = np.array(
+        [[9, 9, 9, 9, 9, 9],
+         [9, 0, 6, 5, 4, 3],
+         [9, 6, 1, 7, 2, 4],
+         [9, 5, 7, 0, 3, 5],
+         [9, 4, 2, 3, 1, 2],
+         [9, 3, 4, 5, 2, 0]], np.int32)
+    g3, _, _ = fl._lanes_run(
+        jnp.asarray(ta), jnp.asarray(tb), 0, 0, 0, 0, 4,
+        jnp.asarray(mt), jnp.asarray(nt),
+        cost_mat=jnp.asarray(gm), gap_id=5, **run,
+    )
+    wg = np.asarray(
+        fill_pallas.batch_final3(
+            jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(gm),
+            jnp.int32(5), jnp.int32(4),
+            jnp.asarray(np.maximum(mt, 1)), jnp.asarray(np.maximum(nt, 1)),
+            interpret=True,
+        )
+    )
+    gg = np.asarray(g3)
+    assert (gg[real] == wg[real]).all(), (mycarry, active_split, gg, wg)
+
+    # Moves mode (always the 3-ring recurrence; _ACTIVE_SPLIT applies).
+    run["moves"] = True
+    v3, _, mv = fl._lanes_run(
+        jnp.asarray(ta), jnp.asarray(tb), 0, 5, 3, 2, 4,
+        jnp.asarray(mt), jnp.asarray(nt), **run,
+    )
+    vv = np.asarray(v3)
+    assert (vv[real] == want[real]).all(), (mycarry, active_split, vv)
+    key = (mycarry, active_split)
+    store = test_lanes_round4_toggles_bit_identical.__dict__
+    store.setdefault("mv", {})[key] = np.asarray(mv)
+    base = store["mv"].get((True, True))
+    if base is not None and key != (True, True):
+        assert np.array_equal(store["mv"][key], base), key
