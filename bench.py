@@ -401,6 +401,37 @@ def _run_measurements(args, t_start: float) -> None:
                 (args.chain_lo, args.batch_chain), B * L * L,
             )
 
+        # Long-pair batch arm (16 x 4 kb): the shape where the lane
+        # kernel's per-wave fixed cost amortizes best — the serving
+        # sweet spot (docs/PERF.md round-4 grid; first shape measured
+        # past 100 GCUPS in-run with the min(M,Iy)-carry kernel).
+        B4, L4 = 16, 4096
+        b4tok_a = np.zeros((B4, L4 + 1), np.int32)
+        b4tok_b = np.zeros((B4, L4 + 1), np.int32)
+        b4tok_a[:, 1:] = brng.integers(0, 4, (B4, L4))
+        b4tok_b[:, 1:] = brng.integers(0, 4, (B4, L4))
+        m4 = jnp.full((B4,), L4, jnp.int32)
+        tb4 = jnp.asarray(b4tok_b)
+        plan4 = fill_lanes.lanes_plan(B4, L4, L4)
+        w4 = plan4[0] if plan4 is not None else fill_lanes.pick_w(
+            B4, L4, L4)
+        _state["batch4k_w"] = w4
+
+        def b4_one(ta):
+            return jnp.sum(fill_lanes.lanes_batch_final3(
+                ta, tb4, cma, cmm, dco, ico, 4, m4, m4, w=w4
+            ))
+
+        def b4_tas(k):
+            return jnp.asarray(
+                np.stack([np.roll(b4tok_a, i, axis=1) for i in range(k)])
+            )
+
+        contenders["batch4k"] = (
+            make_runk(b4_one), b4_tas, (args.chain_lo, 10),
+            B4 * L4 * L4,
+        )
+
     # Compile + sanity phase.  Batch/calib arms are best-effort: their
     # failure or a tight deadline never loses the headline value.
     ready = {}
@@ -463,6 +494,13 @@ def _run_measurements(args, t_start: float) -> None:
     if "batch_w32" in ready:
         per, cells = slope("batch_w32")
         _state["batch_w32_gcups"] = round(cells / per / 1e9, 4)
+    if "batch4k" in ready:
+        per, cells = slope("batch4k")
+        _state["batch4k_gcups"] = round(cells / per / 1e9, 4)
+        _state["batch4k_metric"] = (
+            f"GCUPS_batch16x4096_lanes_w{_state.get('batch4k_w')}"
+            f"_{platform}"
+        )
     _state["samples"] = samples
     _emit()
 
