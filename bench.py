@@ -401,11 +401,12 @@ def _run_measurements(args, t_start: float) -> None:
                 (args.chain_lo, args.batch_chain), B * L * L,
             )
 
-        # Long-pair batch arm (16 x 4 kb): the shape where the lane
-        # kernel's per-wave fixed cost amortizes best — the serving
-        # sweet spot (docs/PERF.md round-4 grid; first shape measured
-        # past 100 GCUPS in-run with the min(M,Iy)-carry kernel).
-        B4, L4 = 16, 4096
+        # Long-pair batch arm (32 x 4 kb): the shape where the lane
+        # kernel's per-wave fixed cost amortizes best — 1024 strips fill
+        # one native (8, 128) sublane tile exactly (scratch/
+        # micro_b4sweep.py: 151-156 GCUPS in-run with the min(M,Iy)-
+        # carry kernel vs 16x4kb's 100-101 and 64x4kb's 141).
+        B4, L4 = 32, 4096
         b4tok_a = np.zeros((B4, L4 + 1), np.int32)
         b4tok_b = np.zeros((B4, L4 + 1), np.int32)
         b4tok_a[:, 1:] = brng.integers(0, 4, (B4, L4))
@@ -498,7 +499,7 @@ def _run_measurements(args, t_start: float) -> None:
         per, cells = slope("batch4k")
         _state["batch4k_gcups"] = round(cells / per / 1e9, 4)
         _state["batch4k_metric"] = (
-            f"GCUPS_batch16x4096_lanes_w{_state.get('batch4k_w')}"
+            f"GCUPS_batch32x4096_lanes_w{_state.get('batch4k_w')}"
             f"_{platform}"
         )
     _state["samples"] = samples
