@@ -166,7 +166,8 @@ def _lanes_walked_traceback(
                 )
             else:
                 vals, mv = fill_lanes.lanes_general_moves(
-                    ta, tb, cost_mat, gap_id, gap_open, mt, nt, w=w
+                    ta, tb, cost_mat, gap_id, gap_open, mt, nt, w=w,
+                    sub_bits=fill_lanes.sub_bits_for(cost_mat),
                 )
             tapes, counts, _jx = lanes_tile_walk(
                 mv, vals, mt, nt, bases, w, tape_len

@@ -62,8 +62,10 @@ from __future__ import annotations
 import functools
 import logging
 import os
+import weakref
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -118,16 +120,84 @@ _MYCARRY = True
 _ACTIVE_SPLIT = True
 
 
+# Bitmask substitution engages when the select chain is at least this
+# many times the per-bit extract cost: the chain costs ~1 select per
+# alphabet char, the extract ~3-4 ops per cost bit (shift, and, shl,
+# add), measured 7.2 ns/select vs 28 ns/bit in isolation
+# (scratch/micro_varshift.py) — so bitmask wins when asel > ~4*bits.
+SUB_BITS_GAIN = 4
+
+_sub_bits_cache: dict = {}
+
+
+def sub_bits_for(cost_mat) -> int:
+    """Static bitmask width for the general-substitution fast path.
+
+    Returns ceil(log2(max_cost + 1)) when ``cost_mat`` is CONCRETE,
+    non-negative, and the bitmask extract beats the select chain
+    (``asel > SUB_BITS_GAIN * bits``); 0 (select chain) otherwise —
+    including for traced values, where the maximum cannot be read.
+    Device arrays are fetched at most once per distinct array (id-keyed
+    weakref cache): dispatchers call this per align/chunk and a ~35 ms
+    tunnel round trip per call would dominate small fills.  A Mosaic
+    rejection of the bitmask kernel latches the shape class like any
+    other general-lane failure (scan fallback; the select chain is not
+    re-tried — on toolchains where variable-amount vector shifts
+    compile, verified here, the two modes stand or fall together)."""
+    if cost_mat is None or isinstance(cost_mat, jax.core.Tracer):
+        return 0
+    key = id(cost_mat)
+    hit = _sub_bits_cache.get(key)
+    if hit is not None and hit[0]() is cost_mat:
+        return hit[1]
+    arr = np.asarray(cost_mat)
+    bits = 0
+    if arr.size and int(arr.min()) >= 0:
+        b = max(1, int(arr.max()).bit_length())
+        if int(arr.shape[0]) > SUB_BITS_GAIN * b:
+            bits = b
+    if len(_sub_bits_cache) > 64:  # matrices are few; bound the cache
+        _sub_bits_cache.clear()
+    try:
+        _sub_bits_cache[key] = (weakref.ref(cost_mat), bits)
+    except TypeError:  # np.matrix etc. — not weakref-able; skip cache
+        pass
+    return bits
+
+
+def _sub_mask_planes(ct, nbits):
+    """Pack per-(phase, a-token) cost planes into per-(phase, bit)
+    BITMASK planes: mask_j bit k = bit j of cost(k, b).  ``ct`` is
+    (asel, ...); returns (nbits, ...) int32 where the kernel recovers
+    cost(a, b) as sum_j ((mask_j >> a) & 1) << j — ceil(log2(maxcost))
+    per-lane variable shifts instead of an asel-deep select chain
+    (scratch/micro_varshift.py: Mosaic compiles vector-amount shifts;
+    1.22x the chain in isolation at A=25, and the staged table shrinks
+    asel/nbits-fold).  Caller must guarantee every value fits nbits
+    (the dispatch layer checks the CONCRETE matrix; traced values here
+    would silently truncate)."""
+    asel = ct.shape[0]
+    weights = (jnp.int32(1) << jnp.arange(asel, dtype=jnp.int32))
+    weights = weights.reshape((asel,) + (1,) * (ct.ndim - 1))
+    return jnp.stack(
+        [jnp.sum(((ct >> j) & 1) * weights, axis=0) for j in range(nbits)]
+    )
+
+
 def _make_lane_kernel(
     w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False,
-    asel: int = 0, nb: int = 1,
+    asel: int = 0, nb: int = 1, sub_bits: int = 0,
 ):
     """Build the kernel for ``w``-wide strips, ``R`` lane-chunks of
     strips, ``S_p`` strips per pair, inject tile width ``Rw``.
 
     ``asel`` > 0 enables GENERAL costing matrices (alphabet size asel,
     any substitution/gap structure, traced values): substitution costs
-    come from a per-(phase, token) table via an asel-deep select chain,
+    come from a per-(phase, token) table via an asel-deep select chain
+    — or, with ``sub_bits`` > 0, from per-(phase, bit) BITMASK planes
+    via ``sub_bits`` per-lane variable shifts (``ctab_ref``/``itab_ref``
+    then hold the packed masks of :func:`_sub_mask_planes`; the
+    dispatch layer guarantees every cost fits ``sub_bits`` bits) —
     the per-column gap-extension from ``dtab``, the per-ROW
     gap-extension from a select chain over the already-pipelined seq_1
     token (``itab`` scalars), and the column-0 Iy boundary from a
@@ -353,18 +423,28 @@ def _make_lane_kernel(
                     # column-0 Iy accumulates in scratch, seeded from
                     # c0t_ref, and is consumed at q0 lanes only (other
                     # lanes hold garbage sums, never read).
-                    amask = (
-                        [a_cur == k for k in range(1, asel)]
-                        if _SUB_MASK_HOIST
-                        else None
-                    )
-                    ic_cur = jnp.full((R, LANES), itab_ref[0, 0], jnp.int32)
-                    for k in range(1, asel):
-                        ic_cur = jnp.where(
-                            amask[k - 1] if amask else a_cur == k,
-                            itab_ref[0, k],
-                            ic_cur,
+                    if sub_bits:
+                        amask = None
+                        ic_cur = (itab_ref[0, 0] >> a_cur) & 1
+                        for j in range(1, sub_bits):
+                            ic_cur = ic_cur + (
+                                ((itab_ref[0, j] >> a_cur) & 1) << j
+                            )
+                    else:
+                        amask = (
+                            [a_cur == k for k in range(1, asel)]
+                            if _SUB_MASK_HOIST
+                            else None
                         )
+                        ic_cur = jnp.full(
+                            (R, LANES), itab_ref[0, 0], jnp.int32
+                        )
+                        for k in range(1, asel):
+                            ic_cur = jnp.where(
+                                amask[k - 1] if amask else a_cur == k,
+                                itab_ref[0, k],
+                                ic_cur,
+                            )
                     c0y_im1 = c0acc[:, :]
                     c0y_i = c0y_im1 + ic_cur
                     c0acc[:, :] = c0y_i
@@ -411,6 +491,18 @@ def _make_lane_kernel(
                             a_cur == btab_ref[p], cmatch, cmismatch
                         )
                         d_p = d
+                    elif sub_bits:
+                        # General substitution, bitmask mode: recover
+                        # cost(a_cur, b_{s,p}) bit-by-bit from the
+                        # packed mask planes by per-lane variable
+                        # shifts (sub_bits ops vs asel selects).
+                        sub = (ctab_ref[p * sub_bits] >> a_cur) & 1
+                        for j in range(1, sub_bits):
+                            sub = sub + (
+                                ((ctab_ref[p * sub_bits + j] >> a_cur)
+                                 & 1) << j
+                            )
+                        d_p = dtab_ref[p]
                     else:
                         # General substitution: select-chain over the
                         # token values (ctab[p, k] = cost(k, b_{s,p}));
@@ -875,7 +967,13 @@ def lanes_plan(
     moves mode, when the drain-wave or buffer-size guards above fire.
 
     Deterministic in the padded shapes only, so a host wrapper and a
-    shard_map body recompute the identical plan."""
+    shard_map body recompute the identical plan.  The asel-capped width
+    candidates are ALSO correct for the bitmask substitution kernel
+    (fill_lanes.sub_bits_for): its smaller staged tables would admit
+    wider strips, but the measured optimum stays at the chain-era
+    widths (w=64 beat w=128 by ~17% at 16x4kb A=25 bitmask, w=128 lost
+    at 32x1kb too — scratch/micro_subbits_w.py), so plans do not vary
+    with sub_bits."""
     w = pick_w(B, m_pad, n_pad, asel=asel)
     if moves:
         w = min(w, 32)  # moves candidates stay capped (_w_candidates)
@@ -990,6 +1088,7 @@ def _lanes_run(
     col0y_top=None,
     cost_mat=None,
     gap_id=None,
+    sub_bits=0,
 ):
     """Shared kernel launch: (final3 (B, 3), skewed moves or None).
 
@@ -1208,11 +1307,20 @@ def _lanes_run(
     if asel > 0:
         # ctab[p*asel + k] = cost(k, b_{s, p}); dtab[p] = dcost(b_{s, p});
         # itab[k] = icost(k) = cost(k, gap) — SMEM scalars for the
-        # in-kernel per-row gap-cost chain.
-        ctab = cmj[jnp.arange(asel, dtype=jnp.int32)][:, btab]
-        ctab = ctab.transpose(1, 0, 2, 3).reshape(w * asel, R, LANES)
+        # in-kernel per-row gap-cost chain.  With sub_bits, ctab/itab
+        # instead carry the packed per-bit masks (_sub_mask_planes):
+        # w*sub_bits table planes instead of w*asel.
+        ct = cmj[jnp.arange(asel, dtype=jnp.int32)][:, btab]
+        if sub_bits:
+            ctab = _sub_mask_planes(ct, sub_bits)
+            ctab = ctab.transpose(1, 0, 2, 3).reshape(
+                w * sub_bits, R, LANES)
+            itab = _sub_mask_planes(
+                cmj[:, gid], sub_bits).reshape(1, sub_bits)
+        else:
+            ctab = ct.transpose(1, 0, 2, 3).reshape(w * asel, R, LANES)
+            itab = cmj[:, gid].reshape(1, asel)
         dtab = cmj[gid, btab]
-        itab = cmj[:, gid].reshape(1, asel)
         in_specs += [vmem, vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
         args += [ctab, dtab, itab]
     if moves:
@@ -1222,7 +1330,10 @@ def _lanes_run(
     args.append(inj)
 
     res = pl.pallas_call(
-        _make_lane_kernel(w, R, S_p, Rw, clamp, moves=moves, asel=asel, nb=nb),
+        _make_lane_kernel(
+            w, R, S_p, Rw, clamp, moves=moves, asel=asel, nb=nb,
+            sub_bits=sub_bits,
+        ),
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1264,7 +1375,7 @@ def _lanes_run(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "interpret", "force_clamp")
+    jax.jit, static_argnames=("w", "interpret", "force_clamp", "sub_bits")
 )
 def lanes_general_final3(
     tok_a_ext: jax.Array,
@@ -1278,6 +1389,7 @@ def lanes_general_final3(
     w: int = DEFAULT_W,
     interpret: bool = False,
     force_clamp: bool | None = None,
+    sub_bits: int = 0,
 ) -> jax.Array:
     """(B, 3) final DP lanes — GENERAL costing matrices on the lane
     kernel (any substitution/gap structure; values may be traced, e.g.
@@ -1290,12 +1402,13 @@ def lanes_general_final3(
         0, 0, 0, 0, gap_open,
         m_true, n_true, w, interpret, force_clamp, moves=False,
         cost_mat=jnp.asarray(cost_mat, jnp.int32), gap_id=gap_id,
+        sub_bits=sub_bits,
     )
     return final3
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "interpret", "force_clamp")
+    jax.jit, static_argnames=("w", "interpret", "force_clamp", "sub_bits")
 )
 def lanes_general_last_rows(
     tok_a_ext: jax.Array,
@@ -1311,6 +1424,7 @@ def lanes_general_last_rows(
     w: int = DEFAULT_W,
     interpret: bool = False,
     force_clamp: bool | None = None,
+    sub_bits: int = 0,
 ) -> jax.Array:
     """General-matrix :func:`lanes_batch_last_rows` — (B, 3, S_p*w)
     full final rows with optional boundary injection."""
@@ -1320,12 +1434,13 @@ def lanes_general_last_rows(
         m_true, n_true, w, interpret, force_clamp, moves=False,
         row0=row0, col0y_top=col0y_top,
         cost_mat=jnp.asarray(cost_mat, jnp.int32), gap_id=gap_id,
+        sub_bits=sub_bits,
     )
     return flat.transpose(1, 0, 2)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("w", "interpret", "force_clamp")
+    jax.jit, static_argnames=("w", "interpret", "force_clamp", "sub_bits")
 )
 def lanes_general_moves(
     tok_a_ext: jax.Array,
@@ -1341,6 +1456,7 @@ def lanes_general_moves(
     w: int = DEFAULT_W,
     interpret: bool = False,
     force_clamp: bool | None = None,
+    sub_bits: int = 0,
 ):
     """General-matrix traceback-capable fill: (final3, skewed moves) —
     the :func:`lanes_batch_moves` contract for any costing matrix."""
@@ -1350,6 +1466,7 @@ def lanes_general_moves(
         m_true, n_true, w, interpret, force_clamp, moves=True,
         row0=row0, col0y_top=col0y_top,
         cost_mat=jnp.asarray(cost_mat, jnp.int32), gap_id=gap_id,
+        sub_bits=sub_bits,
     )
     return final3, mv
 
@@ -1575,7 +1692,7 @@ def lanes_split_plan(
     jax.jit,
     static_argnames=(
         "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w",
-        "pad_quantum", "interpret", "force_clamp",
+        "pad_quantum", "interpret", "force_clamp", "sub_bits",
     ),
 )
 def lanes_split_fill_cost(
@@ -1595,6 +1712,7 @@ def lanes_split_fill_cost(
     pad_quantum: int = 128,
     interpret: bool = False,
     force_clamp: bool | None = None,
+    sub_bits: int = 0,
 ) -> jax.Array:
     """Meet-in-the-middle optimal cost on the LANE kernel (scalar int32;
     uniform schemes, any m, n >= 0, lengths traced).
@@ -1672,6 +1790,7 @@ def lanes_split_fill_cost(
         flat = lanes_general_last_rows(
             tok_a2, tok_b2, cost_mat, gap_id, gap_open,
             m2, n2, w=w, interpret=interpret, force_clamp=force_clamp,
+            sub_bits=sub_bits,
         )
         # Per-character gap-cost prefix sums over each half's tokens
         # (reference make_dp_array column structure generalized).

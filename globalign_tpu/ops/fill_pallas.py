@@ -1083,6 +1083,7 @@ def batch_moves(
                         vals, mv = fill_lanes.lanes_general_moves(
                             ta, tb, cost_mat, gap_id, gap_open, mt, nt,
                             w=w, interpret=interpret,
+                            sub_bits=fill_lanes.sub_bits_for(cost_mat),
                         )
                         pending.append((vals, mv, hi - lo))
                     pending[0][1].block_until_ready()
@@ -1229,6 +1230,7 @@ def batch_final3(
                         vals = fill_lanes.lanes_general_final3(
                             ta, tb, cost_mat, gap_id, gap_open, mt, nt,
                             w=w, interpret=interpret,
+                            sub_bits=fill_lanes.sub_bits_for(cost_mat),
                         )
                         outs.append(vals[: hi - lo])
                     # Compile errors raise synchronously at dispatch;
@@ -2129,6 +2131,7 @@ def wavefront_fill_cost(
                             m_true, n_true,
                             cost_mat=cost_mat, gap_id=gap_id,
                             w=sp[0], interpret=interpret,
+                            sub_bits=fill_lanes.sub_bits_for(cost_mat),
                         )
                         cost.block_until_ready()
                     except Exception:  # pragma: no cover - backend
@@ -2148,6 +2151,7 @@ def wavefront_fill_cost(
                         jnp.asarray(m_true, jnp.int32)[None],
                         jnp.asarray(n_true, jnp.int32)[None],
                         w=plan[0], interpret=interpret,
+                        sub_bits=fill_lanes.sub_bits_for(cost_mat),
                     )
                     final3.block_until_ready()
                 except Exception:  # pragma: no cover - backend-specific

@@ -326,6 +326,7 @@ def align_blocked(
                 last = fill_lanes.lanes_general_last_rows(
                     ta_blk[None], tok_b[None], cost_mat, gap_id, gap_open,
                     mt, nt, state[None], c0, w=w_blk,
+                    sub_bits=fill_lanes.sub_bits_for(cost_mat),
                 )
                 if ("ckpt", blk_m) not in probed:
                     last.block_until_ready()
@@ -482,6 +483,7 @@ def align_blocked(
                         ta_blk[None], tok_b[None], cost_mat, gap_id,
                         gap_open, mt, nt, checkpoints[b][None], c0,
                         w=w_blk,
+                        sub_bits=fill_lanes.sub_bits_for(cost_mat),
                     )
                     if ("mv", i1 - i0) not in probed:
                         mv.block_until_ready()

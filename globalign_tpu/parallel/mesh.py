@@ -91,7 +91,8 @@ def _sharded_costs_jit(
                     (ta, tb, mt, nt), lo, hi, tile_l
                 )
                 vals = fill_lanes.lanes_general_final3(
-                    tat, tbt, cm, gi, go, mtt, ntt, w=w
+                    tat, tbt, cm, gi, go, mtt, ntt, w=w,
+                    sub_bits=fill_lanes.sub_bits_for(cm),
                 )
                 outs.append(vals[: hi - lo])
             final3 = jnp.concatenate(outs, axis=0)
@@ -177,7 +178,8 @@ def _sharded_moves_jit(
                 )
                 if general_plan is not None:
                     vals, mv = fill_lanes.lanes_general_moves(
-                        tat, tbt, cm, gi, go, mtt, ntt, w=w
+                        tat, tbt, cm, gi, go, mtt, ntt, w=w,
+                        sub_bits=fill_lanes.sub_bits_for(cm),
                     )
                 else:
                     cma, cmm, dco, ico = (int(v) for v in uniform)

@@ -724,3 +724,82 @@ def test_lanes_round4_toggles_bit_identical(monkeypatch, mycarry,
     base = store["mv"].get((True, True))
     if base is not None and key != (True, True):
         assert np.array_equal(store["mv"][key], base), key
+
+
+def test_sub_bits_bitmask_general_mode():
+    """The bitmask substitution path (sub_bits > 0: per-(phase, bit)
+    mask planes + per-lane variable shifts) is a pure reformulation of
+    the select chain: identical final3 / injected last-rows / split
+    costs, and identical move codes at every REAL cell (the raw skewed
+    stream may differ at pad cells the unskew discards).  Also pins
+    sub_bits_for's gating: bit width for big concrete alphabets, 0 for
+    small alphabets (chain cheaper), negatives, and tracers."""
+    from globalign_tpu.ops import fill_lanes as fl
+
+    rng = np.random.default_rng(29)
+    B, m_pad, n_pad, w = 3, 21, 26, 4
+    ta = rng.integers(1, 5, (B, m_pad + 1)).astype(np.int32)
+    tb = rng.integers(1, 5, (B, n_pad + 1)).astype(np.int32)
+    ta[:, 0] = 0
+    tb[:, 0] = 0
+    mt = np.array([21, 5, 7], np.int32)
+    nt = np.array([26, 11, 9], np.int32)
+    gm = rng.integers(0, 23, (6, 6)).astype(np.int32)
+    gm = np.minimum(gm, gm.T)
+    bits = int(gm.max()).bit_length()
+
+    def both(fn):
+        a = fn(0)
+        b = fn(bits)
+        return np.asarray(a), np.asarray(b)
+
+    f0, f1 = both(lambda sb: fl.lanes_general_final3(
+        jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(gm), 5, 4,
+        jnp.asarray(mt), jnp.asarray(nt), w=w, interpret=True,
+        sub_bits=sb))
+    assert (f0 == f1).all()
+
+    # Injected-boundary last rows (the blocked-traceback contract).
+    row0 = rng.integers(0, 40, (B, 3, n_pad + 1)).astype(np.int32)
+    c0 = rng.integers(0, 9, (B,)).astype(np.int32)
+    r0, r1 = both(lambda sb: fl.lanes_general_last_rows(
+        jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(gm), 5, 4,
+        jnp.asarray(np.maximum(mt, 1)), jnp.asarray(np.maximum(nt, 1)),
+        jnp.asarray(row0), jnp.asarray(c0), w=w, interpret=True,
+        sub_bits=sb))
+    assert (r0 == r1).all()
+
+    # Moves: values everywhere, codes at real cells after unskew.
+    def mv_of(sb):
+        f, mv = fl.lanes_general_moves(
+            jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(gm), 5, 4,
+            jnp.asarray(mt), jnp.asarray(nt), w=w, interpret=True,
+            sub_bits=sb)
+        return np.asarray(f), fl.lanes_moves_to_row(
+            np.asarray(mv), B, n_pad, w, m_pad)
+
+    (v0, c0m), (v1, c1m) = mv_of(0), mv_of(bits)
+    assert (v0 == v1).all()
+    for p in range(B):
+        assert (
+            c0m[p, 1:mt[p] + 1, 1:nt[p] + 1]
+            == c1m[p, 1:mt[p] + 1, 1:nt[p] + 1]
+        ).all(), p
+
+    s0, s1 = both(lambda sb: fl.lanes_split_fill_cost(
+        jnp.asarray(ta[0]), jnp.asarray(tb[0]), 0, 0, 0, 0, 4,
+        int(mt[0]), int(nt[0]), cost_mat=jnp.asarray(gm), gap_id=5,
+        w=4, interpret=True, sub_bits=sb))
+    assert s0 == s1
+
+    # sub_bits_for gating.
+    big_a = np.full((26, 26), 15, np.int32)
+    assert fl.sub_bits_for(big_a) == 4
+    assert fl.sub_bits_for(jnp.asarray(big_a)) == 4
+    assert fl.sub_bits_for(np.full((6, 6), 7, np.int32)) == 0
+    assert fl.sub_bits_for(np.full((26, 26), -1, np.int32)) == 0
+    assert fl.sub_bits_for(None) == 0
+    import jax
+
+    traced = jax.jit(lambda cm: fl.sub_bits_for(cm))(jnp.asarray(big_a))
+    assert int(traced) == 0
