@@ -433,6 +433,60 @@ def _run_measurements(args, t_start: float) -> None:
             B4 * L4 * L4,
         )
 
+        # General-matrix arm: the flagship BLOSUM62 scheme (the
+        # reference's headline matrix) at the single-pair headline
+        # shape, riding the round-4 bitmask-shift substitution.
+        from globalign_tpu.utils.matrices import load_bundled_matrix
+
+        try:
+            blosum = load_bundled_matrix("BLOSUM62")
+        except Exception as e:  # noqa: BLE001 - best-effort arm
+            _state["general_error"] = f"{type(e).__name__}: {e}"[:200]
+        else:
+            bcost = scoring_mat_to_costing_mat(
+                blosum, max_score=int(np.max(blosum.values))
+            )
+            bcm = jnp.asarray(bcost.values)
+            bgid = bcost.alphabet.gap_id
+            A_b = int(bcost.values.shape[0])
+            sb = fill_lanes.sub_bits_for(bcost.values)
+            _state["general_sub_bits"] = sb
+            gtok_a = np.zeros((args.m + 1,), np.int32)
+            gtok_b = np.zeros((args.n + 1,), np.int32)
+            gids = np.array(
+                [t for t in range(A_b) if t != bgid], np.int32
+            )
+            gtok_a[1:] = gids[brng.integers(0, len(gids), args.m)]
+            gtok_b[1:] = gids[brng.integers(0, len(gids), args.n)]
+            gtb = jnp.asarray(gtok_b)
+            gsp = fill_lanes.lanes_split_plan(args.m, args.n, asel=A_b)
+
+            def gen_one(ta):
+                if gsp is not None:
+                    return fill_lanes.lanes_split_fill_cost(
+                        ta, gtb, 0, 0, 0, 0, 4, args.m, args.n,
+                        cost_mat=bcm, gap_id=bgid, w=gsp[0], sub_bits=sb,
+                    )
+                f3 = fill_lanes.lanes_general_final3(
+                    ta[None], gtb[None], bcm, bgid, 4,
+                    jnp.full((1,), args.m, jnp.int32),
+                    jnp.full((1,), args.n, jnp.int32), sub_bits=sb,
+                )
+                return jnp.min(f3[0])
+
+            def gen_tas(k):
+                return jnp.asarray(
+                    np.stack([np.roll(gtok_a, i) for i in range(k)])
+                )
+
+            # Short chain: compile time scales with chain length and
+            # this arm's kernels are the youngest in the persistent
+            # cache — a cold 12-chain compile blew the 1200 s deadline.
+            contenders["general"] = (
+                make_runk(gen_one), gen_tas,
+                (args.chain_lo, min(8, args.chain)), args.m * args.n,
+            )
+
     # Compile + sanity phase.  Batch/calib arms are best-effort: their
     # failure or a tight deadline never loses the headline value.
     ready = {}
@@ -501,6 +555,12 @@ def _run_measurements(args, t_start: float) -> None:
         _state["batch4k_metric"] = (
             f"GCUPS_batch32x4096_lanes_w{_state.get('batch4k_w')}"
             f"_{platform}"
+        )
+    if "general" in ready:
+        per, cells = slope("general")
+        _state["general_gcups"] = round(cells / per / 1e9, 4)
+        _state["general_metric"] = (
+            f"GCUPS_{args.m//1000}kb_BLOSUM62_lanes_bitmask_{platform}"
         )
     _state["samples"] = samples
     _emit()
