@@ -401,27 +401,33 @@ def _run_measurements(args, t_start: float) -> None:
                 (args.chain_lo, args.batch_chain), B * L * L,
             )
 
-        # Long-pair batch arm (32 x 4 kb): the shape where the lane
-        # kernel's per-wave fixed cost amortizes best — 1024 strips fill
-        # one native (8, 128) sublane tile exactly (scratch/
-        # micro_b4sweep.py: 151-156 GCUPS in-run with the min(M,Iy)-
-        # carry kernel vs 16x4kb's 100-101 and 64x4kb's 141).
-        B4, L4 = 32, 4096
+        # Long-pair batch arm (64 x 4 kb as two 32-pair tiles): each
+        # tile's 1024 strips fill one native (8, 128) sublane tile
+        # exactly — the measured sweet spot (scratch/micro_b4sweep.py:
+        # 32x4kb at 151-156 vs 16x4kb 100 and one-call 64x4kb 141;
+        # scratch/micro_tilecap8.py: paired R=8 calls at 194-196 — the
+        # TILE_MAX_R=8 production dispatch emits exactly this tiling).
+        B4, L4 = 64, 4096
+        T4 = 32
         b4tok_a = np.zeros((B4, L4 + 1), np.int32)
         b4tok_b = np.zeros((B4, L4 + 1), np.int32)
         b4tok_a[:, 1:] = brng.integers(0, 4, (B4, L4))
         b4tok_b[:, 1:] = brng.integers(0, 4, (B4, L4))
-        m4 = jnp.full((B4,), L4, jnp.int32)
+        m4 = jnp.full((T4,), L4, jnp.int32)
         tb4 = jnp.asarray(b4tok_b)
         plan4 = fill_lanes.lanes_plan(B4, L4, L4)
         w4 = plan4[0] if plan4 is not None else fill_lanes.pick_w(
-            B4, L4, L4)
+            T4, L4, L4)
         _state["batch4k_w"] = w4
 
         def b4_one(ta):
-            return jnp.sum(fill_lanes.lanes_batch_final3(
-                ta, tb4, cma, cmm, dco, ico, 4, m4, m4, w=w4
-            ))
+            tot = jnp.int32(0)
+            for lo in range(0, B4, T4):
+                tot = tot + jnp.sum(fill_lanes.lanes_batch_final3(
+                    ta[lo:lo + T4], tb4[lo:lo + T4],
+                    cma, cmm, dco, ico, 4, m4, m4, w=w4
+                ))
+            return tot
 
         def b4_tas(k):
             return jnp.asarray(
@@ -553,7 +559,7 @@ def _run_measurements(args, t_start: float) -> None:
         per, cells = slope("batch4k")
         _state["batch4k_gcups"] = round(cells / per / 1e9, 4)
         _state["batch4k_metric"] = (
-            f"GCUPS_batch32x4096_lanes_w{_state.get('batch4k_w')}"
+            f"GCUPS_batch64x4096_tiled32_lanes_w{_state.get('batch4k_w')}"
             f"_{platform}"
         )
     if "general" in ready:

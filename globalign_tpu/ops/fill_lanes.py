@@ -787,10 +787,15 @@ def _issue_cost(
 # Occupancy bounds for the round-4 empirical width rule (below) and the
 # batch tile cap: keep at least PICKW_MIN_R lane-chunks busy when
 # widening strips, and never run one kernel call past TILE_MAX_R
-# lane-chunks (2 sublane tiles) — 64x1kb tile=256/w=64 measured 31.7
-# GCUPS vs 49.2 split into tile=128 calls (scratch/micro_tilecap.py).
+# lane-chunks — ONE full native (8, 128) sublane tile.  Measured twice:
+# 64x1kb tile=256/w=64 read 31.7 GCUPS vs 49.2 split into tile=128
+# calls (scratch/micro_tilecap.py, the original R<=16 cap), then
+# R=16 calls lost to pairs of R=8 calls by 1.4-1.75x — 64x4kb 137-139
+# whole vs 194-196 halved, 128x2kb 83-89 vs 146-159
+# (scratch/micro_tilecap8.py, carry kernel) — so the cap is the native
+# tile itself.
 PICKW_MIN_R = 4
-TILE_MAX_R = 16
+TILE_MAX_R = 8
 
 
 def _pick_w_occupancy(B: int, n_pad: int, cands) -> int:
