@@ -77,7 +77,9 @@ def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
         asel = 0 if uni is not None else scheme.alphabet.size
         # Sharded bodies dispatch the lane kernel for uniform AND
         # general schemes (host-resolved statics, parallel/mesh.py).
-        lanes_able = asel <= fill_lanes.LANES_MAX_ALPHABET
+        lanes_able = fill_lanes.lanes_alphabet_ok(
+            asel, scheme.costing.values
+        )
         if lanes_able:
             plan = fill_lanes.lanes_plan(128, m, n, moves=True, asel=asel)
             if plan is not None and (
@@ -133,7 +135,7 @@ def _lanes_walked_traceback(
     cost_np = np.asarray(cost_mat)
     uni = uniform_scheme_params(cost_np, int(gap_id))
     asel = 0 if uni is not None else int(cost_np.shape[0])
-    if asel > fill_lanes.LANES_MAX_ALPHABET:
+    if not fill_lanes.lanes_alphabet_ok(asel, cost_np):
         return None
     plan = fill_lanes.lanes_plan(B, m_pad, n_pad, moves=True, asel=asel)
     if plan is None:

@@ -163,7 +163,9 @@ class GotohAligner:
                 0 if self._uniform() is not None
                 else self.scheme.alphabet.size
             )
-            if asel <= fill_lanes.LANES_MAX_ALPHABET:
+            if fill_lanes.lanes_alphabet_ok(
+                asel, self.scheme.costing.values
+            ):
                 m_pad, n_pad = self._pad_len(m), self._pad_len(n)
                 plan = fill_lanes.lanes_plan(
                     1, m_pad, n_pad, moves=True, asel=asel

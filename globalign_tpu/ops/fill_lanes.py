@@ -918,8 +918,28 @@ MOVES_BYTES_ABS_FLOOR = 256 * 1024 * 1024
 
 # Largest alphabet the general-matrix select chain stays worthwhile
 # for (BLOSUM's 25 tokens included: ~67 ops/cell still beats the scan
-# kernels' throughput on the batch axis, docs/PERF.md).
+# kernels' throughput on the batch axis, docs/PERF.md).  The BITMASK
+# substitution mode (sub_bits_for) extends the cap to 31: its cost
+# scales with the VALUE bit width, not the alphabet, and the per-lane
+# shift indexes one int32 mask — token ids must stay below 32.
 LANES_MAX_ALPHABET = 26
+LANES_MAX_ALPHABET_BITMASK = 31
+
+
+def lanes_alphabet_ok(asel: int, cost_mat=None) -> bool:
+    """Can the lane kernel serve this alphabet?  Up to
+    LANES_MAX_ALPHABET always (select chain); up to
+    LANES_MAX_ALPHABET_BITMASK when the concrete matrix qualifies for
+    the bitmask mode (small non-negative values, sub_bits_for > 0).
+    Dispatchers that answer True for 26 < asel <= 31 MUST pass the
+    matching ``sub_bits`` to the kernel wrappers — the select chain is
+    not traced for those alphabets."""
+    if asel <= LANES_MAX_ALPHABET:
+        return True
+    return (
+        asel <= LANES_MAX_ALPHABET_BITMASK
+        and sub_bits_for(cost_mat) > 0
+    )
 
 # Per-shape failure latch for the general-matrix mode: the first
 # backend failure of a padded-shape class disables its dispatch for the

@@ -1061,7 +1061,7 @@ def batch_moves(
     ):
         from . import fill_lanes
 
-        if A <= fill_lanes.LANES_MAX_ALPHABET:
+        if fill_lanes.lanes_alphabet_ok(A, cost_mat):
             m_pad = tok_a_ext.shape[1] - 1
             plan = fill_lanes.lanes_plan(B, m_pad, n, moves=True, asel=A)
             gkey = None if plan is None else fill_lanes.general_lanes_key(
@@ -1211,7 +1211,7 @@ def batch_final3(
     ):
         from . import fill_lanes
 
-        if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+        if fill_lanes.lanes_alphabet_ok(A_static, cost_mat):
             m_pad = tok_a_ext.shape[1] - 1
             plan = fill_lanes.lanes_plan(B, m_pad, n, asel=A_static)
             gkey = None if plan is None else fill_lanes.general_lanes_key(
@@ -2109,7 +2109,7 @@ def wavefront_fill_cost(
         from . import fill_lanes
 
         A_static = int(cost_mat.shape[0])
-        if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+        if fill_lanes.lanes_alphabet_ok(A_static, cost_mat):
             # Meet-in-the-middle on the general lane kernel when the
             # latency model favors halving the waves (same dispatch as
             # the uniform path; replicated-cost return contract).

@@ -279,7 +279,7 @@ def align_blocked(
         uni = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
         if uni is None:
             A_static = int(np.asarray(cost_mat).shape[0])
-            if A_static <= fill_lanes.LANES_MAX_ALPHABET:
+            if fill_lanes.lanes_alphabet_ok(A_static, cost_mat):
                 asel = A_static  # general-matrix lane mode
 
     def _c0_top(i0: int) -> int:

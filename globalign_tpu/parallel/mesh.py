@@ -315,7 +315,7 @@ def sharded_fill_moves(
         A = int(np.asarray(cost_mat).shape[0])
         if uniform is not None:
             plan = fill_lanes.lanes_plan(Bl, m_pad, n_pad, moves=True)
-        elif A <= fill_lanes.LANES_MAX_ALPHABET:
+        elif fill_lanes.lanes_alphabet_ok(A, cost_mat):
             plan = fill_lanes.lanes_plan(
                 Bl, m_pad, n_pad, moves=True, asel=A
             )
@@ -446,7 +446,7 @@ def sharded_fill_costs(
             from ..ops import fill_lanes
 
             A = int(np.asarray(cost_mat).shape[0])
-            if A <= fill_lanes.LANES_MAX_ALPHABET:
+            if fill_lanes.lanes_alphabet_ok(A, cost_mat):
                 Bl = tok_a.shape[0] // mesh.devices.size
                 m_pad = tok_a.shape[1] - 1
                 n_pad = tok_b.shape[1] - 1

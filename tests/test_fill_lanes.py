@@ -803,3 +803,42 @@ def test_sub_bits_bitmask_general_mode():
 
     traced = jax.jit(lambda cm: fl.sub_bits_for(cm))(jnp.asarray(big_a))
     assert int(traced) == 0
+
+
+def test_alphabet_cap_lift_bitmask():
+    """Alphabets in (LANES_MAX_ALPHABET, LANES_MAX_ALPHABET_BITMASK]
+    ride the lane kernel iff the matrix qualifies for bitmask mode:
+    lanes_alphabet_ok answers the dispatch question, and the kernel at
+    asel=28 / sub_bits matches the stacked-kernel oracle bit-for-bit
+    in interpret mode (shift indexing stays valid for token ids < 32)."""
+    from globalign_tpu.ops import fill_lanes as fl
+
+    A = 28
+    rng = np.random.default_rng(31)
+    gm = rng.integers(0, 23, (A, A)).astype(np.int32)
+    gm = np.minimum(gm, gm.T)
+    bits = int(gm.max()).bit_length()
+    gid = A - 1
+
+    assert fl.lanes_alphabet_ok(26, None)
+    assert not fl.lanes_alphabet_ok(A, None)  # no matrix -> no bitmask
+    assert fl.lanes_alphabet_ok(A, gm)
+    assert not fl.lanes_alphabet_ok(A, np.full((A, A), -1, np.int32))
+    assert not fl.lanes_alphabet_ok(32, gm[:1, :1].repeat(32, 0))
+
+    B, m_pad, n_pad, w = 2, 14, 18, 4
+    ta = rng.integers(0, A - 1, (B, m_pad + 1)).astype(np.int32)
+    tb = rng.integers(0, A - 1, (B, n_pad + 1)).astype(np.int32)
+    ta[:, 0] = 0
+    tb[:, 0] = 0
+    mt = np.array([14, 6], np.int32)
+    nt = np.array([18, 5], np.int32)
+    got = np.asarray(fl.lanes_general_final3(
+        jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(gm), gid, 4,
+        jnp.asarray(mt), jnp.asarray(nt), w=w, interpret=True,
+        sub_bits=bits))
+    want = np.asarray(fill_pallas.batch_final3(
+        jnp.asarray(ta), jnp.asarray(tb), jnp.asarray(gm),
+        jnp.int32(gid), jnp.int32(4),
+        jnp.asarray(mt), jnp.asarray(nt), interpret=True))
+    assert (got == want).all(), (got, want)
