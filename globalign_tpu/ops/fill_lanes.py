@@ -861,7 +861,9 @@ def model_rank_selfcheck(
     remote tunnels).  Returns a report dict and logs a WARNING when the
     model's best width is not within 10% of the measured best — the
     model mis-ranks on this hardware and the constants need recalibration.
-    Used by bench.py's ``--selfcheck`` and scratch/micro sweeps."""
+    Exercised by tests/test_fill_lanes.py::test_model_rank_selfcheck and
+    the scratch/micro w-sweeps; call it from an ad-hoc script when
+    bringing up a new TPU generation."""
     ws = _w_candidates(B, n_pad)
     model = {w: _issue_cost(B, m, n_pad, w, False, asel) for w in ws}
     measured = {w: float(time_fn(w)) for w in ws}
@@ -981,6 +983,26 @@ def mark_general_lanes_failed(key: tuple | None = None) -> None:
     if jax.default_backend() == "cpu" or key is None:
         return
     _general_failed.add(key)
+
+
+# Shape classes whose general-lane dispatch has completed one clean
+# RUN-TIME probe this process.  Dispatchers block_until_ready the first
+# call of a shape class (so a runtime fault latches the class and falls
+# back gracefully) and skip the block afterwards: a ~35 ms tunnel sync
+# PER CALL defeated the serving pipeline — 1 kb BLOSUM chunks measured
+# ~10x slower than the same fills dispatched without the sync (the
+# moves path learned this first, batch.py _GENERAL_WALK_PROBED).
+_general_run_probed: set = set()
+
+
+def general_probe_needed(key: tuple | None) -> bool:
+    """True when this shape class still needs its one blocking probe."""
+    return key is not None and key not in _general_run_probed
+
+
+def mark_general_probed(key: tuple | None) -> None:
+    if key is not None:
+        _general_run_probed.add(key)
 
 
 def lanes_plan(

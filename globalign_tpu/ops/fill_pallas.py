@@ -1086,7 +1086,13 @@ def batch_moves(
                             sub_bits=fill_lanes.sub_bits_for(cost_mat),
                         )
                         pending.append((vals, mv, hi - lo))
-                    pending[0][1].block_until_ready()
+                    if fill_lanes.general_probe_needed(gkey):
+                        # One blocking probe per shape class: a runtime
+                        # fault latches it; afterwards the dispatch
+                        # stays async (a per-call sync measured ~10x on
+                        # bucketed serving chunks).
+                        pending[0][1].block_until_ready()
+                        fill_lanes.mark_general_probed(gkey)
                 except Exception:  # pragma: no cover - backend-specific
                     fill_lanes.mark_general_lanes_failed(gkey)
                 else:
@@ -1234,9 +1240,12 @@ def batch_final3(
                         )
                         outs.append(vals[: hi - lo])
                     # Compile errors raise synchronously at dispatch;
-                    # one probe of the first tile also surfaces runtime
-                    # faults without serializing the later tiles.
-                    outs[0].block_until_ready()
+                    # ONE probe per shape class (not per call) surfaces
+                    # runtime faults without serializing later tiles or
+                    # the serving pipeline's deferred flushes.
+                    if fill_lanes.general_probe_needed(gkey):
+                        outs[0].block_until_ready()
+                        fill_lanes.mark_general_probed(gkey)
                 except Exception:  # pragma: no cover - backend-specific
                     fill_lanes.mark_general_lanes_failed(gkey)
                 else:
@@ -2133,7 +2142,9 @@ def wavefront_fill_cost(
                             w=sp[0], interpret=interpret,
                             sub_bits=fill_lanes.sub_bits_for(cost_mat),
                         )
-                        cost.block_until_ready()
+                        if fill_lanes.general_probe_needed(skey):
+                            cost.block_until_ready()
+                            fill_lanes.mark_general_probed(skey)
                     except Exception:  # pragma: no cover - backend
                         fill_lanes.mark_general_lanes_failed(skey)
                     else:
@@ -2153,7 +2164,9 @@ def wavefront_fill_cost(
                         w=plan[0], interpret=interpret,
                         sub_bits=fill_lanes.sub_bits_for(cost_mat),
                     )
-                    final3.block_until_ready()
+                    if fill_lanes.general_probe_needed(gkey):
+                        final3.block_until_ready()
+                        fill_lanes.mark_general_probed(gkey)
                 except Exception:  # pragma: no cover - backend-specific
                     fill_lanes.mark_general_lanes_failed(gkey)
                 else:

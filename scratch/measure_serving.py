@@ -9,7 +9,12 @@ over true cells, and the aggregated per-phase wall-clock decomposition
 (fill vs traceback vs blocked) parsed from the runner's chunk log —
 the data behind docs/PERF.md's serving table (VERDICT r3 item 6).
 
-PYTHONPATH=/root/.axon_site:/root/repo python scratch/measure_serving.py [npairs] [len]
+PYTHONPATH=/root/.axon_site:/root/repo python scratch/measure_serving.py \
+    [npairs] [len] [blosum]
+
+A third argument "blosum" serves PROTEIN pairs under BLOSUM62 (the
+general-matrix lane mode with bitmask substitution) instead of the
+default simple DNA scheme.
 """
 
 import io
@@ -22,7 +27,7 @@ import time
 import numpy as np
 
 
-def run_once(pairs, with_tb, chunk_pairs=128):
+def run_once(pairs, with_tb, chunk_pairs=128, scheme_kwargs=None):
     from globalign_tpu.runner import BatchRunner
 
     log = io.StringIO()
@@ -33,6 +38,7 @@ def run_once(pairs, with_tb, chunk_pairs=128):
             chunk_pairs=chunk_pairs,
             with_traceback=with_tb,
             log=log,
+            scheme_kwargs=dict(scheme_kwargs or {}),
         )
         t0 = time.perf_counter()
         stats = runner.run(iter(pairs))
@@ -51,6 +57,9 @@ def run_once(pairs, with_tb, chunk_pairs=128):
 def main():
     npairs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    blosum = len(sys.argv) > 3 and sys.argv[3] == "blosum"
+    letters = list("ARNDCQEGHILKMFPSTWYV" if blosum else "ACGT")
+    scheme_kwargs = {"scoring_mat_name": "BLOSUM62"} if blosum else {}
 
     from globalign_tpu.utils.platform import enable_compilation_cache
 
@@ -66,8 +75,8 @@ def main():
         n = int(rng.integers(int(L * 0.8), L + 1))
         pairs.append(
             (
-                "".join(rng.choice(list("ACGT"), m)),
-                "".join(rng.choice(list("ACGT"), n)),
+                "".join(rng.choice(letters, m)),
+                "".join(rng.choice(letters, n)),
             )
         )
         cells += m * n
@@ -75,7 +84,8 @@ def main():
     for with_tb in (False, True):
         times = []
         for rep in range(2):
-            stats, dt, phases = run_once(pairs, with_tb)
+            stats, dt, phases = run_once(
+                pairs, with_tb, scheme_kwargs=scheme_kwargs)
             assert stats.pairs == npairs, stats
             times.append(dt)
         steady = times[-1]
@@ -84,7 +94,8 @@ def main():
             json.dumps(
                 {
                     "metric": (
-                        "serving_traceback" if with_tb else "serving_cost"
+                        ("serving_traceback" if with_tb else "serving_cost")
+                        + ("_blosum62" if blosum else "")
                     ),
                     "pairs": npairs,
                     "len": L,

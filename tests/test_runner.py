@@ -254,3 +254,48 @@ def test_batch_cli_shard_cigar(tmp_path):
     # idx, cost, score, three alignment lines, cigar
     assert row[1] == "7" and row[2] == "0"
     assert row[6] == "1=1I2="
+
+
+def test_runner_matrix_scheme_cached_resolution(tmp_path):
+    """Matrix-based schemes (scoring_mat_name/path) resolve ONCE and the
+    cached scheme serves every later chunk (the alphabet is fixed by
+    the matrix, not the chunk's characters) — and the results match the
+    single-pair API under the same scheme.  Guards the _chunk_scheme
+    cached branch the simple-scheme tests never enter."""
+    rng = np.random.default_rng(11)
+    letters = list("ARNDCQEGHILKMFPSTWYV")
+    pairs = [
+        (
+            "".join(rng.choice(letters, int(rng.integers(3, 18)))),
+            "".join(rng.choice(letters, int(rng.integers(3, 18)))),
+        )
+        for _ in range(6)
+    ]
+    out = tmp_path / "res.tsv"
+    log = open(tmp_path / "log", "w")
+    import globalign_tpu.runner as runner_mod
+
+    calls = []
+    orig = runner_mod.resolve_scheme
+
+    def counting(*a, **k):
+        calls.append(k)
+        return orig(*a, **k)
+
+    runner_mod.resolve_scheme, saved = counting, runner_mod.resolve_scheme
+    try:
+        stats = BatchRunner(
+            output=out, chunk_pairs=2, log=log,
+            scheme_kwargs={"scoring_mat_name": "BLOSUM62"},
+        ).run(pairs)
+    finally:
+        runner_mod.resolve_scheme = saved
+        log.close()
+    assert stats.pairs == 6 and stats.chunks == 3
+    assert len(calls) == 1  # resolved once, cached across chunks
+    rows = _read_results(out)
+    for idx, (s1, s2) in enumerate(pairs):
+        ref = find_global_alignment(
+            seq_1=s1, seq_2=s2, scoring_mat_name="BLOSUM62"
+        )
+        assert rows[idx] == (ref.cost, ref.score), (idx, s1, s2)
