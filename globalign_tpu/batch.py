@@ -154,6 +154,10 @@ def _lanes_walked_traceback(
     tok_b = jnp.asarray(tok_b)
     m_t = jnp.asarray(m_true, jnp.int32)
     n_t = jnp.asarray(n_true, jnp.int32)
+    # sub_bits from the HOST copy fetched above (the device array would
+    # cost a ~35 ms tunnel round trip per align_batch call), once for
+    # every tile.
+    sb = fill_lanes.dispatch_sub_bits(cost_np, gkey) if asel else 0
     pending = []
     try:
         for lo in range(0, B, tile_l):
@@ -169,7 +173,7 @@ def _lanes_walked_traceback(
             else:
                 vals, mv = fill_lanes.lanes_general_moves(
                     ta, tb, cost_mat, gap_id, gap_open, mt, nt, w=w,
-                    sub_bits=fill_lanes.sub_bits_for(cost_mat),
+                    sub_bits=sb,
                 )
             tapes, counts, _jx = lanes_tile_walk(
                 mv, vals, mt, nt, bases, w, tape_len
@@ -193,7 +197,7 @@ def _lanes_walked_traceback(
             "general-lane walked traceback failed for shape %s; "
             "latching fallback", gkey, exc_info=True,
         )
-        fill_lanes.mark_general_lanes_failed(gkey)
+        fill_lanes.mark_general_lanes_failed(gkey, sub_bits=sb)
         return None
 
     # Device concat per bucket; the CALLER coalesces the fetch across

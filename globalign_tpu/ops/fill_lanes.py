@@ -975,14 +975,52 @@ def general_lanes_ok(key: tuple | None = None) -> bool:
     return key not in _general_failed
 
 
-def mark_general_lanes_failed(key: tuple | None = None) -> None:
+def mark_general_lanes_failed(
+    key: tuple | None = None, sub_bits: int = 0
+) -> None:
+    """Latch a general-lane failure for ``key``.
+
+    ``sub_bits`` is the substitution mode the FAILING call used.  When
+    the bitmask kernel (sub_bits > 0) fails on an alphabet the select
+    chain also serves (asel <= LANES_MAX_ALPHABET, key[4]), only the
+    BITMASK mode is latched for this shape class — the next call of the
+    class retries the chip-validated select chain via
+    :func:`dispatch_sub_bits` instead of losing the lane path outright
+    (a toolchain where variable-amount vector shifts fail to compile
+    must not demote qualifying matrices to the scan kernels).  Chain
+    failures, and bitmask failures above the chain's alphabet cap,
+    latch the whole class as before."""
     # CPU cannot run Pallas outside interpret mode at all — a failure
     # there is a platform limitation, not a kernel defect, and must not
     # poison the latch (CPU tests force use_pallas with interpret-
     # wrapped entry points; unwrapped attempts just fall back).
     if jax.default_backend() == "cpu" or key is None:
         return
+    if (
+        sub_bits > 0
+        and key[4] <= LANES_MAX_ALPHABET
+        and key not in _bitmask_failed
+    ):
+        _bitmask_failed.add(key)
+        return
     _general_failed.add(key)
+
+
+# Shape classes whose BITMASK substitution mode failed: dispatch falls
+# back to the select chain for these (see mark_general_lanes_failed).
+_bitmask_failed: set = set()
+
+
+def dispatch_sub_bits(cost_mat, gkey: tuple | None = None) -> int:
+    """:func:`sub_bits_for`, gated by the per-shape bitmask failure
+    latch: a shape class whose bitmask kernel was rejected dispatches
+    the select chain (0) from then on.  Only classes with
+    asel <= LANES_MAX_ALPHABET are ever bitmask-latched, so a 0 here
+    never violates lanes_alphabet_ok's 27-31 contract."""
+    sb = sub_bits_for(cost_mat)
+    if sb and gkey is not None and gkey in _bitmask_failed:
+        return 0
+    return sb
 
 
 # Shape classes whose general-lane dispatch has completed one clean
@@ -996,7 +1034,15 @@ _general_run_probed: set = set()
 
 
 def general_probe_needed(key: tuple | None) -> bool:
-    """True when this shape class still needs its one blocking probe."""
+    """True when this shape class still needs its one blocking probe.
+
+    Once a class is marked probed, dispatchers stop syncing — so a
+    LATER runtime fault in an already-probed class surfaces as a raw
+    backend exception at whatever downstream fetch first touches the
+    value, outside the dispatchers' graceful-fallback try/except.
+    That is the accepted trade (runtime faults are deterministic per
+    compiled executable, so a clean first run vouches for the class;
+    per-call syncs measured ~10x on serving chunks)."""
     return key is not None and key not in _general_run_probed
 
 

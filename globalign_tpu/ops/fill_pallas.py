@@ -1069,6 +1069,7 @@ def batch_moves(
             )
             if plan is not None and fill_lanes.general_lanes_ok(gkey):
                 w, tile_l = plan
+                sb = fill_lanes.dispatch_sub_bits(cost_mat, gkey)
                 try:
                     # Dispatch every tile lazily, then probe once: the
                     # fills stay pipelined against the host unskews
@@ -1082,8 +1083,7 @@ def batch_moves(
                         )
                         vals, mv = fill_lanes.lanes_general_moves(
                             ta, tb, cost_mat, gap_id, gap_open, mt, nt,
-                            w=w, interpret=interpret,
-                            sub_bits=fill_lanes.sub_bits_for(cost_mat),
+                            w=w, interpret=interpret, sub_bits=sb,
                         )
                         pending.append((vals, mv, hi - lo))
                     if fill_lanes.general_probe_needed(gkey):
@@ -1094,7 +1094,7 @@ def batch_moves(
                         pending[0][1].block_until_ready()
                         fill_lanes.mark_general_probed(gkey)
                 except Exception:  # pragma: no cover - backend-specific
-                    fill_lanes.mark_general_lanes_failed(gkey)
+                    fill_lanes.mark_general_lanes_failed(gkey, sub_bits=sb)
                 else:
                     finals, moves_out = [], []
                     for vals, mv, keep in pending:
@@ -1225,6 +1225,7 @@ def batch_final3(
             )
             if plan is not None and fill_lanes.general_lanes_ok(gkey):
                 w, tile_l = plan
+                sb = fill_lanes.dispatch_sub_bits(cost_mat, gkey)
                 try:
                     outs = []
                     for lo in range(0, B, tile_l):
@@ -1235,8 +1236,7 @@ def batch_final3(
                         )
                         vals = fill_lanes.lanes_general_final3(
                             ta, tb, cost_mat, gap_id, gap_open, mt, nt,
-                            w=w, interpret=interpret,
-                            sub_bits=fill_lanes.sub_bits_for(cost_mat),
+                            w=w, interpret=interpret, sub_bits=sb,
                         )
                         outs.append(vals[: hi - lo])
                     # Compile errors raise synchronously at dispatch;
@@ -1247,7 +1247,7 @@ def batch_final3(
                         outs[0].block_until_ready()
                         fill_lanes.mark_general_probed(gkey)
                 except Exception:  # pragma: no cover - backend-specific
-                    fill_lanes.mark_general_lanes_failed(gkey)
+                    fill_lanes.mark_general_lanes_failed(gkey, sub_bits=sb)
                 else:
                     return jnp.concatenate(outs, axis=0)
 
@@ -2132,6 +2132,7 @@ def wavefront_fill_cost(
                     2, sp[1], n, sp[0], A_static
                 )
                 if sp is not None and fill_lanes.general_lanes_ok(skey):
+                    sb = fill_lanes.dispatch_sub_bits(cost_mat, skey)
                     try:
                         cost = fill_lanes.lanes_split_fill_cost(
                             jnp.asarray(tok_a_ext),
@@ -2139,14 +2140,15 @@ def wavefront_fill_cost(
                             0, 0, 0, 0, int(gap_open),
                             m_true, n_true,
                             cost_mat=cost_mat, gap_id=gap_id,
-                            w=sp[0], interpret=interpret,
-                            sub_bits=fill_lanes.sub_bits_for(cost_mat),
+                            w=sp[0], interpret=interpret, sub_bits=sb,
                         )
                         if fill_lanes.general_probe_needed(skey):
                             cost.block_until_ready()
                             fill_lanes.mark_general_probed(skey)
                     except Exception:  # pragma: no cover - backend
-                        fill_lanes.mark_general_lanes_failed(skey)
+                        fill_lanes.mark_general_lanes_failed(
+                            skey, sub_bits=sb
+                        )
                     else:
                         return jnp.stack([cost, cost, cost])
             plan = fill_lanes.lanes_plan(1, max(m, 1), n, asel=A_static)
@@ -2154,6 +2156,7 @@ def wavefront_fill_cost(
                 1, max(m, 1), n, plan[0], A_static
             )
             if plan is not None and fill_lanes.general_lanes_ok(gkey):
+                sb = fill_lanes.dispatch_sub_bits(cost_mat, gkey)
                 try:
                     final3 = fill_lanes.lanes_general_final3(
                         jnp.asarray(tok_a_ext)[None, :],
@@ -2161,14 +2164,13 @@ def wavefront_fill_cost(
                         cost_mat, gap_id, gap_open,
                         jnp.asarray(m_true, jnp.int32)[None],
                         jnp.asarray(n_true, jnp.int32)[None],
-                        w=plan[0], interpret=interpret,
-                        sub_bits=fill_lanes.sub_bits_for(cost_mat),
+                        w=plan[0], interpret=interpret, sub_bits=sb,
                     )
                     if fill_lanes.general_probe_needed(gkey):
                         final3.block_until_ready()
                         fill_lanes.mark_general_probed(gkey)
                 except Exception:  # pragma: no cover - backend-specific
-                    fill_lanes.mark_general_lanes_failed(gkey)
+                    fill_lanes.mark_general_lanes_failed(gkey, sub_bits=sb)
                 else:
                     return final3[0]
 

@@ -322,18 +322,18 @@ def align_blocked(
                 or ("ckpt_fail", blk_m) in probed
             ):
                 return None
+            sb = fill_lanes.dispatch_sub_bits(cost_mat, gkey)
             try:
                 last = fill_lanes.lanes_general_last_rows(
                     ta_blk[None], tok_b[None], cost_mat, gap_id, gap_open,
-                    mt, nt, state[None], c0, w=w_blk,
-                    sub_bits=fill_lanes.sub_bits_for(cost_mat),
+                    mt, nt, state[None], c0, w=w_blk, sub_bits=sb,
                 )
                 if ("ckpt", blk_m) not in probed:
                     last.block_until_ready()
                     probed.add(("ckpt", blk_m))
                 last = last[0]
             except Exception:  # pragma: no cover - backend-specific
-                fill_lanes.mark_general_lanes_failed(gkey)
+                fill_lanes.mark_general_lanes_failed(gkey, sub_bits=sb)
                 probed.add(("ckpt_fail", blk_m))
                 return None
         col0_t = jnp.asarray(
@@ -478,21 +478,22 @@ def align_blocked(
                 )
                 and ("mv_fail", i1 - i0) not in probed
             ):
+                mv_key = fill_lanes.general_lanes_key(
+                    1, i1 - i0, nq, w_blk, asel, moves=True
+                )
+                sb = fill_lanes.dispatch_sub_bits(cost_mat, mv_key)
                 try:
                     _, mv = fill_lanes.lanes_general_moves(
                         ta_blk[None], tok_b[None], cost_mat, gap_id,
                         gap_open, mt, nt, checkpoints[b][None], c0,
-                        w=w_blk,
-                        sub_bits=fill_lanes.sub_bits_for(cost_mat),
+                        w=w_blk, sub_bits=sb,
                     )
                     if ("mv", i1 - i0) not in probed:
                         mv.block_until_ready()
                         probed.add(("mv", i1 - i0))
                 except Exception:  # pragma: no cover - backend-specific
                     fill_lanes.mark_general_lanes_failed(
-                        fill_lanes.general_lanes_key(
-                            1, i1 - i0, nq, w_blk, asel, moves=True
-                        )
+                        mv_key, sub_bits=sb
                     )
                     probed.add(("mv_fail", i1 - i0))
                     mv = None

@@ -65,19 +65,23 @@ def pad_batch_to_mesh(arrays, batch: int, mesh: Mesh) -> tuple[list, int]:
     jax.jit,
     static_argnames=(
         "mesh", "use_pallas", "uniform", "gap_open_static", "general_plan",
+        "sub_bits",
     ),
 )
 def _sharded_costs_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
     use_pallas=False, uniform=None, gap_open_static=None, general_plan=None,
+    sub_bits=0,
 ):
     spec_b = P(BATCH_AXIS)
 
     def shard_fn(ta, tb, cm, gi, go, mt, nt):
         if use_pallas and general_plan is not None:
-            # GENERAL matrices on the lane kernel (select-chain mode,
-            # chip-validated round 3): the host resolved the plan
-            # statically; cm/gi/go ride through as tracers — only the
+            # GENERAL matrices on the lane kernel: the host resolved
+            # the plan AND the substitution mode (``sub_bits``)
+            # statically — ``cm`` is a tracer here, so sub_bits_for(cm)
+            # would silently answer 0 and the bitmask mode could never
+            # engage; cm/gi/go ride through as tracers — only the
             # alphabet size (the matrix shape) must be static.
             from ..ops import fill_lanes
             from ..ops.fill_pallas import _tile_slice
@@ -92,7 +96,7 @@ def _sharded_costs_jit(
                 )
                 vals = fill_lanes.lanes_general_final3(
                     tat, tbt, cm, gi, go, mtt, ntt, w=w,
-                    sub_bits=fill_lanes.sub_bits_for(cm),
+                    sub_bits=sub_bits,
                 )
                 outs.append(vals[: hi - lo])
             final3 = jnp.concatenate(outs, axis=0)
@@ -136,11 +140,13 @@ def _sharded_costs_jit(
     jax.jit,
     static_argnames=(
         "mesh", "use_pallas", "uniform", "gap_open_static", "general_plan",
+        "sub_bits",
     ),
 )
 def _sharded_moves_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
     use_pallas=False, uniform=None, gap_open_static=None, general_plan=None,
+    sub_bits=0,
 ):
     spec_b = P(BATCH_AXIS)
 
@@ -177,9 +183,11 @@ def _sharded_moves_jit(
                     (ta, tb, mt, nt), lo, hi, tile_l
                 )
                 if general_plan is not None:
+                    # sub_bits is host-resolved static (cm is a tracer
+                    # here — see _sharded_costs_jit).
                     vals, mv = fill_lanes.lanes_general_moves(
                         tat, tbt, cm, gi, go, mtt, ntt, w=w,
-                        sub_bits=fill_lanes.sub_bits_for(cm),
+                        sub_bits=sub_bits,
                     )
                 else:
                     cma, cmm, dco, ico = (int(v) for v in uniform)
@@ -303,19 +311,22 @@ def sharded_fill_moves(
     plan = None
     general_plan = None
     gkey = None
+    sub_bits = 0
+    A = 0
     D = mesh.devices.size
     Bl = tok_a.shape[0] // D
     m_pad = tok_a.shape[1] - 1
     n_pad = tok_b.shape[1] - 1
+    cost_np = np.asarray(cost_mat)
     if use_pallas:
         from ..ops import fill_lanes
         from ..ops.fill_pallas import uniform_scheme_params
 
-        uniform = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
-        A = int(np.asarray(cost_mat).shape[0])
+        uniform = uniform_scheme_params(cost_np, int(gap_id))
+        A = int(cost_np.shape[0])
         if uniform is not None:
             plan = fill_lanes.lanes_plan(Bl, m_pad, n_pad, moves=True)
-        elif fill_lanes.lanes_alphabet_ok(A, cost_mat):
+        elif fill_lanes.lanes_alphabet_ok(A, cost_np):
             plan = fill_lanes.lanes_plan(
                 Bl, m_pad, n_pad, moves=True, asel=A
             )
@@ -324,6 +335,14 @@ def sharded_fill_moves(
                     plan[1], m_pad, n_pad, plan[0], A, moves=True
                 )
                 if not fill_lanes.general_lanes_ok(gkey):
+                    plan = None
+            if plan is not None:
+                # Resolve the substitution mode HERE (the shard body
+                # sees a traced matrix); alphabets 27-31 are only
+                # lane-eligible in bitmask mode, so a latched bitmask
+                # (sub_bits 0) declines the plan for them.
+                sub_bits = fill_lanes.dispatch_sub_bits(cost_np, gkey)
+                if A > fill_lanes.LANES_MAX_ALPHABET and sub_bits == 0:
                     plan = None
         if plan is not None:
             # lanes_plan guards skewed-buffer inflation PER TILE;
@@ -347,7 +366,7 @@ def sharded_fill_moves(
         if uniform is None:
             general_plan = plan
 
-    def _run(plan_, general_plan_):
+    def _run(plan_, general_plan_, sub_bits_):
         return _sharded_moves_jit(
             mesh,
             _put(tok_a, sharding),
@@ -365,21 +384,36 @@ def sharded_fill_moves(
                 else None
             ),
             general_plan=general_plan_,
+            sub_bits=sub_bits_,
         )
 
     try:
-        final3, moves = _run(plan, general_plan)
+        final3, moves = _run(plan, general_plan, sub_bits)
         final3 = np.asarray(final3)[:batch]
     except Exception:  # pragma: no cover - backend-specific
         if general_plan is None:
             raise
         from ..ops import fill_lanes
 
-        fill_lanes.mark_general_lanes_failed(gkey)
-        plan = None
-        general_plan = None
-        final3, moves = _run(None, None)
-        final3 = np.asarray(final3)[:batch]
+        fill_lanes.mark_general_lanes_failed(gkey, sub_bits=sub_bits)
+        if sub_bits > 0 and A <= fill_lanes.LANES_MAX_ALPHABET:
+            # Bitmask rejection: retry the chip-validated select chain
+            # for this call before giving the shape up to the scan
+            # kernels (mark bitmask-latched the class above).
+            try:
+                final3, moves = _run(plan, general_plan, 0)
+                final3 = np.asarray(final3)[:batch]
+            except Exception:
+                fill_lanes.mark_general_lanes_failed(gkey)
+                plan = None
+                general_plan = None
+                final3, moves = _run(None, None, 0)
+                final3 = np.asarray(final3)[:batch]
+        else:
+            plan = None
+            general_plan = None
+            final3, moves = _run(None, None, 0)
+            final3 = np.asarray(final3)[:batch]
     if plan is not None:
         # Lane-kernel moves arrive SKEWED, one (Gw, R, 128) uint8 buffer
         # per tile per shard (leading axis sharded).  Unskew each tile
@@ -438,15 +472,18 @@ def sharded_fill_costs(
     uniform = None
     general_plan = None
     gkey = None
+    sub_bits = 0
+    A = 0
+    cost_np = np.asarray(cost_mat)
     if use_pallas:
         from ..ops.fill_pallas import uniform_scheme_params
 
-        uniform = uniform_scheme_params(np.asarray(cost_mat), int(gap_id))
+        uniform = uniform_scheme_params(cost_np, int(gap_id))
         if uniform is None:
             from ..ops import fill_lanes
 
-            A = int(np.asarray(cost_mat).shape[0])
-            if fill_lanes.lanes_alphabet_ok(A, cost_mat):
+            A = int(cost_np.shape[0])
+            if fill_lanes.lanes_alphabet_ok(A, cost_np):
                 Bl = tok_a.shape[0] // mesh.devices.size
                 m_pad = tok_a.shape[1] - 1
                 n_pad = tok_b.shape[1] - 1
@@ -456,27 +493,44 @@ def sharded_fill_costs(
                         plan[1], m_pad, n_pad, plan[0], A
                     )
                     if fill_lanes.general_lanes_ok(gkey):
-                        general_plan = plan
-    try:
-        final3, _total_cells = _sharded_costs_jit(
+                        # Host-resolved substitution mode (the shard
+                        # body sees a traced matrix); 27-31 alphabets
+                        # need the bitmask — decline if it latched.
+                        sub_bits = fill_lanes.dispatch_sub_bits(
+                            cost_np, gkey
+                        )
+                        if (
+                            A <= fill_lanes.LANES_MAX_ALPHABET
+                            or sub_bits > 0
+                        ):
+                            general_plan = plan
+
+    def _run(general_plan_, sub_bits_):
+        return _sharded_costs_jit(
             mesh, tok_a, tok_b, jnp.asarray(cost_mat), jnp.asarray(gap_id),
             jnp.asarray(gap_open), m_d, n_d, use_pallas=use_pallas,
             uniform=uniform,
             gap_open_static=int(gap_open) if uniform is not None else None,
-            general_plan=general_plan,
+            general_plan=general_plan_,
+            sub_bits=sub_bits_,
         )
+
+    try:
+        final3, _total_cells = _run(general_plan, sub_bits)
         return np.asarray(final3)[:batch]
     except Exception:  # pragma: no cover - backend-specific
         if general_plan is None:
             raise
-        # Latch the failing shape and rebuild on the scan kernels.
+        # Latch the failing shape and rebuild — select chain first when
+        # only the bitmask mode failed, the scan kernels otherwise.
         from ..ops import fill_lanes
 
-        fill_lanes.mark_general_lanes_failed(gkey)
-    final3, _total_cells = _sharded_costs_jit(
-        mesh, tok_a, tok_b, jnp.asarray(cost_mat), jnp.asarray(gap_id),
-        jnp.asarray(gap_open), m_d, n_d, use_pallas=use_pallas,
-        uniform=uniform,
-        gap_open_static=int(gap_open) if uniform is not None else None,
-    )
+        fill_lanes.mark_general_lanes_failed(gkey, sub_bits=sub_bits)
+        if sub_bits > 0 and A <= fill_lanes.LANES_MAX_ALPHABET:
+            try:
+                final3, _total_cells = _run(general_plan, 0)
+                return np.asarray(final3)[:batch]
+            except Exception:
+                fill_lanes.mark_general_lanes_failed(gkey)
+    final3, _total_cells = _run(None, 0)
     return np.asarray(final3)[:batch]
