@@ -65,13 +65,13 @@ def pad_batch_to_mesh(arrays, batch: int, mesh: Mesh) -> tuple[list, int]:
     jax.jit,
     static_argnames=(
         "mesh", "use_pallas", "uniform", "gap_open_static", "general_plan",
-        "sub_bits",
+        "sub_bits", "interpret",
     ),
 )
 def _sharded_costs_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
     use_pallas=False, uniform=None, gap_open_static=None, general_plan=None,
-    sub_bits=0,
+    sub_bits=0, interpret=False,
 ):
     spec_b = P(BATCH_AXIS)
 
@@ -96,7 +96,7 @@ def _sharded_costs_jit(
                 )
                 vals = fill_lanes.lanes_general_final3(
                     tat, tbt, cm, gi, go, mtt, ntt, w=w,
-                    sub_bits=sub_bits,
+                    sub_bits=sub_bits, interpret=interpret,
                 )
                 outs.append(vals[: hi - lo])
             final3 = jnp.concatenate(outs, axis=0)
@@ -107,7 +107,7 @@ def _sharded_costs_jit(
             # resolved by the HOST (sharded_fill_costs) and arrives static.
             final3 = batch_final3(
                 ta, tb, cm, gi, go, mt, nt, uniform=uniform,
-                gap_open_static=gap_open_static,
+                gap_open_static=gap_open_static, interpret=interpret,
             )
         else:
             final3 = fill_rows.row_fill_batch(
@@ -140,13 +140,13 @@ def _sharded_costs_jit(
     jax.jit,
     static_argnames=(
         "mesh", "use_pallas", "uniform", "gap_open_static", "general_plan",
-        "sub_bits",
+        "sub_bits", "interpret",
     ),
 )
 def _sharded_moves_jit(
     mesh, tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true,
     use_pallas=False, uniform=None, gap_open_static=None, general_plan=None,
-    sub_bits=0,
+    sub_bits=0, interpret=False,
 ):
     spec_b = P(BATCH_AXIS)
 
@@ -187,13 +187,13 @@ def _sharded_moves_jit(
                     # here — see _sharded_costs_jit).
                     vals, mv = fill_lanes.lanes_general_moves(
                         tat, tbt, cm, gi, go, mtt, ntt, w=w,
-                        sub_bits=sub_bits,
+                        sub_bits=sub_bits, interpret=interpret,
                     )
                 else:
                     cma, cmm, dco, ico = (int(v) for v in uniform)
                     vals, mv = fill_lanes.lanes_batch_moves(
                         tat, tbt, cma, cmm, dco, ico, gap_open_static,
-                        mtt, ntt, w=w,
+                        mtt, ntt, w=w, interpret=interpret,
                     )
                 finals.append(vals[: hi - lo])
                 movess.append(mv[None])
@@ -228,7 +228,7 @@ def _sharded_moves_jit(
                     (ta, tb, mt, nt), lo, hi, tile
                 )
                 last, moves = stacked_fill_with_moves(
-                    tat, tbt, cm, gi, go, mtt, ntt
+                    tat, tbt, cm, gi, go, mtt, ntt, interpret=interpret
                 )
                 idx = ntt[:, None, None]
                 vals = jnp.take_along_axis(last, idx, axis=2)[:, :, 0]
@@ -268,11 +268,14 @@ def sharded_fill_moves(
     m_true: np.ndarray,
     n_true: np.ndarray,
     use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Traceback-capable batched fill, batch axis sharded across ``mesh``.
 
-    ``use_pallas`` overrides the platform auto-detection (tests exercise
-    the kernel-dispatch plumbing on the CPU mesh with stubbed kernels).
+    ``use_pallas`` overrides the platform auto-detection; with
+    ``interpret=True`` the lane kernels run in Pallas interpret mode —
+    together they let the CPU virtual mesh execute the REAL kernels
+    (tests), not just stubbed dispatch plumbing.
 
     Returns ``(final3 (B, 3), moves (B, M+1, W))`` host numpy, pad rows
     dropped — the same contract as :func:`..ops.fill_pallas.batch_moves`
@@ -385,6 +388,7 @@ def sharded_fill_moves(
             ),
             general_plan=general_plan_,
             sub_bits=sub_bits_,
+            interpret=interpret,
         )
 
     try:
@@ -445,10 +449,14 @@ def sharded_fill_costs(
     gap_open,
     m_true: np.ndarray,
     n_true: np.ndarray,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> np.ndarray:
     """Cost-only batched fill, batch axis sharded across ``mesh``.
 
     Returns (B, 3) final DP values per pair (host numpy, pad rows dropped).
+    ``use_pallas``/``interpret`` as in :func:`sharded_fill_moves` (the
+    CPU virtual mesh runs the real kernels in interpret mode).
     """
     batch = tok_a.shape[0]
     (tok_a, tok_b, m_true, n_true), padded = pad_batch_to_mesh(
@@ -462,7 +470,8 @@ def sharded_fill_costs(
     m_d = _put(np.asarray(m_true, np.int32), sharding)
     n_d = _put(np.asarray(n_true, np.int32), sharding)
 
-    use_pallas = jax.devices()[0].platform not in ("cpu",)
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
     # The uniform-scheme kernel dispatch needs a CONCRETE matrix; resolve
     # it here (host) and ship the result through the jit statically, since
     # inside shard_map the matrix is a tracer and detection must decline.
@@ -513,6 +522,7 @@ def sharded_fill_costs(
             gap_open_static=int(gap_open) if uniform is not None else None,
             general_plan=general_plan_,
             sub_bits=sub_bits_,
+            interpret=interpret,
         )
 
     try:

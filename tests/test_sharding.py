@@ -141,6 +141,91 @@ def test_sharded_lanes_moves_reassembly(cpu_mesh, monkeypatch):
         assert (moves[idx] == tok_a[tile_first, 1]).all(), idx
 
 
+def test_sharded_general_lanes_unstubbed_interpret(cpu_mesh, monkeypatch):
+    """The REAL general-matrix lane kernels (bitmask substitution mode)
+    executed inside shard_map on the virtual mesh — Pallas interpret
+    mode, tiny shapes/width (w clamped to 8: CLAUDE.md LLVM-JIT note).
+    Spies DELEGATE to the real kernels (recording, not stubbing) so the
+    assertion covers actual multi-device kernel execution, and results
+    are pinned against the unsharded row-scan fill."""
+    import jax.numpy as jnp
+
+    from globalign_tpu.config import resolve_scheme
+    from globalign_tpu.ops import fill_lanes, fill_rows
+    from globalign_tpu.ops.traceback import traceback_moves
+    from globalign_tpu.parallel import mesh as mesh_mod
+
+    scheme = resolve_scheme("ARND", "NDRA", scoring_mat_name="BLOSUM62")
+    A = scheme.alphabet.size
+    assert fill_lanes.sub_bits_for(np.asarray(scheme.costing.values)) > 0, (
+        "BLOSUM62 should qualify for the bitmask substitution mode"
+    )
+    B, m_pad, n_pad = 10, 12, 8
+    rng = np.random.default_rng(11)
+    tok_a = np.zeros((B, m_pad + 1), np.int32)
+    tok_b = np.zeros((B, n_pad + 1), np.int32)
+    tok_a[:, 1:] = rng.integers(0, A - 1, (B, m_pad))
+    tok_b[:, 1:] = rng.integers(0, A - 1, (B, n_pad))
+    m_true = np.full(B, m_pad, np.int32)
+    n_true = np.full(B, n_pad, np.int32)
+
+    real_plan = fill_lanes.lanes_plan
+
+    def small_w_plan(*a, **k):
+        plan = real_plan(*a, **k)
+        return None if plan is None else (min(plan[0], 8), plan[1])
+
+    monkeypatch.setattr(fill_lanes, "lanes_plan", small_w_plan)
+
+    calls = {"final3": 0, "moves": 0}
+    real_final3 = fill_lanes.lanes_general_final3
+    real_moves = fill_lanes.lanes_general_moves
+
+    def spy_final3(*a, **k):
+        calls["final3"] += 1
+        assert k.get("sub_bits", 0) > 0, "bitmask mode must engage"
+        return real_final3(*a, **k)
+
+    def spy_moves(*a, **k):
+        calls["moves"] += 1
+        assert k.get("sub_bits", 0) > 0, "bitmask mode must engage"
+        return real_moves(*a, **k)
+
+    monkeypatch.setattr(fill_lanes, "lanes_general_final3", spy_final3)
+    monkeypatch.setattr(fill_lanes, "lanes_general_moves", spy_moves)
+
+    ref = np.asarray(
+        fill_rows.row_fill_batch(
+            jnp.asarray(tok_a), jnp.asarray(tok_b),
+            jnp.asarray(scheme.costing.values),
+            jnp.int32(scheme.alphabet.gap_id),
+            jnp.int32(scheme.gap_open_cost),
+            jnp.asarray(m_true), jnp.asarray(n_true), want_moves=False,
+        ).final3
+    )
+    f3 = mesh_mod.sharded_fill_costs(
+        cpu_mesh, tok_a, tok_b, scheme.costing.values,
+        scheme.alphabet.gap_id, scheme.gap_open_cost, m_true, n_true,
+        use_pallas=True, interpret=True,
+    )
+    assert calls["final3"] > 0
+    assert (f3 == ref).all()
+
+    f3m, moves = mesh_mod.sharded_fill_moves(
+        cpu_mesh, tok_a, tok_b, scheme.costing.values,
+        scheme.alphabet.gap_id, scheme.gap_open_cost, m_true, n_true,
+        use_pallas=True, interpret=True,
+    )
+    assert calls["moves"] > 0
+    assert (f3m == ref).all()
+    letters = np.array(scheme.alphabet.letters[:-1])
+    for k in range(0, B, 3):
+        s1 = "".join(letters[tok_a[k, 1:]])
+        s2 = "".join(letters[tok_b[k, 1:]])
+        tb = traceback_moves(moves[k], s1, s2, f3m[k], layout="row")
+        assert tb.cost == int(ref[k].min())
+
+
 def test_sharded_general_lanes_dispatch(cpu_mesh, monkeypatch):
     """GENERAL costing matrices dispatch the lane kernel inside the
     shard_map body too (host-resolved static plan — round-2 left them
