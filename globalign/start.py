@@ -128,8 +128,11 @@ def validate_and_transform_args(**kwargs):
     """Reference-contract validation returning the canonical 7-tuple
     (seq_1, seq_2, scoring_mat, costing_mat, gap_open_score, gap_open_cost,
     output) with nested-dict matrices (reference start.py:150-353,
-    return contract at :171-179)."""
-    v = _validate_and_transform_args(**kwargs)
+    return contract at :171-179).  Drop-in semantics include the
+    reference's hard m*n < 2e7 input cap (start.py:213) — the native
+    engine lifts it (config.DEFAULT_MAX_SEQ_LEN_PROD), but code written
+    against the reference must see the reference's envelope and error."""
+    v = _validate_and_transform_args(max_seq_len_prod=20_000_000, **kwargs)
     scheme = v.scheme
     return (
         v.seq_1,

@@ -33,6 +33,13 @@ pytestmark = pytest.mark.skipif(
 
 _RUNNER = r"""
 import json, sys
+import globalign
+# Guard against the compat-shim shadowing bug: `python -c` puts the
+# CWD on sys.path[0], and /root/repo/globalign is a drop-in shim of
+# this very engine — importing it here would make every "live
+# reference" assertion circular self-parity.  The subprocess therefore
+# runs with cwd inside the reference tree and verifies the import.
+assert globalign.__file__.startswith(sys.argv[1]), globalign.__file__
 from globalign.globaligner import find_global_alignment
 
 out = []
@@ -43,19 +50,24 @@ json.dump(out, sys.stdout)
 """
 
 
-def _reference_results(cases: list[dict]) -> list[dict]:
+def _ref_env() -> dict:
     env = {
         k: v
         for k, v in os.environ.items()
         if not k.startswith(("JAX_", "XLA_", "TPU_"))
     }
     env["PYTHONPATH"] = str(REF_SRC)
+    return env
+
+
+def _reference_results(cases: list[dict]) -> list[dict]:
     proc = subprocess.run(
-        [sys.executable, "-c", _RUNNER],
+        [sys.executable, "-c", _RUNNER, str(REF_SRC)],
         input=json.dumps(cases),
         capture_output=True,
         text=True,
-        env=env,
+        env=_ref_env(),
+        cwd=str(REF_SRC),
         timeout=300,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
@@ -178,6 +190,103 @@ def test_parity_custom_matrix_file(tmp_path):
         assert (res.score, res.cost) == (ref["score"], ref["cost"]), (
             case, (res.score, res.cost), ref,
         )
+
+
+def test_parity_at_reference_envelope():
+    """ONE live case at the boundary of the reference's input envelope
+    (m*n < 2e7, reference start.py:213,361-376): 4.2 kb x 4.4 kb =
+    18.48e6 cells — the regime where int headroom and boundary
+    accumulation would actually surface.  The reference needs ~30 s of
+    pure-Python DP here (measured ~1.6 us/cell); budgeted inside the
+    subprocess timeout."""
+    from globalign_tpu import find_global_alignment
+
+    rng = np.random.default_rng(404)
+    case = {
+        "seq_1": "".join(rng.choice(list("ACGT"), 4200)),
+        "seq_2": "".join(rng.choice(list("ACGT"), 4400)),
+    }
+    want = _reference_results([case])[0]
+    res = find_global_alignment(**case)
+    assert (res.score, res.cost) == (want["score"], want["cost"]), (
+        (res.score, res.cost), want,
+    )
+
+
+def test_envelope_boundary_accept_and_refuse():
+    """The reference refuses m*n just over 2e7 (check_seq_lengths,
+    start.py:361-376, applied in validate_and_transform_args — its
+    CLI/entry validation layer).  Drop-in parity: our COMPAT SHIM's
+    validate_and_transform_args refuses with the byte-identical
+    message.  The NATIVE engine deliberately extends the envelope
+    (config.DEFAULT_MAX_SEQ_LEN_PROD = 2e12; the 2e7 cap existed for
+    the reference's Python fill) — it must ACCEPT just-over-2e7 inputs
+    and still refuse past its own cap with the same error shape.  The
+    just-under ACCEPT leg runs only our engine (the reference's
+    ~1.6 us/cell Python fill would need ~32 s for a second
+    envelope-scale case; its accept behavior at scale is pinned by
+    test_parity_at_reference_envelope)."""
+    from globalign_tpu import find_global_alignment
+    from globalign_tpu.config import check_seq_lengths
+
+    rng = np.random.default_rng(405)
+    over = {
+        "seq_1": "".join(rng.choice(list("ACGT"), 4473)),
+        "seq_2": "".join(rng.choice(list("ACGT"), 4473)),
+    }
+    assert 4473 * 4473 >= 20_000_000
+    runner = (
+        "import json, sys\n"
+        "import globalign\n"
+        "assert globalign.__file__.startswith(sys.argv[1])\n"
+        "from globalign.start import validate_and_transform_args\n"
+        "case = json.load(sys.stdin)\n"
+        "try:\n"
+        "    validate_and_transform_args(**case)\n"
+        "    print('NO ERROR')\n"
+        "except RuntimeError as e:\n"
+        "    print(str(e))\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", runner, str(REF_SRC)],
+        input=json.dumps(over), capture_output=True, text=True,
+        env=_ref_env(), cwd=str(REF_SRC),
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ref_msg = proc.stdout.strip()
+    assert "too long" in ref_msg
+
+    # Drop-in shim: byte-identical refusal at the reference's cap.
+    from globalign.start import validate_and_transform_args as shim_validate
+
+    with pytest.raises(RuntimeError) as exc:
+        shim_validate(**over)
+    assert str(exc.value) == ref_msg
+
+    # Native engine: same error SHAPE at its own (lifted) cap.
+    with pytest.raises(RuntimeError, match="too long"):
+        check_seq_lengths("A" * 2_000_000, "C" * 1_000_001, 2 * 10**12)
+
+    # Just under the cap: our engine accepts and aligns (cost prices).
+    under = {
+        "seq_1": "".join(rng.choice(list("ACGT"), 4472)),
+        "seq_2": "".join(rng.choice(list("ACGT"), 4472)),
+    }
+    assert 4472 * 4472 < 20_000_000
+    res = find_global_alignment(**under)
+    assert res.cost >= 0
+    from globalign_tpu.ops.traceback import alignment_cost
+    from globalign_tpu.utils.matrices import SubstitutionMatrix
+
+    costing = SubstitutionMatrix.from_nested_dict(res.costing_mat)
+    assert (
+        alignment_cost(
+            res.seq_1_aligned, res.seq_2_aligned, costing,
+            res.gap_open_cost,
+        )
+        == res.cost
+    )
 
 
 def test_parity_fasta_input(tmp_path):
