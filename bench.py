@@ -335,6 +335,20 @@ def _run_measurements(args, t_start: float) -> None:
         ),
     }
 
+    # Modeled VPU ops per chained call, per arm (fill_lanes
+    # .issue_model_ops): with the in-run calibration rate this yields a
+    # per-arm issue_efficiency (% of the VPU issue bound actually
+    # sustained) directly in the artifact — VERDICT r4 item 2.
+    model_ops: dict = {}
+    if backend == "pallas" and args.kernel == "lanes":
+        from globalign_tpu.ops import fill_lanes as _fl
+
+        if sp is not None:
+            mh = sp[1]
+            model_ops["single"] = _fl.issue_model_ops(2, mh, args.n, sp[0])
+        else:
+            model_ops["single"] = _fl.issue_model_ops(1, args.m, args.n, w)
+
     # Fixed VPU calibration loop — no engine code, one executable
     # forever: its slope is the in-artifact chip-speed normalizer.
     CAL_IT, CAL_R, CAL_C = 20_000, 256, 1024
@@ -393,6 +407,7 @@ def _run_measurements(args, t_start: float) -> None:
             make_runk(batch_one(w_plan)), batch_tas,
             (args.chain_lo, args.batch_chain), B * L * L,
         )
+        model_ops["batch"] = fill_lanes.issue_model_ops(B, L, L, w_plan)
         if not args.no_ab and w_plan != 32:
             # In-run A/B arm: the round-3 dispatch width, so the
             # artifact itself proves the w choice (VERDICT r3 item 1).
@@ -437,6 +452,9 @@ def _run_measurements(args, t_start: float) -> None:
         contenders["batch4k"] = (
             make_runk(b4_one), b4_tas, (args.chain_lo, 10),
             B4 * L4 * L4,
+        )
+        model_ops["batch4k"] = (B4 // T4) * fill_lanes.issue_model_ops(
+            T4, L4, L4, w4
         )
 
         # General-matrix arm: the flagship BLOSUM62 scheme (the
@@ -492,6 +510,16 @@ def _run_measurements(args, t_start: float) -> None:
                 make_runk(gen_one), gen_tas,
                 (args.chain_lo, min(8, args.chain)), args.m * args.n,
             )
+            if gsp is not None:
+                model_ops["general"] = fill_lanes.issue_model_ops(
+                    2, gsp[1], args.n, gsp[0], asel=A_b, sub_bits=sb
+                )
+            else:
+                model_ops["general"] = fill_lanes.issue_model_ops(
+                    1, args.m, args.n,
+                    fill_lanes.pick_w(1, args.m, args.n, asel=A_b),
+                    asel=A_b, sub_bits=sb,
+                )
 
     # Compile + sanity phase.  Batch/calib arms are best-effort: their
     # failure or a tight deadline never loses the headline value.
@@ -535,6 +563,19 @@ def _run_measurements(args, t_start: float) -> None:
         t_hi = min(samples[name][str(hi)])
         return max((t_hi - t_lo) / (hi - lo), 1e-9), cells
 
+    calib_ops_s = None
+    if "calib" in ready:
+        cper, ccells = slope("calib")
+        calib_ops_s = ccells / cper
+        _state["calib_gops"] = round(calib_ops_s / 1e9, 1)
+
+    def arm_eff(name, per_s):
+        """% of the VPU issue bound sustained: modeled ops/s over the
+        in-run calibration rate (both through the same drift)."""
+        if calib_ops_s is None or name not in model_ops:
+            return None
+        return round(model_ops[name] / per_s / calib_ops_s, 3)
+
     per, cells = slope("single")
     gcups = cells / per / 1e9
     _state.update(
@@ -542,9 +583,9 @@ def _run_measurements(args, t_start: float) -> None:
         value=round(gcups, 4),
         vs_baseline=round(gcups / REFERENCE_GCUPS, 1),
     )
-    if "calib" in ready:
-        per, cells = slope("calib")
-        _state["calib_gops"] = round(cells / per / 1e9, 1)
+    eff = arm_eff("single", per)
+    if eff is not None:
+        _state["single_issue_efficiency"] = eff
     if "batch" in ready:
         per, cells = slope("batch")
         _state["batch_gcups"] = round(cells / per / 1e9, 4)
@@ -552,6 +593,9 @@ def _run_measurements(args, t_start: float) -> None:
             f"GCUPS_batch{args.batch_pairs}x{args.batch_len}"
             f"_lanes_w{_state.get('batch_w')}_{platform}"
         )
+        eff = arm_eff("batch", per)
+        if eff is not None:
+            _state["batch_issue_efficiency"] = eff
     if "batch_w32" in ready:
         per, cells = slope("batch_w32")
         _state["batch_w32_gcups"] = round(cells / per / 1e9, 4)
@@ -562,12 +606,24 @@ def _run_measurements(args, t_start: float) -> None:
             f"GCUPS_batch64x4096_tiled32_lanes_w{_state.get('batch4k_w')}"
             f"_{platform}"
         )
+        eff = arm_eff("batch4k", per)
+        if eff is not None:
+            _state["batch4k_issue_efficiency"] = eff
+        # Co-headline (VERDICT r4 item 8): `value` stays the 10 kb
+        # single-pair fill for round-over-round continuity, but the
+        # engine's design thesis is the batch axis — surface the 64x4kb
+        # number as a first-class record alongside it.
+        _state["headline_batch"] = _state["batch4k_gcups"]
+        _state["headline_batch_metric"] = _state["batch4k_metric"]
     if "general" in ready:
         per, cells = slope("general")
         _state["general_gcups"] = round(cells / per / 1e9, 4)
         _state["general_metric"] = (
             f"GCUPS_{args.m//1000}kb_BLOSUM62_lanes_bitmask_{platform}"
         )
+        eff = arm_eff("general", per)
+        if eff is not None:
+            _state["general_issue_efficiency"] = eff
     _state["samples"] = samples
     _emit()
 

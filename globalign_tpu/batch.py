@@ -44,6 +44,20 @@ DEFAULT_BUCKET_QUANTUM = 32
 # replay instead of materializing the whole bucket's moves.
 DEFAULT_BATCH_MOVES_BUDGET = 256 * 1024 * 1024
 
+# Sub-batch budget when the DEVICE-WALKED lane path serves the bucket:
+# those move buffers never leave HBM (only O(m+n) op tapes cross to the
+# host), so the bound is HBM working set, not host-fetch bytes — and
+# bigger sub-batches mean more pairs per walk group (the walk is
+# latency-bound at small lane counts; 10 kb fill tiles hold 2 pairs,
+# scratch/micro_tb_decompose.py).
+DEVICE_WALK_MOVES_BUDGET = 1536 * 1024 * 1024
+
+# Walk GROUPS stack same-shape tile move buffers and walk them in one
+# fori_loop (linear_tb.lanes_tile_walk flat_base).  Bounded so the
+# stacked copy stays comfortably in HBM and flat int32 indexing holds
+# (group elements < 2^31).
+WALK_GROUP_BYTES = 1536 * 1024 * 1024
+
 # General-matrix walk shape classes that survived their one blocking
 # probe (see _lanes_walked_traceback).
 _GENERAL_WALK_PROBED: set = set()
@@ -55,15 +69,19 @@ def _use_pallas() -> bool:
     return jax.devices()[0].platform not in ("cpu",)
 
 
-def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
-    """Materialized move-code bytes per pair for an (m, n) bucket, sized
-    for the backend the bucket actually uses: the lane kernel's skewed
-    uint8 buffer (amortized over a full tile — its footprint is
-    (m + 2*S_p)*w*S_p cells, NOT (m+1)*(n+1)), the stacked moves
-    kernel's 8-aligned chunk padding when that kernel runs, else the
-    row scan's logical (m+1)*(n+1).  Sharded shard_map bodies dispatch
-    the same lane kernel via host-resolved static plans
-    (parallel/mesh.py), so one estimate covers both."""
+def _moves_backend_estimate(
+    m: int, n: int, scheme: "ResolvedScheme"
+) -> tuple[int, bool]:
+    """(move-code bytes per pair, device-walked-lane-path expected) for
+    an (m, n) bucket, sized for the backend the bucket actually uses:
+    the lane kernel's skewed uint8 buffer (amortized over a full tile —
+    its footprint is (m + 2*S_p)*w*S_p cells, NOT (m+1)*(n+1)), the
+    stacked moves kernel's 8-aligned chunk padding when that kernel
+    runs, else the row scan's logical (m+1)*(n+1).  Sharded shard_map
+    bodies dispatch the same lane kernel via host-resolved static plans
+    (parallel/mesh.py), so one estimate covers both.  The flag picks
+    the sub-batch budget: walked-lane buckets keep moves in HBM (bigger
+    budget), everything else fetches them to the host."""
     from .ops.fill_pallas import (
         LANES, _stacked_r, _stacked_tile_size, uniform_scheme_params,
     )
@@ -91,12 +109,17 @@ def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
                 )
             ):
                 w, tile = plan
-                return -(
-                    -fill_lanes.lanes_moves_bytes(tile, m, n, w) // tile
+                return (
+                    -(-fill_lanes.lanes_moves_bytes(tile, m, n, w) // tile),
+                    True,
                 )
         if _stacked_tile_size(1, n, scheme.alphabet.size, moves=True) >= 1:
-            return (m + 1) * _stacked_r(n, moves=True) * LANES
-    return (m + 1) * (n + 1)
+            return (m + 1) * _stacked_r(n, moves=True) * LANES, False
+    return (m + 1) * (n + 1), False
+
+
+def _moves_pair_bytes(m: int, n: int, scheme: "ResolvedScheme") -> int:
+    return _moves_backend_estimate(m, n, scheme)[0]
 
 
 def _pallas_moves(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true):
@@ -123,8 +146,11 @@ def _lanes_walked_traceback(
     .batch_moves) fetches O(B*m*n) move bytes instead — measured ~20x
     the whole serving wall-clock through the dev tunnel
     (scratch/measure_serving.py).  Returns DEVICE ``(final3 (B, 3),
-    tapes (B, tape_len), counts (B,))`` or None when the lane kernel
-    does not cover these shapes (caller falls back)."""
+    tapes (B, tape_len), counts (B,), j_exits (B,))`` or None when the
+    lane kernel does not cover these shapes (caller falls back);
+    ``j_exits`` is each pair's remaining row-0 column count — the
+    caller renders that many boundary LEFT ops before the reversed
+    tape (reference globaligner.py:542-561)."""
     from .ops import fill_lanes
     from .ops.fill_pallas import _tile_slice, uniform_scheme_params
     from .ops.linear_tb import lanes_tile_walk
@@ -160,6 +186,7 @@ def _lanes_walked_traceback(
     sb = fill_lanes.dispatch_sub_bits(cost_np, gkey) if asel else 0
     pending = []
     try:
+        fills = []
         for lo in range(0, B, tile_l):
             hi = min(lo + tile_l, B)
             ta, tb, mt, nt = _tile_slice(
@@ -175,11 +202,48 @@ def _lanes_walked_traceback(
                     ta, tb, cost_mat, gap_id, gap_open, mt, nt, w=w,
                     sub_bits=sb,
                 )
-            tapes, counts, _jx = lanes_tile_walk(
-                mv, vals, mt, nt, bases, w, tape_len
+            fills.append((vals, mv, mt, nt, hi - lo))
+        # Walk in GROUPS: stack same-shape tile buffers and walk every
+        # pair of the group in one fori_loop (lanes_tile_walk
+        # flat_base).  The walk is latency-bound per step, so lane
+        # count is nearly free — at 10 kb each fill tile holds only 2
+        # pairs and per-tile walks dominated serving; groups keep
+        # int32 flat indexing and HBM bounded (WALK_GROUP_BYTES).
+        tile_elems = int(np.prod(fills[0][1].shape))
+        gsize = max(1, WALK_GROUP_BYTES // max(1, tile_elems))
+        for g0 in range(0, len(fills), gsize):
+            chunk = fills[g0 : g0 + gsize]
+            if len(chunk) == 1:
+                vals, mv, mt, nt, keep = chunk[0]
+                tapes, counts, jx = lanes_tile_walk(
+                    mv, vals, mt, nt, bases, w, tape_len
+                )
+                pending.append(
+                    (vals[:keep], tapes[:keep], counts[:keep], jx[:keep])
+                )
+                continue
+            G = len(chunk)
+            mv_g = jnp.stack([c[1] for c in chunk])
+            vals_g = jnp.concatenate([c[0] for c in chunk], axis=0)
+            mt_g = jnp.concatenate([c[2] for c in chunk])
+            nt_g = jnp.concatenate([c[3] for c in chunk])
+            bases_g = jnp.tile(bases, G)
+            flat_base = jnp.repeat(
+                jnp.arange(G, dtype=jnp.int32) * tile_elems, tile_l
             )
-            pending.append((vals[: hi - lo], tapes[: hi - lo],
-                            counts[: hi - lo]))
+            tapes_g, counts_g, jx_g = lanes_tile_walk(
+                mv_g, vals_g, mt_g, nt_g, bases_g, w, tape_len,
+                flat_base=flat_base,
+            )
+            row = 0
+            for vals, _mv, _mt, _nt, keep in chunk:
+                pending.append((
+                    vals[:keep],
+                    tapes_g[row : row + keep],
+                    counts_g[row : row + keep],
+                    jx_g[row : row + keep],
+                ))
+                row += tile_l
         if asel > 0 and gkey not in _GENERAL_WALK_PROBED:
             # One blocking probe per new shape class materializes a
             # Mosaic rejection so the latch can catch it; probing every
@@ -204,9 +268,10 @@ def _lanes_walked_traceback(
     # every bucket of the align_pairs call (one tunnel round trip per
     # array kind, not per bucket).
     return (
-        jnp.concatenate([v for v, _, _ in pending], axis=0),
-        jnp.concatenate([t for _, t, _ in pending], axis=0),
-        jnp.concatenate([c for _, _, c in pending], axis=0),
+        jnp.concatenate([v for v, _, _, _ in pending], axis=0),
+        jnp.concatenate([t for _, t, _, _ in pending], axis=0),
+        jnp.concatenate([c for _, _, c, _ in pending], axis=0),
+        jnp.concatenate([j for _, _, _, j in pending], axis=0),
     )
 
 
@@ -297,9 +362,11 @@ def align_pairs(
     stay sharded per device; final lanes are all-gathered).
 
     ``phase_seconds`` (optional dict) accumulates wall-clock per phase
-    ("fill" = device DP fills, "traceback" = host move walks) — the
-    runner surfaces these in its structured stats; device phases are also
-    annotated with ``jax.named_scope`` for jax.profiler traces.
+    ("fill" = device DP fill + walk dispatch, "fetch" = coalesced
+    device->host transfers, "traceback" = host string assembly,
+    "blocked" = linear-space per-pair path) — the runner surfaces these
+    in its structured stats; device phases are also annotated with
+    ``jax.named_scope`` for jax.profiler traces.
 
     ``flush=False`` returns a :class:`PendingAlignments` whose
     ``resolve()`` runs the coalesced device fetches and final host
@@ -371,7 +438,8 @@ def align_pairs(
     # fetch: (device (B, 3) final lanes, pair indices) per bucket.
     deferred: list[tuple[jnp.ndarray, list[int]]] = []
     # Device-walked traceback buckets awaiting the same treatment:
-    # ((final3, tapes, counts) device arrays, pair indices) per bucket.
+    # ((final3, tapes, counts, j_exits) device arrays, pair indices)
+    # per bucket.
     walked_pending: list[tuple[tuple, list[int]]] = []
     grouped: list[tuple[tuple[int, int], list[int]]] = []
     for (M, N), indices in buckets.items():
@@ -379,11 +447,16 @@ def align_pairs(
             grouped.append(((M, N), indices))
             continue
         # Budget per pair on the bytes the dispatched backend REALLY
-        # materializes (_moves_pair_bytes — lane-kernel skew, stacked
-        # chunk padding, or logical width) and split oversized buckets
-        # into sub-batches rather than losing the batched path.
-        per_pair = _moves_pair_bytes(M, N, scheme)
-        max_pairs = max(0, DEFAULT_BATCH_MOVES_BUDGET // max(1, per_pair))
+        # materializes (lane-kernel skew, stacked chunk padding, or
+        # logical width) and split oversized buckets into sub-batches
+        # rather than losing the batched path.  Device-walked lane
+        # buckets get the HBM-bound budget (moves never reach the
+        # host); fetching backends keep the host-transfer bound.
+        per_pair, walky = _moves_backend_estimate(M, N, scheme)
+        budget = (
+            DEVICE_WALK_MOVES_BUDGET if walky else DEFAULT_BATCH_MOVES_BUDGET
+        )
+        max_pairs = max(0, budget // max(1, per_pair))
         if max_pairs >= 1:
             for lo in range(0, len(indices), max_pairs):
                 grouped.append(((M, N), indices[lo : lo + max_pairs]))
@@ -395,11 +468,14 @@ def align_pairs(
         bucket_items = list(buckets.items())
 
     for (M, N), indices in bucket_items:
-        if (
-            with_traceback
-            and _moves_pair_bytes(M, N, scheme)
-            > DEFAULT_BATCH_MOVES_BUDGET
-        ):
+        if with_traceback:
+            per_pair, walky = _moves_backend_estimate(M, N, scheme)
+            bucket_budget = (
+                DEVICE_WALK_MOVES_BUDGET
+                if walky
+                else DEFAULT_BATCH_MOVES_BUDGET
+            )
+        if with_traceback and per_pair > bucket_budget:
             # A single pair's move matrix exceeds the budget; use the
             # checkpointed linear-space traceback (same deterministic path).
             from .ops.linear_tb import align_blocked
@@ -553,11 +629,12 @@ def align_pairs(
             _flush_deferred()
 
     def _flush_walked() -> None:
-        from .ops.linear_tb import assemble_from_tapes
+        from .ops.linear_tb import OP_LEFT, assemble_from_tapes
+        from .utils import native
 
-        # Three coalesced transfers for the whole call (tapes flattened
+        # Four coalesced transfers for the whole call (tapes flattened
         # across buckets — their widths differ per bucket).
-        with _phase("fill"):
+        with _phase("fetch"):
             vals_all = np.asarray(jnp.concatenate(
                 [w[0] for w, _ in walked_pending], axis=0
             ))
@@ -567,34 +644,49 @@ def align_pairs(
             counts_all = np.asarray(jnp.concatenate(
                 [w[2] for w, _ in walked_pending]
             ))
+            jx_all = np.asarray(jnp.concatenate(
+                [w[3] for w, _ in walked_pending]
+            ))
         row = 0
         off = 0
-        for (f3, tp, _c), indices in walked_pending:
-            L = tp.shape[1]
-            for k, idx in enumerate(indices):
-                s1, s2 = pairs[idx]
-                cost = int(vals_all[row + k].min())
-                score = final_cost_to_score(
-                    cost=cost, m=len(s1), n=len(s2),
-                    max_score=scheme.max_score,
-                )
-                tape = tapes_flat[
-                    off + k * L : off + k * L + int(counts_all[row + k])
-                ]
-                with _phase("traceback"):
-                    s1a, midl, s2a = assemble_from_tapes([tape], s1, s2)
-                results[idx] = PairResult(
-                    cost=cost,
-                    score=score,
-                    seq_1_aligned=s1a,
-                    middle_part=midl,
-                    seq_2_aligned=s2a,
-                )
-            row += len(indices)
-            off += tp.shape[0] * L
+        with _phase("traceback"):
+            for (f3, tp, _c, _j), indices in walked_pending:
+                L = tp.shape[1]
+                for k, idx in enumerate(indices):
+                    s1, s2 = pairs[idx]
+                    cost = int(vals_all[row + k].min())
+                    score = final_cost_to_score(
+                        cost=cost, m=len(s1), n=len(s2),
+                        max_score=scheme.max_score,
+                    )
+                    cnt = int(counts_all[row + k])
+                    tape = tapes_flat[off + k * L : off + k * L + cnt]
+                    # Forward op order: the walk records from (m, n)
+                    # upward and stops at row 0 with j_exit boundary
+                    # LEFT moves remaining (reference
+                    # globaligner.py:542-561) — prepend them, reverse
+                    # the tape, render natively (the per-byte Python
+                    # assembly measured ~260 us/pair at 1 kb).
+                    jx = int(jx_all[row + k])
+                    fwd = np.empty((jx + cnt,), np.uint8)
+                    fwd[:jx] = OP_LEFT
+                    fwd[jx:] = tape[::-1]
+                    rendered = native.render_ops(fwd, s1, s2)
+                    if rendered is None:  # pragma: no cover - no native
+                        rendered = assemble_from_tapes([tape], s1, s2)
+                    s1a, midl, s2a = rendered
+                    results[idx] = PairResult(
+                        cost=cost,
+                        score=score,
+                        seq_1_aligned=s1a,
+                        middle_part=midl,
+                        seq_2_aligned=s2a,
+                    )
+                row += len(indices)
+                off += tp.shape[0] * L
 
     def _flush_deferred() -> None:
-        with _phase("fill"):
+        with _phase("fetch"):
             flat = np.asarray(
                 jnp.concatenate([f for f, _ in deferred], axis=0)
             )

@@ -784,6 +784,32 @@ def _issue_cost(
     return (m + 2 * (S_p - 1)) * (w * c_phase * tiles + c_wave)
 
 
+# Ops per cost BIT for the bitmask substitution extract (shift, and,
+# shl, add — scratch/micro_varshift.py); used only by the reporting
+# model below, never by dispatch ranking (plans keep the chain-era
+# widths, the measured optimum — see lanes_plan docstring).
+ISSUE_SUBBITS_OPS = 4
+
+
+def issue_model_ops(
+    B: int, m: int, n_pad: int, w: int, moves: bool = False,
+    asel: int = 0, sub_bits: int = 0,
+) -> int:
+    """Modeled total VPU ops for ONE lane-kernel fill call — the
+    numerator of the bench artifact's per-arm ``issue_efficiency``
+    (modeled ops/s divided by the in-run VPU calibration rate).  Same
+    wave/phase accounting as :func:`_issue_cost`; additionally knows
+    the bitmask substitution mode (``sub_bits`` > 0 replaces the
+    asel-deep select chain with ~ISSUE_SUBBITS_OPS ops per cost bit)."""
+    if sub_bits > 0:
+        c_phase = ISSUE_PHASE_OPS + ISSUE_SUBBITS_OPS * sub_bits
+    else:
+        c_phase = ISSUE_PHASE_OPS + ISSUE_SELECT_OPS * asel
+    S_p, R = _lanes_geometry(B, n_pad, w, moves)
+    tiles = -(-R // 8)
+    return (m + 2 * (S_p - 1)) * (w * c_phase * tiles + ISSUE_WAVE_OPS)
+
+
 # Occupancy bounds for the round-4 empirical width rule (below) and the
 # batch tile cap: keep at least PICKW_MIN_R lane-chunks busy when
 # widening strips, and never run one kernel call past TILE_MAX_R

@@ -174,7 +174,9 @@ _walk_block = jax.jit(
 
 
 @functools.partial(jax.jit, static_argnames=("w", "tape_len"))
-def lanes_tile_walk(mv, final3, m_true, n_true, strip_bases, w, tape_len):
+def lanes_tile_walk(
+    mv, final3, m_true, n_true, strip_bases, w, tape_len, flat_base=None
+):
     """Walk every pair of one lanes moves tile ON DEVICE: full-matrix
     walks from each pair's (m_true, n_true) at its argmin entry level,
     all pairs in lockstep.
@@ -198,13 +200,26 @@ def lanes_tile_walk(mv, final3, m_true, n_true, strip_bases, w, tape_len):
     (scratch/micro_walk.py, scratch/micro_tb_decompose.py).  Finished
     lanes keep writing op 0 at columns past their count — never read
     (consumers slice ``[:count]``).  Same level semantics as
-    :func:`_walk_block_impl`."""
+    :func:`_walk_block_impl`.
+
+    ``mv`` may carry a leading GROUP axis ((G, Gw, R, 128): several
+    same-shape tile buffers stacked) with ``flat_base`` giving each
+    pair's group offset in elements (tile_index * Gw * R * 128) — one
+    walk then serves every tile of a sub-batch, keeping the lane count
+    high where single tiles are tiny (10 kb tiles hold 2 pairs; the
+    walk is latency-bound, so more lanes are nearly free —
+    scratch/micro_tb_decompose.py).  Caller must keep the total group
+    under int32 index range (batch.WALK_GROUP_BYTES)."""
     B = m_true.shape[0]
     levels = jnp.argmin(final3, axis=-1).astype(jnp.int32)
-    R128 = mv.shape[1] * LANES
+    R128 = mv.shape[-2] * LANES
     mv_flat = mv.reshape(-1)
-    max_row = mv.shape[0] - 1
+    max_row = mv.shape[-3] - 1
     bases = strip_bases.astype(jnp.int32)
+    if flat_base is None:
+        flat_base = jnp.int32(0)
+    else:
+        flat_base = flat_base.astype(jnp.int32)
 
     def body(it, st):
         i_l, j, level, t, ops = st
@@ -212,7 +227,7 @@ def lanes_tile_walk(mv, final3, m_true, n_true, strip_bases, w, tape_len):
         jc = jnp.maximum(j, 1) - 1
         qq = jc // w
         row = (i_l - 1 + 2 * qq) * w + jc % w
-        flat = jnp.minimum(row, max_row) * R128 + (bases + qq)
+        flat = flat_base + jnp.minimum(row, max_row) * R128 + (bases + qq)
         code = jnp.take(mv_flat, flat, mode="clip").astype(jnp.int32)
         boundary = j == 0
         is_m = level == 0

@@ -182,6 +182,39 @@ def fasta_records(path) -> list[tuple[str, str]] | None:
         lib.ga_fasta_free(p)
 
 
+def render_ops(ops_fwd, seq_1: str, seq_2: str):
+    """Native render of FORWARD-order op codes (0 diag / 1 left / 2 up)
+    into the three alignment lines, or None if native is unavailable.
+    The per-byte Python loop it replaces (linear_tb.assemble_from_tapes)
+    measured ~260 us/pair at 1 kb — ~1/3 of traceback-mode serving
+    wall-clock after the round-5 walk rewrite
+    (scratch/micro_tb_decompose.py)."""
+    import numpy as np
+
+    lib = load()
+    if lib is None:
+        return None
+    ops = np.ascontiguousarray(ops_fwd, dtype=np.uint8)
+    k = int(ops.shape[0])
+    out_1 = ctypes.create_string_buffer(k)
+    mid = ctypes.create_string_buffer(k)
+    out_2 = ctypes.create_string_buffer(k)
+    lib.ga_render_ops(
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        k,
+        seq_1.encode(),
+        seq_2.encode(),
+        out_1,
+        mid,
+        out_2,
+    )
+    return (
+        out_1.raw[:k].decode(),
+        mid.raw[:k].decode(),
+        out_2.raw[:k].decode(),
+    )
+
+
 def traceback_walk(moves, seq_1: str, seq_2: str, start_level: int):
     """Native move-code walk; returns (seq_1_aligned, middle, seq_2_aligned)
     or None if native is unavailable.  ``moves`` is the row-major

@@ -1,0 +1,182 @@
+"""Itemize the single-pair per-wave FIXED cost (VERDICT r4 item 3).
+
+The 10 kb single-pair fill sits at ~60-65 GCUPS vs the formulation's
+90-115 bound; the residual was attributed to per-wave fixed work
+(~4 cross-lane edge shifts, ring rotation, DMA staging) but never
+measured per component.  This micro times skeleton Pallas kernels that
+run G waves of (a) bare loop, (b) + w phases of representative ALU/
+scratch work, then ablate IN each per-wave component on top:
+
+  loop          fori_loop over G waves, one vector add
+  phases        + w phases: scratch read, 4 mins, scratch store
+  phases+shift  + 4 shift1 edge exchanges per wave (2 rolls + selects)
+  phases+ring   + 4 ring reads/stores per wave ((2/3, R, 128) slots)
+  phases+stage  + double-buffered HBM inject DMA + per-wave plane read
+  full          all three
+
+Shapes mirror the 10 kb split fill: R=8 (1024 strips), w=20.
+
+PYTHONPATH=/root/.axon_site:/root/repo python scratch/micro_wavecost.py
+"""
+
+import functools
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from globalign_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    from globalign_tpu.ops.fill_pallas import LANES, _lane_ops
+    from globalign_tpu.ops.fill_scan import BIG
+
+    R, w = 8, 20
+    G = 11_000
+    STAGE = 256  # inject planes per DMA block (mirrors fill_lanes)
+
+    def make(variant):
+        shifts = variant in ("shift", "full")
+        rings = variant in ("ring", "full")
+        stage = variant in ("stage", "full")
+        phases = variant != "loop"
+
+        def kernel(inj_hbm, out_ref, ah, emh, exh, zh, vbuf, stage_s, sems):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+            shift1, _, _, _ = _lane_ops(lane, row)
+            q0 = (row * LANES + lane) == 0
+
+            if stage:
+                def dma(blk, slot):
+                    return pltpu.make_async_copy(
+                        inj_hbm.at[pl.ds(blk * STAGE, STAGE)],
+                        stage_s.at[slot],
+                        sems.at[slot],
+                    )
+
+                dma(0, 0).start()
+                dma(1, 1).start()
+
+            def wave(g, _):
+                g2 = jax.lax.rem(g, 2)
+                g3 = jax.lax.rem(g, 3)
+                if stage:
+                    blk = jax.lax.div(g, STAGE)
+                    slot = jax.lax.rem(blk, 2)
+
+                    @pl.when(jax.lax.rem(g, STAGE) == 0)
+                    def _stage():
+                        dma(blk, slot).wait()
+
+                        @pl.when(blk >= 1)
+                        def _next():
+                            dma(blk + 1, jax.lax.rem(blk + 1, 2)).start()
+
+                    a_cur = stage_s[slot, jax.lax.rem(g, STAGE)]
+                else:
+                    a_cur = jnp.full((R, LANES), g, jnp.int32)
+
+                if shifts:
+                    a_cur = jnp.where(q0, a_cur, shift1(ah[g2], fill=0))
+                    myp = jnp.where(q0, g, shift1(emh[g2]))
+                    xp = jnp.where(q0, BIG, shift1(exh[g2]))
+                    zd = jnp.where(q0, g, shift1(zh[g3]))
+                elif rings or stage or phases:
+                    myp = ah[g2] if rings else a_cur
+                    xp = emh[g2] if rings else a_cur
+                    zd = zh[g3] if rings else a_cur
+                else:
+                    myp = xp = zd = a_cur
+
+                if phases:
+                    z = zd
+                    for p in range(w):
+                        vprev = vbuf[p]
+                        m_new = z + 1
+                        y_new = vprev + 1
+                        x_new = jnp.minimum(myp + 4, xp) + 3
+                        my = jnp.minimum(m_new, y_new)
+                        z = jnp.minimum(my, x_new)
+                        v = jnp.minimum(z + 4, y_new)
+                        vbuf[p] = v
+                        myp, xp = my, x_new
+                else:
+                    z, v = zd, myp
+
+                if rings or shifts:
+                    ah[g2] = a_cur
+                    emh[g2] = myp
+                    exh[g2] = xp
+                    zh[g3] = z
+                out_ref[0] = out_ref[0] + v
+                return 0
+
+            out_ref[0] = jnp.zeros((R, LANES), jnp.int32)
+            jax.lax.fori_loop(0, G, wave, 0)
+            if stage:
+                lastblk = jax.lax.div(G - 1, STAGE) + 1
+                dma(lastblk, jax.lax.rem(lastblk, 2)).wait()
+
+        nblocks = -(-G // STAGE) + 2
+        return pl.pallas_call(
+            kernel,
+            grid=(1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_shape=jax.ShapeDtypeStruct((1, R, LANES), jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((2, R, LANES), jnp.int32),
+                pltpu.VMEM((2, R, LANES), jnp.int32),
+                pltpu.VMEM((2, R, LANES), jnp.int32),
+                pltpu.VMEM((3, R, LANES), jnp.int32),
+                pltpu.VMEM((w, R, LANES), jnp.int32),
+                pltpu.VMEM((2, STAGE, R, LANES), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+
+    inj = jnp.zeros(((-(-G // STAGE) + 3) * STAGE, R, LANES), jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("variant", "k"))
+    def run_k(variant, k):
+        f = make(variant)
+        tot = jnp.int32(0)
+        for i in range(k):
+            tot = tot + jnp.sum(f(inj + i))
+        return tot
+
+    variants = ["loop", "phases", "shift", "ring", "stage", "full"]
+    for v in variants:
+        np.asarray(run_k(v, 1))  # warm
+
+    out = {}
+    for rep in range(3):
+        for v in variants:
+            t0 = time.perf_counter()
+            np.asarray(run_k(v, 1))
+            t1 = time.perf_counter()
+            np.asarray(run_k(v, 5))
+            t2 = time.perf_counter()
+            per_wave_ns = (t2 - t1 - (t1 - t0)) / 4 / G * 1e9
+            out.setdefault(v, []).append(round(per_wave_ns, 1))
+    summary = {v: min(ts) for v, ts in out.items()}
+    base = summary["phases"]
+    print(json.dumps({"metric": "wave_fixed_cost", "R": R, "w": w, "G": G,
+                      "per_wave_ns": summary,
+                      "delta_vs_phases_ns": {
+                          v: round(summary[v] - base, 1)
+                          for v in ("shift", "ring", "stage", "full")
+                      },
+                      "samples": out}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

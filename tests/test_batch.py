@@ -179,7 +179,11 @@ def test_walked_traceback_flush_accounting(monkeypatch):
             ops = _ops_from_alignment(tb.seq_1_aligned, tb.seq_2_aligned)
             tapes[row, : len(ops)] = ops
             counts[row] = len(ops)
-        return jnp.asarray(final3), jnp.asarray(tapes), jnp.asarray(counts)
+        # Full-path tapes: no row-0 boundary LEFT remainder (j_exit 0).
+        return (
+            jnp.asarray(final3), jnp.asarray(tapes), jnp.asarray(counts),
+            jnp.zeros((len(m_true),), jnp.int32),
+        )
 
     # Three buckets with distinct (M, N) — so distinct tape widths —
     # interleaved in input order to stress the row/off accounting.

@@ -267,6 +267,60 @@ def test_blocked_lanes_backend_equals_full(monkeypatch):
         assert t_full == t_blk, (block_rows, m, n)
 
 
+def test_lanes_group_walk_matches_per_tile():
+    """The GROUPED walk (stacked same-shape tile buffers + flat_base
+    offsets, batch.WALK_GROUP_BYTES path) must be bit-identical to
+    per-tile walks — tapes, counts, and j_exits."""
+    from globalign_tpu.ops import fill_lanes
+
+    rng = np.random.default_rng(23)
+    B, m_pad, n_pad, w = 2, 14, 18, 4
+    go = 3
+    tiles = []
+    for g in range(3):
+        ta = rng.integers(1, 5, (B, m_pad + 1)).astype(np.int32)
+        tb = rng.integers(1, 5, (B, n_pad + 1)).astype(np.int32)
+        ta[:, 0] = 0
+        tb[:, 0] = 0
+        mt = rng.integers(1, m_pad + 1, B).astype(np.int32)
+        nt = rng.integers(1, n_pad + 1, B).astype(np.int32)
+        final3, mv = fill_lanes.lanes_batch_moves(
+            jnp.asarray(ta), jnp.asarray(tb), 0, 5, 3, 2, go,
+            jnp.asarray(mt), jnp.asarray(nt), w=w, interpret=True,
+        )
+        tiles.append((final3, mv, jnp.asarray(mt), jnp.asarray(nt)))
+    S_p, _R = fill_lanes._lanes_geometry(B, n_pad, w, moves=True)
+    bases = jnp.arange(B, dtype=jnp.int32) * S_p
+    tape_len = m_pad + n_pad + 1
+
+    per_tile = [
+        linear_tb.lanes_tile_walk(mv, f3, mt, nt, bases, w, tape_len)
+        for f3, mv, mt, nt in tiles
+    ]
+    G = len(tiles)
+    tile_elems = int(np.prod(tiles[0][1].shape))
+    grouped = linear_tb.lanes_tile_walk(
+        jnp.stack([t[1] for t in tiles]),
+        jnp.concatenate([t[0] for t in tiles], axis=0),
+        jnp.concatenate([t[2] for t in tiles]),
+        jnp.concatenate([t[3] for t in tiles]),
+        jnp.tile(bases, G),
+        w,
+        tape_len,
+        flat_base=jnp.repeat(
+            jnp.arange(G, dtype=jnp.int32) * tile_elems, B
+        ),
+    )
+    for g in range(G):
+        tp, ct, jx = (np.asarray(x) for x in per_tile[g])
+        gt = np.asarray(grouped[0])[g * B : (g + 1) * B]
+        gc = np.asarray(grouped[1])[g * B : (g + 1) * B]
+        gj = np.asarray(grouped[2])[g * B : (g + 1) * B]
+        assert (ct == gc).all() and (jx == gj).all(), g
+        for b in range(B):
+            assert (tp[b, : ct[b]] == gt[b, : ct[b]]).all(), (g, b)
+
+
 def test_lanes_tile_walk_matches_host_walk():
     """Batch traceback with the walk ON DEVICE (lanes_tile_walk over the
     skewed lanes moves buffer, one strip_base per pair) must reproduce
