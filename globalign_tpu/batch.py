@@ -136,24 +136,44 @@ def _pallas_moves(tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true):
     )
 
 
-def _lanes_walked_traceback(
-    tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
-):
-    """Batch traceback with the walk ON DEVICE: lane-kernel moves fills
-    stay in HBM and each pair is walked in place in the skewed layout
-    (linear_tb.lanes_tile_walk); only the (B, 3) finals and O(m+n) op
-    tapes ever reach the host.  The host-unskew path (fill_pallas
-    .batch_moves) fetches O(B*m*n) move bytes instead — measured ~20x
-    the whole serving wall-clock through the dev tunnel
-    (scratch/measure_serving.py).  Returns DEVICE ``(final3 (B, 3),
-    tapes (B, tape_len), counts (B,), j_exits (B,))`` or None when the
-    lane kernel does not cover these shapes (caller falls back);
-    ``j_exits`` is each pair's remaining row-0 column count — the
-    caller renders that many boundary LEFT ops before the reversed
-    tape (reference globaligner.py:542-561)."""
+@dataclass
+class _WalkTile:
+    """One lane-kernel moves fill awaiting the chunk-wide mega walk."""
+
+    vals: object  # (tile_l, 3) device final lanes (incl. pad rows)
+    mv: object  # device skewed moves buffer
+    elems: int  # mv element count (= bytes; uint8)
+    w: int  # strip width
+    S_p: int  # strips per pair
+    tape_need: int  # m_pad + n_pad + 1 for this bucket
+    idxs: list  # positions in `pairs` of the tile's REAL rows
+    m_list: list  # their true lengths
+    n_list: list
+
+
+# Pad grids for the mega-walk jit signature: the blob length, tile-row
+# count, pair count, and tape length all quantize up so a stream of
+# varying chunk compositions reuses a handful of executables instead of
+# recompiling per chunk.
+_BLOB_QUANTUM = 4 * 1024 * 1024
+_ROWS_QUANTUM = 64
+_PAIRS_QUANTUM = 32
+_TAPE_QUANTUM = 256
+
+
+def _lanes_walk_fills(
+    tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true, indices,
+    pairs,
+) -> "list[_WalkTile] | None":
+    """Dispatch one bucket's lane-kernel MOVES fills and return the
+    tiles for the chunk-wide device walk (:func:`_mega_walk_flush`), or
+    None when the lane kernel does not cover these shapes (caller falls
+    back).  The moves buffers stay in HBM — the host-unskew path
+    (fill_pallas.batch_moves) fetches O(B*m*n) move bytes instead,
+    measured ~20x the whole serving wall-clock through the dev tunnel
+    (scratch/measure_serving.py)."""
     from .ops import fill_lanes
     from .ops.fill_pallas import _tile_slice, uniform_scheme_params
-    from .ops.linear_tb import lanes_tile_walk
 
     B = tok_a.shape[0]
     m_pad = tok_a.shape[1] - 1
@@ -173,20 +193,16 @@ def _lanes_walked_traceback(
     if asel > 0 and not fill_lanes.general_lanes_ok(gkey):
         return None
     S_p, _R = fill_lanes._lanes_geometry(tile_l, n_pad, w, moves=True)
-    tape_len = m_pad + n_pad + 1
-    bases = jnp.arange(tile_l, dtype=jnp.int32) * S_p
 
     tok_a = jnp.asarray(tok_a)
     tok_b = jnp.asarray(tok_b)
     m_t = jnp.asarray(m_true, jnp.int32)
     n_t = jnp.asarray(n_true, jnp.int32)
     # sub_bits from the HOST copy fetched above (the device array would
-    # cost a ~35 ms tunnel round trip per align_batch call), once for
-    # every tile.
+    # cost a ~35 ms tunnel round trip per align call), once per bucket.
     sb = fill_lanes.dispatch_sub_bits(cost_np, gkey) if asel else 0
-    pending = []
+    tiles: list[_WalkTile] = []
     try:
-        fills = []
         for lo in range(0, B, tile_l):
             hi = min(lo + tile_l, B)
             ta, tb, mt, nt = _tile_slice(
@@ -202,53 +218,18 @@ def _lanes_walked_traceback(
                     ta, tb, cost_mat, gap_id, gap_open, mt, nt, w=w,
                     sub_bits=sb,
                 )
-            fills.append((vals, mv, mt, nt, hi - lo))
-        # Walk in GROUPS: stack same-shape tile buffers and walk every
-        # pair of the group in one fori_loop (lanes_tile_walk
-        # flat_base).  The walk is latency-bound per step, so lane
-        # count is nearly free — at 10 kb each fill tile holds only 2
-        # pairs and per-tile walks dominated serving; groups keep
-        # int32 flat indexing and HBM bounded (WALK_GROUP_BYTES).
-        tile_elems = int(np.prod(fills[0][1].shape))
-        gsize = max(1, WALK_GROUP_BYTES // max(1, tile_elems))
-        for g0 in range(0, len(fills), gsize):
-            chunk = fills[g0 : g0 + gsize]
-            if len(chunk) == 1:
-                vals, mv, mt, nt, keep = chunk[0]
-                tapes, counts, jx = lanes_tile_walk(
-                    mv, vals, mt, nt, bases, w, tape_len
-                )
-                pending.append(
-                    (vals[:keep], tapes[:keep], counts[:keep], jx[:keep])
-                )
-                continue
-            G = len(chunk)
-            mv_g = jnp.stack([c[1] for c in chunk])
-            vals_g = jnp.concatenate([c[0] for c in chunk], axis=0)
-            mt_g = jnp.concatenate([c[2] for c in chunk])
-            nt_g = jnp.concatenate([c[3] for c in chunk])
-            bases_g = jnp.tile(bases, G)
-            flat_base = jnp.repeat(
-                jnp.arange(G, dtype=jnp.int32) * tile_elems, tile_l
-            )
-            tapes_g, counts_g, jx_g = lanes_tile_walk(
-                mv_g, vals_g, mt_g, nt_g, bases_g, w, tape_len,
-                flat_base=flat_base,
-            )
-            row = 0
-            for vals, _mv, _mt, _nt, keep in chunk:
-                pending.append((
-                    vals[:keep],
-                    tapes_g[row : row + keep],
-                    counts_g[row : row + keep],
-                    jx_g[row : row + keep],
-                ))
-                row += tile_l
+            idxs = list(indices[lo:hi])
+            tiles.append(_WalkTile(
+                vals=vals, mv=mv, elems=int(np.prod(mv.shape)),
+                w=w, S_p=S_p, tape_need=m_pad + n_pad + 1, idxs=idxs,
+                m_list=[len(pairs[i][0]) for i in idxs],
+                n_list=[len(pairs[i][1]) for i in idxs],
+            ))
         if asel > 0 and gkey not in _GENERAL_WALK_PROBED:
             # One blocking probe per new shape class materializes a
             # Mosaic rejection so the latch can catch it; probing every
             # bucket would cost a ~35 ms sync each on the dev tunnel.
-            pending[0][1].block_until_ready()
+            tiles[0].vals.block_until_ready()
             _GENERAL_WALK_PROBED.add(gkey)
     except Exception:  # pragma: no cover - backend-specific
         if asel == 0:
@@ -263,16 +244,75 @@ def _lanes_walked_traceback(
         )
         fill_lanes.mark_general_lanes_failed(gkey, sub_bits=sb)
         return None
+    return tiles
 
-    # Device concat per bucket; the CALLER coalesces the fetch across
-    # every bucket of the align_pairs call (one tunnel round trip per
-    # array kind, not per bucket).
-    return (
-        jnp.concatenate([v for v, _, _, _ in pending], axis=0),
-        jnp.concatenate([t for _, t, _, _ in pending], axis=0),
-        jnp.concatenate([c for _, _, c, _ in pending], axis=0),
-        jnp.concatenate([j for _, _, _, j in pending], axis=0),
+
+def _mega_walk_flush(tiles: "list[_WalkTile]"):
+    """Walk every accumulated tile's pairs in ONE device executable.
+
+    A jittered stream splinters each chunk into ~dozens of small (M, N)
+    buckets; per-bucket walk dispatches plus per-bucket result slices
+    and concats cost more tunnel/dispatch overhead than all the device
+    work combined (scratch/repro_bucket_serial.py: serial per-bucket
+    ~40 ms each while the device work is ~1 ms).  Every tile's skewed
+    buffer is flattened into one uint8 blob, per-PAIR geometry rides as
+    data (linear_tb.lanes_mega_walk), and the flush fetches exactly
+    four arrays for the whole accumulation.  All dims pad to quanta so
+    varying chunk compositions reuse a few compiled signatures.
+
+    Returns ``((vals, tapes, counts, j_exits) device arrays (padded
+    rows beyond len(indices) are junk), indices)`` — a walked_pending
+    entry."""
+    from .ops.linear_tb import lanes_mega_walk
+
+    offs = []
+    off = 0
+    for t in tiles:
+        offs.append(off)
+        off += t.elems
+    blob_pad = -(-off // _BLOB_QUANTUM) * _BLOB_QUANTUM - off
+    parts = [t.mv.reshape(-1) for t in tiles]
+    if blob_pad:
+        parts.append(jnp.zeros((blob_pad,), jnp.uint8))
+    mv_blob = jnp.concatenate(parts)
+
+    rows = sum(int(t.vals.shape[0]) for t in tiles)
+    rows_pad = -(-rows // _ROWS_QUANTUM) * _ROWS_QUANTUM - rows
+    vparts = [t.vals for t in tiles]
+    if rows_pad:
+        vparts.append(jnp.zeros((rows_pad, 3), jnp.int32))
+    vals_full = jnp.concatenate(vparts, axis=0)
+
+    indices: list[int] = []
+    sel = []
+    meta = []
+    row0 = 0
+    for t, toff in zip(tiles, offs):
+        r128 = int(t.mv.shape[-2]) * 128
+        maxrow = int(t.mv.shape[-3]) - 1
+        for slot, idx in enumerate(t.idxs):
+            indices.append(idx)
+            sel.append(row0 + slot)
+            meta.append((
+                t.m_list[slot], t.n_list[slot], t.w, r128, maxrow,
+                slot * t.S_p, toff,
+            ))
+        row0 += int(t.vals.shape[0])
+    P = len(indices)
+    P_pad = -(-P // _PAIRS_QUANTUM) * _PAIRS_QUANTUM
+    sel += [0] * (P_pad - P)
+    meta += [(0, 0, 1, 1, 0, 0, 0)] * (P_pad - P)  # m=0: inactive lanes
+    tape_need = max(t.tape_need for t in tiles)
+    tape_len = -(-tape_need // _TAPE_QUANTUM) * _TAPE_QUANTUM
+
+    out = lanes_mega_walk(
+        mv_blob,
+        vals_full,
+        jnp.asarray(np.asarray(sel, np.int32)),
+        jnp.asarray(np.asarray(meta, np.int32)),
+        tape_len,
     )
+    return out, indices
 
 
 @dataclass
@@ -439,8 +479,18 @@ def align_pairs(
     deferred: list[tuple[jnp.ndarray, list[int]]] = []
     # Device-walked traceback buckets awaiting the same treatment:
     # ((final3, tapes, counts, j_exits) device arrays, pair indices)
-    # per bucket.
+    # per mega-walk SEGMENT (tiles accumulate across buckets and walk
+    # in one executable; rows past len(indices) are pad junk).
     walked_pending: list[tuple[tuple, list[int]]] = []
+    walk_acc: list[_WalkTile] = []
+    walk_acc_bytes = 0
+
+    def _drain_walks() -> None:
+        nonlocal walk_acc, walk_acc_bytes
+        if walk_acc:
+            walked_pending.append(_mega_walk_flush(walk_acc))
+            walk_acc = []
+            walk_acc_bytes = 0
     grouped: list[tuple[tuple[int, int], list[int]]] = []
     for (M, N), indices in buckets.items():
         if not with_traceback:
@@ -512,7 +562,6 @@ def align_pairs(
         m_true = np.array([len(pairs[i][0]) for i in indices], np.int32)
         n_true = np.array([len(pairs[i][1]) for i in indices], np.int32)
 
-        walked = None
         with _phase("fill"):
             if mesh is not None and with_traceback:
                 from .parallel.mesh import sharded_fill_moves
@@ -557,15 +606,21 @@ def align_pairs(
             elif (
                 with_traceback
                 and _use_pallas()
-                and (walked := _lanes_walked_traceback(
-                    tok_a, tok_b, cost_mat, gap_id, gap_open, m_true, n_true
+                and (tiles := _lanes_walk_fills(
+                    tok_a, tok_b, cost_mat, gap_id, gap_open, m_true,
+                    n_true, indices, pairs,
                 ))
                 is not None
             ):
                 # Device-walked traceback: the move matrices never leave
-                # HBM; string assembly from the op tapes happens below,
-                # outside the fill phase.
-                pass
+                # HBM; tiles accumulate across buckets and walk in ONE
+                # chunk-wide executable (bounded by WALK_GROUP_BYTES so
+                # the blob keeps int32 indexing and the buffers fit).
+                walk_acc.extend(tiles)
+                walk_acc_bytes += sum(t.elems for t in tiles)
+                if walk_acc_bytes >= WALK_GROUP_BYTES:
+                    _drain_walks()
+                continue
             elif (
                 with_traceback
                 and _use_pallas()
@@ -589,13 +644,6 @@ def align_pairs(
                 final3 = np.asarray(res.final3)
                 moves = np.asarray(res.moves) if with_traceback else None
 
-        if walked is not None:
-            # Defer the fetch: all walked buckets of this call flush in
-            # ONE coalesced transfer below (per-bucket fetches measured
-            # most of serving wall-clock through the dev tunnel).
-            walked_pending.append((walked, indices))
-            continue
-
         for row, idx in enumerate(indices):
             s1, s2 = pairs[idx]
             cost = int(final3[row].min())
@@ -617,6 +665,10 @@ def align_pairs(
                 )
             else:
                 results[idx] = PairResult(cost=cost, score=score)
+
+    # Walk whatever tiles remain accumulated (normally the whole call:
+    # segments only split past WALK_GROUP_BYTES).
+    _drain_walks()
 
     def _flush() -> list[PairResult]:
         _flush_pending()
@@ -651,6 +703,9 @@ def align_pairs(
         off = 0
         with _phase("traceback"):
             for (f3, tp, _c, _j), indices in walked_pending:
+                # Segment arrays carry pad rows past len(indices)
+                # (mega-walk quantization) — row/off advance by the
+                # FULL shapes below.
                 L = tp.shape[1]
                 for k, idx in enumerate(indices):
                     s1, s2 = pairs[idx]
@@ -682,7 +737,7 @@ def align_pairs(
                         middle_part=midl,
                         seq_2_aligned=s2a,
                     )
-                row += len(indices)
+                row += f3.shape[0]
                 off += tp.shape[0] * L
 
     def _flush_deferred() -> None:

@@ -264,6 +264,89 @@ def lanes_tile_walk(
     return ops, t, j
 
 
+@functools.partial(jax.jit, static_argnames=("tape_len",))
+def lanes_mega_walk(mv_blob, vals_full, sel, meta, tape_len):
+    """Walk pairs from MANY lane-kernel tiles (any shapes/widths) in ONE
+    fori_loop — the serving fast path across a whole bucketed chunk.
+
+    A jittered 1 kb stream splinters into ~40 (M, N) buckets per
+    128-pair chunk; per-bucket walk dispatches plus per-bucket result
+    slices/concats cost more tunnel/dispatch overhead than all the
+    device work combined (scratch/repro_bucket_serial.py).  Here every
+    tile's skewed moves buffer is flattened into one uint8 blob and
+    each PAIR carries its own geometry as data, so one executable walks
+    the whole chunk and the flush fetches exactly four arrays.
+
+    Args:
+      mv_blob: (T,) uint8 — concatenated flattened tile buffers (caller
+        bounds T under int32 indexing via batch.WALK_GROUP_BYTES).
+      vals_full: (Q, 3) int32 — concatenated tile final3 rows,
+        including tile pad rows.
+      sel: (P,) int32 — rows of ``vals_full`` that are real pairs
+        (pad lanes point anywhere safe; their meta m == 0).
+      meta: (P, 7) int32 — per pair [m, n, w, r128, maxrow, base, off]:
+        strip width, lane-row stride (R*128), row clip bound, first
+        strip lane within the tile, and the tile's blob element offset.
+      tape_len: static op-tape bound >= max(m + n + 1) over the pairs.
+
+    Returns ``(vals (P, 3), tapes (P, tape_len) uint8, counts (P,),
+    j_exits (P,))`` — same per-pair contract as
+    :func:`lanes_tile_walk` (levels from argmin(vals); finished lanes
+    write op 0 past their count, never read)."""
+    vals = vals_full[sel]
+    P = vals.shape[0]
+    levels = jnp.argmin(vals, axis=-1).astype(jnp.int32)
+    m_v = meta[:, 0]
+    n_v = meta[:, 1]
+    w_v = meta[:, 2]
+    r128_v = meta[:, 3]
+    maxrow_v = meta[:, 4]
+    base_v = meta[:, 5]
+    off_v = meta[:, 6]
+
+    def body(it, st):
+        i_l, j, level, t, ops = st
+        active = i_l > 0
+        jc = jnp.maximum(j, 1) - 1
+        qq = jc // w_v
+        row = (i_l - 1 + 2 * qq) * w_v + (jc - qq * w_v)
+        flat = off_v + jnp.minimum(row, maxrow_v) * r128_v + (base_v + qq)
+        code = jnp.take(mv_blob, flat, mode="clip").astype(jnp.int32)
+        boundary = j == 0
+        is_m = level == 0
+        is_x = level == 1
+        op = jnp.where(
+            boundary, OP_UP,
+            jnp.where(is_m, OP_DIAG, jnp.where(is_x, OP_LEFT, OP_UP)),
+        )
+        nl = jnp.where(
+            is_m, code & 3,
+            jnp.where(is_x, (code >> 2) & 3, (code >> 4) & 3),
+        )
+        nl = jnp.where(boundary, level, nl)
+        di = jnp.where(op == OP_LEFT, 0, 1)
+        dj = jnp.where(op == OP_UP, 0, 1)
+        colv = jnp.where(active, op, 0).astype(jnp.uint8)
+        ops = jax.lax.dynamic_update_slice(ops, colv[:, None], (0, it))
+        i_l = jnp.where(active, i_l - di, i_l)
+        j = jnp.where(active, j - dj, j)
+        level = jnp.where(active, nl, level)
+        t = jnp.where(active, t + 1, t)
+        return (i_l, j, level, t, ops)
+
+    _, j, _, t, ops = jax.lax.fori_loop(
+        0, tape_len, body,
+        (
+            m_v,
+            n_v,
+            levels,
+            jnp.zeros((P,), jnp.int32),
+            jnp.zeros((P, tape_len), jnp.uint8),
+        ),
+    )
+    return vals, ops, t, j
+
+
 def align_blocked(
     tok_a_ext,
     tok_b_ext,

@@ -13,6 +13,11 @@ scratch work, then ablate IN each per-wave component on top:
   phases+ring   + 4 ring reads/stores per wave ((2/3, R, 128) slots)
   phases+stage  + double-buffered HBM inject DMA + per-wave plane read
   full          all three
+  phases2       TWO independent phase chains interleaved (2x the work):
+                if t(phases2) << 2*t(phases), the per-phase dependency
+                chain is latency-bound and interleaving independent
+                tiles is the batch-throughput lever (ILP probe)
+  full2         the full body with two interleaved chains
 
 Shapes mirror the 10 kb split fill: R=8 (1024 strips), w=20.
 
@@ -43,10 +48,11 @@ def main():
     STAGE = 256  # inject planes per DMA block (mirrors fill_lanes)
 
     def make(variant):
-        shifts = variant in ("shift", "full")
-        rings = variant in ("ring", "full")
-        stage = variant in ("stage", "full")
+        shifts = variant in ("shift", "full", "full2")
+        rings = variant in ("ring", "full", "full2")
+        stage = variant in ("stage", "full", "full2")
         phases = variant != "loop"
+        nsets = 2 if variant in ("phases2", "full2") else 1
 
         def kernel(inj_hbm, out_ref, ah, emh, exh, zh, vbuf, stage_s, sems):
             lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
@@ -97,17 +103,23 @@ def main():
                     myp = xp = zd = a_cur
 
                 if phases:
-                    z = zd
+                    # nsets independent chains interleaved per phase:
+                    # set t uses vbuf plane p for t==0, p+w for t==1.
+                    st = [[zd + t, myp + t, xp + t, myp]
+                          for t in range(nsets)]
                     for p in range(w):
-                        vprev = vbuf[p]
-                        m_new = z + 1
-                        y_new = vprev + 1
-                        x_new = jnp.minimum(myp + 4, xp) + 3
-                        my = jnp.minimum(m_new, y_new)
-                        z = jnp.minimum(my, x_new)
-                        v = jnp.minimum(z + 4, y_new)
-                        vbuf[p] = v
-                        myp, xp = my, x_new
+                        for t in range(nsets):
+                            z, my_c, xp_c, _v = st[t]
+                            vprev = vbuf[t * w + p]
+                            m_new = z + 1
+                            y_new = vprev + 1
+                            x_new = jnp.minimum(my_c + 4, xp_c) + 3
+                            my = jnp.minimum(m_new, y_new)
+                            z = jnp.minimum(my, x_new)
+                            v = jnp.minimum(z + 4, y_new)
+                            vbuf[t * w + p] = v
+                            st[t] = [z, my, x_new, v]
+                    z, myp, xp, v = st[0]
                 else:
                     z, v = zd, myp
 
@@ -125,19 +137,18 @@ def main():
                 lastblk = jax.lax.div(G - 1, STAGE) + 1
                 dma(lastblk, jax.lax.rem(lastblk, 2)).wait()
 
-        nblocks = -(-G // STAGE) + 2
         return pl.pallas_call(
             kernel,
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec((1, R, LANES), lambda i: (0, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((1, R, LANES), jnp.int32),
             scratch_shapes=[
                 pltpu.VMEM((2, R, LANES), jnp.int32),
                 pltpu.VMEM((2, R, LANES), jnp.int32),
                 pltpu.VMEM((2, R, LANES), jnp.int32),
                 pltpu.VMEM((3, R, LANES), jnp.int32),
-                pltpu.VMEM((w, R, LANES), jnp.int32),
+                pltpu.VMEM((2 * w, R, LANES), jnp.int32),
                 pltpu.VMEM((2, STAGE, R, LANES), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
@@ -153,7 +164,8 @@ def main():
             tot = tot + jnp.sum(f(inj + i))
         return tot
 
-    variants = ["loop", "phases", "shift", "ring", "stage", "full"]
+    variants = ["loop", "phases", "shift", "ring", "stage", "full",
+                "phases2", "full2"]
     for v in variants:
         np.asarray(run_k(v, 1))  # warm
 
@@ -175,6 +187,14 @@ def main():
                           v: round(summary[v] - base, 1)
                           for v in ("shift", "ring", "stage", "full")
                       },
+                      # 2x work in <2x time => chain latency-bound;
+                      # the interleave factor is the headroom.
+                      "ilp_x2_time_ratio": round(
+                          summary["phases2"] / max(base, 1e-9), 2
+                      ),
+                      "ilp_full_x2_ratio": round(
+                          summary["full2"] / max(summary["full"], 1e-9), 2
+                      ),
                       "samples": out}), flush=True)
 
 

@@ -127,76 +127,46 @@ def test_batch_traceback_subbatch_split(monkeypatch):
     assert want == got
 
 
-def _ops_from_alignment(s1a, s2a):
-    """uint8 op tape in walk order (from (m, n) upward) for a finished
-    alignment — the lanes_tile_walk tape contract (ops/linear_tb.py)."""
-    from globalign_tpu.ops.linear_tb import OP_DIAG, OP_LEFT, OP_UP
-
-    ops = []
-    for a, b in zip(s1a, s2a):
-        if a == "-":
-            ops.append(OP_LEFT)
-        elif b == "-":
-            ops.append(OP_UP)
-        else:
-            ops.append(OP_DIAG)
-    ops.reverse()  # the device walk emits from (m, n) back toward (0, 0)
-    return ops
-
-
 def test_walked_traceback_flush_accounting(monkeypatch):
-    """The coalesced walked-traceback flush (row/off bookkeeping across
-    buckets with DIFFERING tape widths) is only reachable on
-    accelerators; drive it on CPU with a stub honoring the device
-    contract of _lanes_walked_traceback (ADVICE r3)."""
-    import jax.numpy as jnp
-    import numpy as np
+    """The chunk-wide mega-walk path — fills accumulating across
+    buckets with DIFFERING shapes, ONE lanes_mega_walk executable,
+    padded-row flush accounting, native forward-order rendering — runs
+    REAL on CPU: the lane moves kernels in interpret mode (w clamped
+    to 4, CLAUDE.md LLVM-JIT note), the walk and flush are pure XLA."""
+    import functools
 
     import globalign_tpu.batch as batch_mod
+    from globalign_tpu.ops import fill_lanes
 
-    def fake_walked(tok_a, tok_b, cost_mat, gap_id, gap_open,
-                    m_true, n_true):
-        from globalign_tpu.ops import fill_rows
-        from globalign_tpu.ops.traceback import traceback_moves
-
-        res = fill_rows.row_fill_batch(
-            jnp.asarray(tok_a), jnp.asarray(tok_b), cost_mat, gap_id,
-            gap_open, jnp.asarray(m_true), jnp.asarray(n_true),
-            want_moves=True,
-        )
-        final3 = np.asarray(res.final3)
-        moves = np.asarray(res.moves)
-        tape_len = (tok_a.shape[1] - 1) + (tok_b.shape[1] - 1) + 1
-        tapes = np.zeros((len(m_true), tape_len), np.uint8)
-        counts = np.zeros((len(m_true),), np.int32)
-        for row, (m, n) in enumerate(zip(m_true, n_true)):
-            # Placeholder strings: the walk follows move CODES, so only
-            # the gap structure of the emitted alignment matters here.
-            tb = traceback_moves(
-                moves[row], "A" * int(m), "C" * int(n), final3[row],
-                layout="row",
-            )
-            ops = _ops_from_alignment(tb.seq_1_aligned, tb.seq_2_aligned)
-            tapes[row, : len(ops)] = ops
-            counts[row] = len(ops)
-        # Full-path tapes: no row-0 boundary LEFT remainder (j_exit 0).
-        return (
-            jnp.asarray(final3), jnp.asarray(tapes), jnp.asarray(counts),
-            jnp.zeros((len(m_true),), jnp.int32),
-        )
-
-    # Three buckets with distinct (M, N) — so distinct tape widths —
-    # interleaved in input order to stress the row/off accounting.
+    # Three buckets with distinct (M, N) — so distinct tile geometries —
+    # interleaved in input order to stress the sel/meta accounting.
     pairs = PAIRS + [
         ("ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGTA" * 2,
          "ACGTTACGATCGATCGTACGATCGATCGACGTACGTACGTG" * 2),
         ("TTTTGGGGCCCCAAAA", "TTGGCCAA"),
     ]
     want = batch_mod.align_pairs(pairs, with_traceback=True)
+
+    real_plan = fill_lanes.lanes_plan
+
+    def small_w_plan(*a, **k):
+        plan = real_plan(*a, **k)
+        return None if plan is None else (min(plan[0], 4), plan[1])
+
+    monkeypatch.setattr(fill_lanes, "lanes_plan", small_w_plan)
+    monkeypatch.setattr(
+        fill_lanes, "lanes_batch_moves",
+        functools.partial(fill_lanes.lanes_batch_moves, interpret=True),
+    )
     monkeypatch.setattr(batch_mod, "_use_pallas", lambda: True)
-    monkeypatch.setattr(batch_mod, "_lanes_walked_traceback", fake_walked)
     got = batch_mod.align_pairs(pairs, with_traceback=True)
     assert want == got
+
+    # Segment split: a tiny WALK_GROUP_BYTES forces one mega-walk
+    # segment per bucket — multi-segment row/off bookkeeping.
+    monkeypatch.setattr(batch_mod, "WALK_GROUP_BYTES", 1)
+    got2 = batch_mod.align_pairs(pairs, with_traceback=True)
+    assert want == got2
 
 
 def test_deferred_cost_flush_accounting(monkeypatch):
