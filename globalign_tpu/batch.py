@@ -59,7 +59,7 @@ DEVICE_WALK_MOVES_BUDGET = 1536 * 1024 * 1024
 WALK_GROUP_BYTES = 1536 * 1024 * 1024
 
 # General-matrix walk shape classes that survived their one blocking
-# probe (see _lanes_walked_traceback).
+# probe (see _lanes_walk_fills).
 _GENERAL_WALK_PROBED: set = set()
 
 
@@ -99,7 +99,14 @@ def _moves_backend_estimate(
             asel, scheme.costing.values
         )
         if lanes_able:
-            plan = fill_lanes.lanes_plan(128, m, n, moves=True, asel=asel)
+            sb = (
+                fill_lanes.sub_bits_for(np.asarray(scheme.costing.values))
+                if asel
+                else 0
+            )
+            plan = fill_lanes.lanes_plan(
+                128, m, n, moves=True, asel=asel, sub_bits=sb
+            )
             if plan is not None and (
                 asel == 0
                 or fill_lanes.general_lanes_ok(
@@ -183,24 +190,44 @@ def _lanes_walk_fills(
     asel = 0 if uni is not None else int(cost_np.shape[0])
     if not fill_lanes.lanes_alphabet_ok(asel, cost_np):
         return None
-    plan = fill_lanes.lanes_plan(B, m_pad, n_pad, moves=True, asel=asel)
+    # sub_bits from the HOST copy (the device array would cost a ~35 ms
+    # tunnel round trip per align call), once per bucket; the MOVES
+    # plan depends on it (bitmask general admits w=64).  The bitmask
+    # failure latch is keyed by the plan's shape class, so re-resolve
+    # and re-plan once if the latch downgrades the mode.
+    sb = fill_lanes.sub_bits_for(cost_np) if asel else 0
+    plan = fill_lanes.lanes_plan(
+        B, m_pad, n_pad, moves=True, asel=asel, sub_bits=sb
+    )
     if plan is None:
         return None
     w, tile_l = plan
     gkey = fill_lanes.general_lanes_key(
         tile_l, m_pad, n_pad, w, asel, moves=True
     )
-    if asel > 0 and not fill_lanes.general_lanes_ok(gkey):
-        return None
+    if asel > 0:
+        sb2 = fill_lanes.dispatch_sub_bits(cost_np, gkey)
+        if sb2 != sb:
+            sb = sb2
+            plan = fill_lanes.lanes_plan(
+                B, m_pad, n_pad, moves=True, asel=asel, sub_bits=sb
+            )
+            if plan is None:
+                return None
+            w, tile_l = plan
+            gkey = fill_lanes.general_lanes_key(
+                tile_l, m_pad, n_pad, w, asel, moves=True
+            )
+        if not fill_lanes.general_lanes_ok(gkey):
+            return None
+        if asel > fill_lanes.LANES_MAX_ALPHABET and sb == 0:
+            return None
     S_p, _R = fill_lanes._lanes_geometry(tile_l, n_pad, w, moves=True)
 
     tok_a = jnp.asarray(tok_a)
     tok_b = jnp.asarray(tok_b)
     m_t = jnp.asarray(m_true, jnp.int32)
     n_t = jnp.asarray(n_true, jnp.int32)
-    # sub_bits from the HOST copy fetched above (the device array would
-    # cost a ~35 ms tunnel round trip per align call), once per bucket.
-    sb = fill_lanes.dispatch_sub_bits(cost_np, gkey) if asel else 0
     tiles: list[_WalkTile] = []
     try:
         for lo in range(0, B, tile_l):

@@ -685,7 +685,7 @@ def _lanes_geometry(
 
 def lanes_vmem_bytes(
     B: int, n_pad: int, w: int = DEFAULT_W, moves: bool = False,
-    asel: int = 0,
+    asel: int = 0, sub_bits: int = 0,
 ) -> int:
     """Approximate kernel VMEM working set (budget check for dispatch)."""
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
@@ -702,7 +702,10 @@ def lanes_vmem_bytes(
     if asel > 0:
         # General mode: ctab + dtab + the c0acc accumulator (the inject
         # stage carries the same single token plane as uniform mode).
-        total += (w * asel + w + 1) * tile
+        # The bitmask mode stages (w * sub_bits) packed mask planes
+        # instead of the (w * asel) chain table.
+        planes = sub_bits if sub_bits > 0 else asel
+        total += (w * planes + w + 1) * tile
     return total
 
 
@@ -712,7 +715,8 @@ LANES_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _w_candidates(
-    B: int, n_pad: int, moves: bool = False, asel: int = 0
+    B: int, n_pad: int, moves: bool = False, asel: int = 0,
+    sub_bits: int = 0,
 ) -> tuple[int, ...]:
     """Strip-width candidates: powers of two plus the width that fills
     the 8 sublanes exactly (strips ~ 1024, every VPU op one (8, 128)
@@ -724,18 +728,22 @@ def _w_candidates(
     lane-chunks stay busy — 64 x 1 kb measured 27 GCUPS at the old w=32
     cap, 45 at w=64, 61 at w=128, bit-exact on ragged batches
     (scratch/micro_w64.py); Mosaic code size stays sane (w=128 compiles
-    in ~7 s).  Moves mode stays capped at 32 (the kernel unrolls w
-    phases twice there — light + capture — and the wider skewed buffer
-    grows the uint8 stream; w=64 moves compiles and matches but is
-    unmeasured for speed).  General mode (asel > 0): the occupancy
-    lever transfers (A=25: w=64 at 23.9 GCUPS vs w=32's 21; A=5: w=128
-    at 50-53 vs w=32's 26 — scratch/micro_general_w64.py, bit-exact,
-    ~7 s compiles), but the unrolled select-chain code grows as
-    w x asel (twice), so widths are admitted while w*asel stays within
-    the measured-safe budget (128x5=640 and 64x25=1600 both compiled in
-    seconds; 128x25=3200 is unmeasured and excluded)."""
+    in ~7 s).  Moves mode is capped at 32 for uniform schemes and the
+    select chain (the kernel unrolls w phases twice — light + capture —
+    and the wider skewed buffer grows the uint8 stream), but BITMASK
+    general moves admit w=64: measured 1.5x at 16 x 4 kb (51.6-56.9 vs
+    35.5-36.4 GCUPS; w=32 still wins at 32 x 1 kb — the model ranks
+    per shape) with code size w*sub_bits*2 = 512 phases, well under the
+    chain budget (scratch/micro_moves_w_bits.py, round 5).  General
+    cost mode (asel > 0): the occupancy lever transfers (A=25: w=64 at
+    23.9 GCUPS vs w=32's 21; A=5: w=128 at 50-53 vs w=32's 26 —
+    scratch/micro_general_w64.py, bit-exact, ~7 s compiles), but the
+    unrolled select-chain code grows as w x asel (twice), so widths
+    are admitted while w*asel stays within the measured-safe budget
+    (128x5=640 and 64x25=1600 both compiled in seconds; 128x25=3200 is
+    unmeasured and excluded)."""
     if moves:
-        cap = 32
+        cap = 64 if (asel > 0 and sub_bits > 0) else 32
     elif asel > 0:
         cap = 32
         for wide in (64, 128):
@@ -770,25 +778,29 @@ def _debug_dispatch() -> bool:
     return bool(os.environ.get(_DEBUG_DISPATCH_ENV))
 
 
+# Ops per cost BIT for the bitmask substitution extract (shift, and,
+# shl, add — scratch/micro_varshift.py).
+ISSUE_SUBBITS_OPS = 4
+
+
 def _issue_cost(
-    B: int, m: int, n_pad: int, w: int, moves: bool, asel: int = 0
+    B: int, m: int, n_pad: int, w: int, moves: bool, asel: int = 0,
+    sub_bits: int = 0,
 ) -> int:
     """Issue-bound instruction model: waves x (phases x ops x
     sublane-tiles + per-wave overhead).  Constants validated against
     the measured w-sweep at 1 kb / 10 kb on v5e (docs/PERF.md).
-    General matrices add a 2-op select per alphabet character."""
-    c_phase = ISSUE_PHASE_OPS + ISSUE_SELECT_OPS * asel
+    General matrices add a 2-op select per alphabet character; the
+    bitmask mode (``sub_bits`` > 0) replaces the chain with
+    ~ISSUE_SUBBITS_OPS ops per cost bit."""
+    if sub_bits > 0:
+        c_phase = ISSUE_PHASE_OPS + ISSUE_SUBBITS_OPS * sub_bits
+    else:
+        c_phase = ISSUE_PHASE_OPS + ISSUE_SELECT_OPS * asel
     c_wave = ISSUE_WAVE_OPS
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
     tiles = -(-R // 8)
     return (m + 2 * (S_p - 1)) * (w * c_phase * tiles + c_wave)
-
-
-# Ops per cost BIT for the bitmask substitution extract (shift, and,
-# shl, add — scratch/micro_varshift.py); used only by the reporting
-# model below, never by dispatch ranking (plans keep the chain-era
-# widths, the measured optimum — see lanes_plan docstring).
-ISSUE_SUBBITS_OPS = 4
 
 
 def issue_model_ops(
@@ -797,17 +809,8 @@ def issue_model_ops(
 ) -> int:
     """Modeled total VPU ops for ONE lane-kernel fill call — the
     numerator of the bench artifact's per-arm ``issue_efficiency``
-    (modeled ops/s divided by the in-run VPU calibration rate).  Same
-    wave/phase accounting as :func:`_issue_cost`; additionally knows
-    the bitmask substitution mode (``sub_bits`` > 0 replaces the
-    asel-deep select chain with ~ISSUE_SUBBITS_OPS ops per cost bit)."""
-    if sub_bits > 0:
-        c_phase = ISSUE_PHASE_OPS + ISSUE_SUBBITS_OPS * sub_bits
-    else:
-        c_phase = ISSUE_PHASE_OPS + ISSUE_SELECT_OPS * asel
-    S_p, R = _lanes_geometry(B, n_pad, w, moves)
-    tiles = -(-R // 8)
-    return (m + 2 * (S_p - 1)) * (w * c_phase * tiles + ISSUE_WAVE_OPS)
+    (modeled ops/s divided by the in-run VPU calibration rate)."""
+    return _issue_cost(B, m, n_pad, w, moves, asel, sub_bits)
 
 
 # Occupancy bounds for the round-4 empirical width rule (below) and the
@@ -1078,31 +1081,38 @@ def mark_general_probed(key: tuple | None) -> None:
 
 
 def lanes_plan(
-    B: int, m_pad: int, n_pad: int, moves: bool = False, asel: int = 0
+    B: int, m_pad: int, n_pad: int, moves: bool = False, asel: int = 0,
+    sub_bits: int = 0,
 ) -> tuple[int, int] | None:
     """Dispatch plan ``(w, tile)`` for a (padded) batch geometry, or
     None when even a single pair's working set exceeds the VMEM budget
     (megabase-scale n — callers fall back to the scan kernels) or, in
     moves mode, when the drain-wave or buffer-size guards above fire.
 
-    Deterministic in the padded shapes only, so a host wrapper and a
-    shard_map body recompute the identical plan.  The asel-capped width
-    candidates are ALSO correct for the bitmask substitution kernel
-    (fill_lanes.sub_bits_for): its smaller staged tables would admit
-    wider strips, but the measured optimum stays at the chain-era
-    widths (w=64 beat w=128 by ~17% at 16x4kb A=25 bitmask, w=128 lost
-    at 32x1kb too — scratch/micro_subbits_w.py), so plans do not vary
-    with sub_bits."""
+    Deterministic in the padded shapes (+ the host-resolved
+    ``sub_bits``) only, so a host wrapper and a shard_map body
+    recompute the identical plan.  In COST mode the asel-capped width
+    candidates are ALSO correct for the bitmask substitution kernel:
+    its smaller staged tables would admit wider strips, but the
+    measured optimum stays at the chain-era widths (w=64 beat w=128 by
+    ~17% at 16x4kb A=25 bitmask, w=128 lost at 32x1kb too —
+    scratch/micro_subbits_w.py), so cost plans do not vary with
+    sub_bits.  MOVES mode is different: the code stream halves the
+    state budget and the bitmask tables shrink the staging, so w=64
+    wins 1.5x at 16x4kb (scratch/micro_moves_w_bits.py) — callers pass
+    the resolved ``sub_bits`` and the candidate cap lifts to 64 for
+    bitmask general moves."""
+    moves_cap = 64 if (moves and asel > 0 and sub_bits > 0) else 32
     w = pick_w(B, m_pad, n_pad, asel=asel)
     if moves:
-        w = min(w, 32)  # moves candidates stay capped (_w_candidates)
+        w = min(w, moves_cap)  # moves candidates stay capped
     tile = lanes_tile_size(B, n_pad, w, moves, asel)
     if tile < B:
         # The batch splits: re-pick the width for the tile the kernel
         # actually runs, then re-fit the tile to that width.
         w = pick_w(tile, m_pad, n_pad, asel=asel)
         if moves:
-            w = min(w, 32)
+            w = min(w, moves_cap)
         tile = lanes_tile_size(tile, n_pad, w, moves, asel)
     if not moves:
         # Candidates that fit VMEM at this tile; uniform batches then
@@ -1137,8 +1147,9 @@ def lanes_plan(
     # (short blocks over wide rows — fewer, wider strips fix it), so
     # choose the model-best width among the FEASIBLE candidates.
     def feasible(wc):
-        if lanes_vmem_bytes(tile, n_pad, wc, moves=True, asel=asel) \
-                > LANES_VMEM_BUDGET:
+        if lanes_vmem_bytes(
+            tile, n_pad, wc, moves=True, asel=asel, sub_bits=sub_bits
+        ) > LANES_VMEM_BUDGET:
             return False
         S_p, _ = _lanes_geometry(tile, n_pad, wc, moves=True)
         if 2 * (S_p - 1) > m_pad:
@@ -1151,10 +1162,14 @@ def lanes_plan(
         )
 
     best = None
-    for wc in sorted({*_w_candidates(tile, n_pad, moves=True), w}):
+    for wc in sorted({
+        *_w_candidates(tile, n_pad, moves=True, asel=asel,
+                       sub_bits=sub_bits),
+        w,
+    }):
         if not feasible(wc):
             continue
-        cost = _issue_cost(tile, m_pad, n_pad, wc, True, asel)
+        cost = _issue_cost(tile, m_pad, n_pad, wc, True, asel, sub_bits)
         if best is None or cost < best[0]:
             best = (cost, wc)
     if best is None:

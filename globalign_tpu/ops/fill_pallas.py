@@ -1063,13 +1063,32 @@ def batch_moves(
 
         if fill_lanes.lanes_alphabet_ok(A, cost_mat):
             m_pad = tok_a_ext.shape[1] - 1
-            plan = fill_lanes.lanes_plan(B, m_pad, n, moves=True, asel=A)
+            # The MOVES plan depends on the substitution mode (bitmask
+            # admits w=64); re-plan once if the per-shape bitmask latch
+            # downgrades the mode for this class.
+            sb = fill_lanes.sub_bits_for(cost_mat)
+            plan = fill_lanes.lanes_plan(
+                B, m_pad, n, moves=True, asel=A, sub_bits=sb
+            )
             gkey = None if plan is None else fill_lanes.general_lanes_key(
                 plan[1], m_pad, n, plan[0], A, moves=True
             )
+            if plan is not None:
+                sb2 = fill_lanes.dispatch_sub_bits(cost_mat, gkey)
+                if sb2 != sb:
+                    sb = sb2
+                    plan = fill_lanes.lanes_plan(
+                        B, m_pad, n, moves=True, asel=A, sub_bits=sb
+                    )
+                    gkey = None if plan is None else (
+                        fill_lanes.general_lanes_key(
+                            plan[1], m_pad, n, plan[0], A, moves=True
+                        )
+                    )
+                if A > fill_lanes.LANES_MAX_ALPHABET and sb == 0:
+                    plan = None
             if plan is not None and fill_lanes.general_lanes_ok(gkey):
                 w, tile_l = plan
-                sb = fill_lanes.dispatch_sub_bits(cost_mat, gkey)
                 try:
                     # Dispatch every tile lazily, then probe once: the
                     # fills stay pipelined against the host unskews

@@ -330,23 +330,38 @@ def sharded_fill_moves(
         if uniform is not None:
             plan = fill_lanes.lanes_plan(Bl, m_pad, n_pad, moves=True)
         elif fill_lanes.lanes_alphabet_ok(A, cost_np):
+            # Resolve the substitution mode HERE (the shard body sees a
+            # traced matrix); the MOVES plan depends on it (bitmask
+            # admits w=64), and the per-shape bitmask latch can
+            # downgrade it — re-plan once if so.  Alphabets 27-31 are
+            # only lane-eligible in bitmask mode.
+            sub_bits = fill_lanes.sub_bits_for(cost_np)
             plan = fill_lanes.lanes_plan(
-                Bl, m_pad, n_pad, moves=True, asel=A
+                Bl, m_pad, n_pad, moves=True, asel=A, sub_bits=sub_bits
             )
             if plan is not None:
                 gkey = fill_lanes.general_lanes_key(
                     plan[1], m_pad, n_pad, plan[0], A, moves=True
                 )
-                if not fill_lanes.general_lanes_ok(gkey):
+                sb2 = fill_lanes.dispatch_sub_bits(cost_np, gkey)
+                if sb2 != sub_bits:
+                    sub_bits = sb2
+                    plan = fill_lanes.lanes_plan(
+                        Bl, m_pad, n_pad, moves=True, asel=A,
+                        sub_bits=sub_bits,
+                    )
+                    if plan is not None:
+                        gkey = fill_lanes.general_lanes_key(
+                            plan[1], m_pad, n_pad, plan[0], A, moves=True
+                        )
+                if plan is not None and not fill_lanes.general_lanes_ok(
+                    gkey
+                ):
                     plan = None
-            if plan is not None:
-                # Resolve the substitution mode HERE (the shard body
-                # sees a traced matrix); alphabets 27-31 are only
-                # lane-eligible in bitmask mode, so a latched bitmask
-                # (sub_bits 0) declines the plan for them.
-                sub_bits = fill_lanes.dispatch_sub_bits(cost_np, gkey)
-                if A > fill_lanes.LANES_MAX_ALPHABET and sub_bits == 0:
-                    plan = None
+            if plan is not None and (
+                A > fill_lanes.LANES_MAX_ALPHABET and sub_bits == 0
+            ):
+                plan = None
         if plan is not None:
             # lanes_plan guards skewed-buffer inflation PER TILE;
             # inside the shard body every tile's buffer is live at

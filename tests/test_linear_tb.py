@@ -326,7 +326,7 @@ def test_lanes_tile_walk_matches_host_walk():
     skewed lanes moves buffer, one strip_base per pair) must reproduce
     the host unskew + row-layout walk pair for pair — alignment strings
     and trailing row-0 LEFT semantics included (the serving fast path,
-    batch._lanes_walked_traceback)."""
+    batch._lanes_walk_fills + lanes_mega_walk)."""
     from globalign_tpu.ops import fill_lanes
 
     rng = np.random.default_rng(17)
