@@ -186,10 +186,27 @@ def _sub_mask_planes(ct, nbits):
 
 def _make_lane_kernel(
     w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False,
-    asel: int = 0, nb: int = 1, sub_bits: int = 0,
+    asel: int = 0, nb: int = 1, sub_bits: int = 0, npar: int = 1,
 ):
     """Build the kernel for ``w``-wide strips, ``R`` lane-chunks of
     strips, ``S_p`` strips per pair, inject tile width ``Rw``.
+
+    ``npar`` > 1 processes that many INDEPENDENT same-shape tile sets
+    per wave, their per-phase DP chains interleaved (round 5): every
+    per-set ring/buffer/table gets its own planes; only the inject DMA,
+    the wave loop, and the scheme scalars are shared.  Cost-only
+    (moves asserts npar == 1).  MEASURED OUTCOME: a skeleton kernel
+    promised ~1.77x (two interleaved chains cost 1.11-1.13x one,
+    scratch/micro_wavecost.py `fullpair`), but the REAL dual kernel
+    LOSES on chip — 64x4kb 145.7 vs 157.0 GCUPS for two single R=8
+    calls, 512x1kb 61.2 vs 81.7, bit-exact throughout
+    (scratch/micro_dual.py).  The real phase body's ~4 VMEM scratch
+    accesses per phase (vbuf/zbuf/btab/out) double with the second set
+    while the skeleton carried only 2: the production kernel is
+    SCRATCH-BANDWIDTH-bound, not chain-latency-bound, so no interleave
+    win exists (same wall the R=16 single call hit,
+    scratch/micro_tilecap8.py).  npar=2 stays as chip-validated A/B
+    infrastructure; dispatch never selects it.
 
     ``asel`` > 0 enables GENERAL costing matrices (alphabet size asel,
     any substitution/gap structure, traced values): substitution costs
@@ -231,9 +248,12 @@ def _make_lane_kernel(
 
     # Inject planes per wave: the seq_1 token only (both modes).  With
     # broadcast staging (Rw == 1, nb pairs) each wave carries nb rows —
-    # one (1, 128) row per pair, selected by pair id in-kernel.
+    # one (1, 128) row per pair, selected by pair id in-kernel; npar
+    # sets stack their rows per wave (set t at +t*IP*nb).
+    assert npar == 1 or not moves, "dual-set kernel is cost-only"
     IP = 1
-    IPW = IP * nb  # inject rows per wave
+    IPW = IP * nb * npar  # inject rows per wave (all sets)
+    wb = max(w - 1, 1)  # zbuf planes per set
     mycarry = _MYCARRY and not moves  # fused min(M, Iy) carry + edge ring
 
     def kernel(*refs):
@@ -307,32 +327,34 @@ def _make_lane_kernel(
             pair_t = jax.lax.div(s_t, S_p)  # broadcast-inject selector
         q0 = q_t == 0
         j0_t = q_t * w  # pair-local column before the strip's first
-        mtrue = mtrue_ref[:, :]
+        mtrue = [mtrue_ref[t] for t in range(npar)]
         big = jnp.full((R, LANES), BIG, jnp.int32)
 
         shift1, _, _, _ = _lane_ops(lane, row)
 
         # Row-0 boundary seeds: z(0,j) = go + j*d, v(0,j) = 2*go + j*d
         # (j >= 1; reference make_dp_array, globaligner.py:756-821).
-        for p in range(w):
-            if p < w - 1:
-                zbuf_s[p] = zrow_ref[p]
+        for t in range(npar):
+            for p in range(w):
+                if p < w - 1:
+                    zbuf_s[t * wb + p] = zrow_ref[t * w + p]
+                    if moves:
+                        zcb[p] = zcrow_ref[p]
+                vbuf_s[t * w + p] = vrow_ref[t * w + p]
                 if moves:
-                    zcb[p] = zcrow_ref[p]
-            vbuf_s[p] = vrow_ref[p]
-            if moves:
-                vcb[p] = vcrow_ref[p]
-            # Row-0 output seeds (returned only for m_true == 0 pairs,
-            # which injected-boundary callers never pass): (BIG, Ix, BIG)
-            # and Ix(0, j) == min3(0, j) on the global boundary.
-            out_ref[0, p] = big
-            out_ref[1, p] = zrow_ref[p]
-            out_ref[2, p] = big
+                    vcb[p] = vcrow_ref[p]
+                # Row-0 output seeds (returned only for m_true == 0
+                # pairs, which injected-boundary callers never pass):
+                # (BIG, Ix, BIG); Ix(0, j) == min3(0, j) globally.
+                out_ref[0, t * w + p] = big
+                out_ref[1, t * w + p] = zrow_ref[t * w + p]
+                out_ref[2, t * w + p] = big
 
         if asel > 0:
             # Column-0 Iy accumulator: c0y(0) = the pair's c0 seed
             # (gap_open globally, the block-top Iy when injected).
-            c0acc[:, :] = c0t_ref[:, :]
+            for t in range(npar):
+                c0acc[t] = c0t_ref[t]
 
         def dma(blk, slot):
             return pltpu.make_async_copy(
@@ -367,23 +389,24 @@ def _make_lane_kernel(
                         # Block blk-1 is fully consumed; its slot is free.
                         dma(blk + 1, jax.lax.rem(blk + 1, 2)).start()
 
-                def plane(t):
-                    base = jax.lax.rem(g, _STAGE) * IPW
+                def plane(ts):
+                    # Set ts's token plane this wave (IP == 1): rows
+                    # per wave are [set0 pair0.., set1 pair0..].
+                    base = jax.lax.rem(g, _STAGE) * IPW + ts * IP * nb
                     if Rw != 1:
-                        return stage_s[slot, base + t]
+                        return stage_s[slot, base]
                     v = jnp.broadcast_to(
-                        stage_s[slot, base + t], (R, LANES)
+                        stage_s[slot, base], (R, LANES)
                     )
-                    # Broadcast staging: pair b's group of IP planes sits
-                    # at rows b*IP + t; select each strip's pair's value.
+                    # Broadcast staging: pair b's group of IP planes
+                    # sits at rows b*IP; select each strip's pair's
+                    # value.
                     for b in range(1, nb):
                         vb = jnp.broadcast_to(
-                            stage_s[slot, base + b * IP + t], (R, LANES)
+                            stage_s[slot, base + b * IP], (R, LANES)
                         )
                         v = jnp.where(pair_t == b, vb, v)
                     return v
-
-                a_inj = plane(0)
 
                 i_t = (g + 1) - 2 * q_t  # this strip's DP row this wave
                 # Unmasked regimes (wave >= 2*(S_p - 1)) have every
@@ -403,62 +426,83 @@ def _make_lane_kernel(
                         # must have drained before we overwrite it.
                         odma(mblk - 2, mslot).wait()
 
-                # Edges from the left neighbor, produced >= 1 wave ago
-                # (the 2-row skew), or the column-0 boundary for strip 0
-                # of each pair: (BIG, BIG, go + i*ic), diag z(i-1, 0).
-                # Ring slot g%2 still holds wave g-2's value (g%3 ->
-                # g-3) because this wave's store happens after the read.
-                a_cur = jnp.where(q0, a_inj, shift1(ah[g2], fill=0))
-                if not mycarry:
-                    mp0 = jnp.where(q0, big, shift1(emh[g2]))
-                xp0 = jnp.where(q0, big, shift1(exh[g2]))
-                if asel == 0:
-                    ic_cur = ic
-                    c0t = c0t_ref[:, :]
-                    c0y_i = c0t + i_t * ic
-                    c0y_im1 = c0t + (i_t - 1) * ic
-                else:
-                    # Per-row gap-extension from the pipelined token
-                    # (itab scalar chain — no extra inject plane);
-                    # column-0 Iy accumulates in scratch, seeded from
-                    # c0t_ref, and is consumed at q0 lanes only (other
-                    # lanes hold garbage sums, never read).
-                    if sub_bits:
-                        amask = None
-                        ic_cur = (itab_ref[0, 0] >> a_cur) & 1
-                        for j in range(1, sub_bits):
-                            ic_cur = ic_cur + (
-                                ((itab_ref[0, j] >> a_cur) & 1) << j
-                            )
+                # Per-set wave-entry state: edges from the left
+                # neighbor, produced >= 1 wave ago (the 2-row skew), or
+                # the column-0 boundary for strip 0 of each pair:
+                # (BIG, BIG, go + i*ic), diag z(i-1, 0).  Ring slot
+                # 2*t+g2 still holds wave g-2's value (3*t+g3 -> g-3)
+                # because this wave's store happens after the read.
+                a_cur = [None] * npar
+                ic_cur = [None] * npar
+                amask = [None] * npar
+                myp0 = [None] * npar
+                mp0 = [None] * npar
+                xp0 = [None] * npar
+                yp0 = [None] * npar
+                zdiag0 = [None] * npar
+                for t in range(npar):
+                    a_cur[t] = jnp.where(
+                        q0, plane(t), shift1(ah[2 * t + g2], fill=0)
+                    )
+                    if not mycarry:
+                        mp0[t] = jnp.where(
+                            q0, big, shift1(emh[2 * t + g2])
+                        )
+                    xp0[t] = jnp.where(q0, big, shift1(exh[2 * t + g2]))
+                    if asel == 0:
+                        ic_cur[t] = ic
+                        c0y_i = c0t_ref[t] + i_t * ic
+                        c0y_im1 = c0t_ref[t] + (i_t - 1) * ic
                     else:
-                        amask = (
-                            [a_cur == k for k in range(1, asel)]
-                            if _SUB_MASK_HOIST
-                            else None
-                        )
-                        ic_cur = jnp.full(
-                            (R, LANES), itab_ref[0, 0], jnp.int32
-                        )
-                        for k in range(1, asel):
-                            ic_cur = jnp.where(
-                                amask[k - 1] if amask else a_cur == k,
-                                itab_ref[0, k],
-                                ic_cur,
+                        # Per-row gap-extension from the pipelined
+                        # token (itab scalar chain — no extra inject
+                        # plane); column-0 Iy accumulates in scratch,
+                        # seeded from c0t_ref, and is consumed at q0
+                        # lanes only (other lanes hold garbage sums,
+                        # never read).
+                        if sub_bits:
+                            icc = (itab_ref[0, 0] >> a_cur[t]) & 1
+                            for j in range(1, sub_bits):
+                                icc = icc + (
+                                    ((itab_ref[0, j] >> a_cur[t]) & 1)
+                                    << j
+                                )
+                        else:
+                            amask[t] = (
+                                [a_cur[t] == k for k in range(1, asel)]
+                                if _SUB_MASK_HOIST
+                                else None
                             )
-                    c0y_im1 = c0acc[:, :]
-                    c0y_i = c0y_im1 + ic_cur
-                    c0acc[:, :] = c0y_i
-                if mycarry:
-                    # emh holds the published min(m, y) edge; at the q0
-                    # boundary min(BIG, c0y_i) == c0y_i.
-                    myp0 = jnp.where(q0, c0y_i, shift1(emh[g2]))
-                else:
-                    yp0 = jnp.where(q0, c0y_i, shift1(eyh[g2]))
-                zdiag0 = jnp.where(
-                    i_t == 1,
-                    zj0_ref[:, :],
-                    jnp.where(q0, c0y_im1, shift1(zh[g3])),
-                )
+                            icc = jnp.full(
+                                (R, LANES), itab_ref[0, 0], jnp.int32
+                            )
+                            for k in range(1, asel):
+                                icc = jnp.where(
+                                    amask[t][k - 1]
+                                    if amask[t]
+                                    else a_cur[t] == k,
+                                    itab_ref[0, k],
+                                    icc,
+                                )
+                        ic_cur[t] = icc
+                        c0y_im1 = c0acc[t]
+                        c0y_i = c0y_im1 + icc
+                        c0acc[t] = c0y_i
+                    if mycarry:
+                        # emh holds the published min(m, y) edge; at
+                        # the q0 boundary min(BIG, c0y_i) == c0y_i.
+                        myp0[t] = jnp.where(
+                            q0, c0y_i, shift1(emh[2 * t + g2])
+                        )
+                    else:
+                        yp0[t] = jnp.where(
+                            q0, c0y_i, shift1(eyh[2 * t + g2])
+                        )
+                    zdiag0[t] = jnp.where(
+                        i_t == 1,
+                        zj0_ref[t],
+                        jnp.where(q0, c0y_im1, shift1(zh[3 * t + g3])),
+                    )
                 if moves:
                     # Diagonal predecessor's min3-argmin for phase 0:
                     # row 1 reads the row-0 code table (corners
@@ -476,19 +520,32 @@ def _make_lane_kernel(
                 # seeds of m_true == 0 pairs cannot be overwritten
                 # (those hit only at i_t == 0, which requires a masked
                 # wave).
-                hit = (i_t == mtrue) & active if masked else i_t == mtrue
+                hit = [
+                    (i_t == mtrue[t]) & active
+                    if masked
+                    else i_t == mtrue[t]
+                    for t in range(npar)
+                ]
+                # Per-set phase carries; the p-loop interleaves sets
+                # (t inner) so each set's ~5-op chain issues into the
+                # other's latency stalls.
                 if mycarry:
-                    myp, xp = myp0, xp0
+                    myp, xp = list(myp0), list(xp0)
+                    mp = yp = [None] * npar
                 else:
-                    mp, xp, yp = mp0, xp0, yp0
-                z_prev = zdiag0  # placeholder; overwritten at p == 0
+                    mp, xp, yp = list(mp0), list(xp0), list(yp0)
+                z_prev = list(zdiag0)  # placeholder; overwritten at p=0
                 cz_prev = None
                 for p in range(w):
-                    zdiag = zdiag0 if p == 0 else zbuf_s[p - 1]
-                    vprev = vbuf_s[p]
+                  for t in range(npar):
+                    zdiag = (
+                        zdiag0[t] if p == 0 else zbuf_s[t * wb + p - 1]
+                    )
+                    vprev = vbuf_s[t * w + p]
                     if asel == 0:
                         sub = jnp.where(
-                            a_cur == btab_ref[p], cmatch, cmismatch
+                            a_cur[t] == btab_ref[t * w + p],
+                            cmatch, cmismatch,
                         )
                         d_p = d
                     elif sub_bits:
@@ -496,29 +553,36 @@ def _make_lane_kernel(
                         # cost(a_cur, b_{s,p}) bit-by-bit from the
                         # packed mask planes by per-lane variable
                         # shifts (sub_bits ops vs asel selects).
-                        sub = (ctab_ref[p * sub_bits] >> a_cur) & 1
+                        base_c = (t * w + p) * sub_bits
+                        sub = (ctab_ref[base_c] >> a_cur[t]) & 1
                         for j in range(1, sub_bits):
                             sub = sub + (
-                                ((ctab_ref[p * sub_bits + j] >> a_cur)
+                                ((ctab_ref[base_c + j] >> a_cur[t])
                                  & 1) << j
                             )
-                        d_p = dtab_ref[p]
+                        d_p = dtab_ref[t * w + p]
                     else:
                         # General substitution: select-chain over the
                         # token values (ctab[p, k] = cost(k, b_{s,p}));
-                        # the compare masks are the per-wave hoisted set.
-                        sub = ctab_ref[p * asel]
+                        # the compare masks are the per-wave hoisted
+                        # set.
+                        base_c = (t * w + p) * asel
+                        sub = ctab_ref[base_c]
                         for k in range(1, asel):
                             sub = jnp.where(
-                                amask[k - 1] if amask else a_cur == k,
-                                ctab_ref[p * asel + k],
+                                amask[t][k - 1]
+                                if amask[t]
+                                else a_cur[t] == k,
+                                ctab_ref[base_c + k],
                                 sub,
                             )
-                        d_p = dtab_ref[p]
+                        d_p = dtab_ref[t * w + p]
                     m_new = zdiag + sub
-                    y_new = vprev + ic_cur
-                    mpgo = (myp if mycarry else jnp.minimum(mp, yp)) + go
-                    x_new = jnp.minimum(mpgo, xp) + d_p
+                    y_new = vprev + ic_cur[t]
+                    mpgo = (
+                        myp[t] if mycarry else jnp.minimum(mp[t], yp[t])
+                    ) + go
+                    x_new = jnp.minimum(mpgo, xp[t]) + d_p
                     if mycarry:
                         # Regrouped minima: my doubles as the next
                         # phase's carry, and v = min(z + go, y) ==
@@ -536,12 +600,12 @@ def _make_lane_kernel(
                         cvprev = vcb[p]
                         # Ix candidates (M+go, Ix, Iy+go)+d at (i, j-1),
                         # tie order M > Ix > Iy (fill_rows.py code_x).
-                        cmgo = mp + go
-                        cygo = yp + go
+                        cmgo = mp[t] + go
+                        cygo = yp[t] + go
                         c_x = jnp.where(
-                            (cmgo <= xp) & (cmgo <= cygo),
+                            (cmgo <= xp[t]) & (cmgo <= cygo),
                             0,
-                            jnp.where(xp <= cygo, 1, 2),
+                            jnp.where(xp[t] <= cygo, 1, 2),
                         )
                         code = czdiag + 4 * c_x + 16 * cvprev
                         mst[mslot * MBLK * w + mrem * w + p] = code.astype(
@@ -574,33 +638,43 @@ def _make_lane_kernel(
                         # The slot just read as zdiag now takes this
                         # row's value for the same column (computed
                         # last phase).
-                        zbuf_s[p - 1] = (
-                            jnp.where(active, z_prev, zdiag)
-                            if masked else z_prev
+                        zbuf_s[t * wb + p - 1] = (
+                            jnp.where(active, z_prev[t], zdiag)
+                            if masked else z_prev[t]
                         )
-                    vbuf_s[p] = (
+                    vbuf_s[t * w + p] = (
                         jnp.where(active, v_new, vprev)
                         if masked else v_new
                     )
                     if do_capture:
-                        out_ref[0, p] = jnp.where(hit, m_new, out_ref[0, p])
-                        out_ref[1, p] = jnp.where(hit, x_new, out_ref[1, p])
-                        out_ref[2, p] = jnp.where(hit, y_new, out_ref[2, p])
+                        op = t * w + p
+                        out_ref[0, op] = jnp.where(
+                            hit[t], m_new, out_ref[0, op]
+                        )
+                        out_ref[1, op] = jnp.where(
+                            hit[t], x_new, out_ref[1, op]
+                        )
+                        out_ref[2, op] = jnp.where(
+                            hit[t], y_new, out_ref[2, op]
+                        )
                     if mycarry:
-                        myp, xp, z_prev = my_new, x_new, z_new
+                        myp[t], xp[t], z_prev[t] = my_new, x_new, z_new
                     else:
-                        mp, xp, yp, z_prev = m_new, x_new, y_new, z_new
+                        mp[t], xp[t], yp[t], z_prev[t] = (
+                            m_new, x_new, y_new, z_new,
+                        )
 
                 # Publish wave g into the rings (read slots free now).
-                zh[g3] = z_prev
-                if mycarry:
-                    emh[g2] = myp
-                    exh[g2] = xp
-                else:
-                    emh[g2] = mp
-                    exh[g2] = xp
-                    eyh[g2] = yp
-                ah[g2] = a_cur
+                for t in range(npar):
+                    zh[3 * t + g3] = z_prev[t]
+                    if mycarry:
+                        emh[2 * t + g2] = myp[t]
+                        exh[2 * t + g2] = xp[t]
+                    else:
+                        emh[2 * t + g2] = mp[t]
+                        exh[2 * t + g2] = xp[t]
+                        eyh[2 * t + g2] = yp[t]
+                    ah[2 * t + g2] = a_cur[t]
                 if moves:
                     zch[g3] = cz_prev
 
@@ -1223,6 +1297,7 @@ def _lanes_run(
     cost_mat=None,
     gap_id=None,
     sub_bits=0,
+    npar=1,
 ):
     """Shared kernel launch: (final3 (B, 3), skewed moves or None).
 
@@ -1234,9 +1309,29 @@ def _lanes_run(
 
     ``cost_mat``/``gap_id`` switch to GENERAL-matrix mode (asel =
     alphabet size, any substitution/gap structure, values may be
-    traced); the ``cmatch..icost`` scalars are then ignored."""
-    B, m1 = tok_a_ext.shape
-    n_pad = tok_b_ext.shape[1] - 1
+    traced); the ``cmatch..icost`` scalars are then ignored.
+
+    ``npar`` > 1: the inputs carry a leading SET axis ((npar, B, ...)
+    tokens, (npar, B) lengths) and one kernel fills the sets with their
+    per-phase chains interleaved (cost-only, no injection; see
+    _make_lane_kernel).  Returns final3 (npar, B, 3) and flat None."""
+    if npar > 1:
+        assert not moves and row0 is None and col0y_top is None
+        toks_a = [
+            jnp.asarray(tok_a_ext[t], jnp.int32) for t in range(npar)
+        ]
+        toks_b = [
+            jnp.asarray(tok_b_ext[t], jnp.int32) for t in range(npar)
+        ]
+        mts = [jnp.asarray(m_true[t], jnp.int32) for t in range(npar)]
+        nts = [jnp.asarray(n_true[t], jnp.int32) for t in range(npar)]
+    else:
+        toks_a = [jnp.asarray(tok_a_ext, jnp.int32)]
+        toks_b = [jnp.asarray(tok_b_ext, jnp.int32)]
+        mts = [jnp.asarray(m_true, jnp.int32)]
+        nts = [jnp.asarray(n_true, jnp.int32)]
+    B, m1 = toks_a[0].shape
+    n_pad = toks_b[0].shape[1] - 1
     m_pad = m1 - 1
     S_p, R = _lanes_geometry(B, n_pad, w, moves)
     # Small batches stage the inject stream as nb broadcast planes
@@ -1265,10 +1360,6 @@ def _lanes_run(
         clamp = force_clamp
 
     go = jnp.asarray(gap_open, jnp.int32)
-    m_true = jnp.asarray(m_true, jnp.int32)
-    n_true = jnp.asarray(n_true, jnp.int32)
-    tok_a_i = jnp.asarray(tok_a_ext, jnp.int32)
-    tok_b_i = jnp.asarray(tok_b_ext, jnp.int32)
 
     s_flat = jnp.arange(R * LANES, dtype=jnp.int32)
     pair = s_flat // S_p  # pad strips (pair >= B) clip below
@@ -1280,84 +1371,26 @@ def _lanes_run(
     # (clipped reads past n_pad feed garbage strips only).
     ps = jnp.arange(w, dtype=jnp.int32)
     jloc = q[None, :] * w + ps[:, None] + 1  # (w, S)
-    btab = tok_b_i[pairc[None, :], jnp.minimum(jloc, n_pad)]
-    btab = btab.reshape(w, R, LANES)
-
-    mtrue_tile = jnp.where(valid_strip, m_true[pairc], -1).reshape(R, LANES)
-
-    # Row-0 boundary tables (reference make_dp_array,
-    # globaligner.py:756-821) — global formulas by default, or derived
-    # from the injected checkpoint row.  zrow/vrow feed the zbuf/vbuf
-    # seeds, zj0 is the phase-0 diagonal of row 1 (pair corners at the
-    # q == 0 strips), c0t seeds the column-0 Iy accumulator.
     j0 = q * w  # (S,) column before each strip's first
     jc = jnp.minimum(jloc, n_pad)
     j0c = jnp.minimum(j0, n_pad)
     if asel > 0:
         cmj = jnp.asarray(cost_mat, jnp.int32)
         gid = jnp.asarray(gap_id, jnp.int32)
-        # Per-column gap-extension prefix D(j) = sum dcost(b_1..b_j)
-        # and per-row icost / column-0 Iy accumulators (reference
-        # make_dp_array boundary structure, generalized).
-        dsteps = cmj[gid, tok_b_i]
-        D = jnp.cumsum(dsteps.at[:, 0].set(0), axis=1)  # (B, n_pad+1)
-        ics = cmj[tok_a_i, gid]  # (B, m1)
-        c0_base = (
-            go if col0y_top is None
-            else jnp.asarray(col0y_top, jnp.int32)[:, None]
-        )
-        c0y = c0_base + jnp.cumsum(ics.at[:, 0].set(0), axis=1)  # (B, m1)
-    if row0 is None:
-        if asel > 0:
-            zr = go + D[pairc[None, :], jc]
-            zrow = zr.reshape(w, R, LANES)
-            vrow = (zr + go).reshape(w, R, LANES)
-            zj0 = jnp.where(
-                q == 0, 0, go + D[pairc, j0c]
-            ).reshape(R, LANES)
-        else:
-            dd = jnp.asarray(dcost, jnp.int32)
-            zrow = (go + jloc * dd).reshape(w, R, LANES)
-            vrow = (2 * go + jloc * dd).reshape(w, R, LANES)
-            zj0 = jnp.where(q == 0, 0, go + j0 * dd).reshape(R, LANES)
-        c0t = jnp.full((R, LANES), go, jnp.int32)
-        if moves:
-            # Row 0's min3 / gap-open argmin is Ix everywhere (triple
-            # (BIG, go + j*d, BIG), j >= 1); the corner (0,0,0) -> M.
-            one_t = jnp.ones((w, R, LANES), jnp.int32)
-            zcrow = one_t
-            vcrow = one_t
-            zcj0 = jnp.where(q == 0, 0, 1).reshape(R, LANES)
-    else:
-        r0 = jnp.asarray(row0, jnp.int32)[:, :, : n_pad + 1]
-        z0 = jnp.min(r0, axis=1)  # (B, n_pad+1) min3 of the row above
-        v0 = jnp.minimum(
-            jnp.minimum(r0[:, 0], r0[:, 1]) + go, r0[:, 2]
-        )
-        zrow = z0[pairc[None, :], jc].reshape(w, R, LANES)
-        vrow = v0[pairc[None, :], jc].reshape(w, R, LANES)
-        zj0 = z0[pairc, j0c].reshape(R, LANES)
-        c0t = jnp.asarray(col0y_top, jnp.int32)[pairc].reshape(R, LANES)
-        if moves:
-            # Argmin codes of the injected row, tie order M > Ix > Iy.
-            cz0 = jnp.where(
-                r0[:, 0] == z0, 0, jnp.where(r0[:, 1] == z0, 1, 2)
-            )
-            cv0 = jnp.where(
-                r0[:, 0] + go == v0,
-                0,
-                jnp.where(r0[:, 1] + go == v0, 1, 2),
-            )
-            zcrow = cz0[pairc[None, :], jc].reshape(w, R, LANES)
-            vcrow = cv0[pairc[None, :], jc].reshape(w, R, LANES)
-            zcj0 = cz0[pairc, j0c].reshape(R, LANES)
 
-    # Inject table: wave g's seq_1 tokens at each pair's strip 0.
-    # (Floor of 1 keeps the DMA start/wait pairing balanced at G == 0.)
-    G = jnp.maximum(jnp.max(m_true) + 2 * (S_p - 1), 1)  # traced wave count
+    # Wave count shared across sets (same geometry; per-set m_true
+    # only gates captures).  Floor of 1 keeps the DMA start/wait
+    # pairing balanced at G == 0.
+    G = jnp.maximum(
+        functools.reduce(
+            jnp.maximum, [jnp.max(mt) for mt in mts]
+        ) + 2 * (S_p - 1),
+        1,
+    )
     G_cap = m_pad + 2 * (S_p - 1)  # static worst case
     nblocks = -(-max(1, G_cap) // _STAGE)
     G_rows = (nblocks + 2) * _STAGE
+
     def _inj_plane(mat):
         """(B, >= G_rows+1) per-pair values -> (G_rows, nb, Rw, LANES)
         staged rows.  Broadcast staging (Rw == 1) carries one (1, 128)
@@ -1382,13 +1415,119 @@ def _lanes_run(
         return padded[pairc.reshape(R, LANES)[:Rw], 1 : G_rows + 1] \
             .transpose(2, 0, 1)[:, None]
 
-    # Both modes inject the seq_1 token stream only: general mode
-    # derives the per-row gap cost and column-0 Iy in-kernel (select
-    # chain + accumulator) — extra inject planes measured ~4x the
-    # per-wave budget on the batch axis (docs/PERF.md).
-    inj = _inj_plane(tok_a_i).reshape(G_rows * nb, Rw, LANES)
-    inj = inj + jnp.zeros((1, 1, 1), jnp.int32)  # materialize the broadcast
+    # Per-SET tables (npar == 1 is the plain single-set build; npar > 1
+    # builds each set with the identical formulas and concatenates
+    # along the kernel's set-major plane axes).
+    per = []
+    for t in range(npar):
+        tok_a_i, tok_b_i = toks_a[t], toks_b[t]
+        mt_t, nt_t = mts[t], nts[t]
+        s: dict = {}
+        s["btab"] = tok_b_i[pairc[None, :], jc].reshape(w, R, LANES)
+        s["mtrue"] = jnp.where(
+            valid_strip, mt_t[pairc], -1
+        ).reshape(R, LANES)
+        # Row-0 boundary tables (reference make_dp_array,
+        # globaligner.py:756-821) — global formulas by default, or
+        # derived from the injected checkpoint row.  zrow/vrow feed the
+        # zbuf/vbuf seeds, zj0 is the phase-0 diagonal of row 1 (pair
+        # corners at the q == 0 strips), c0t seeds the column-0 Iy
+        # accumulator.
+        if asel > 0:
+            # Per-column gap-extension prefix D(j) = sum dcost(b_1..b_j)
+            # and per-row icost / column-0 Iy accumulators (reference
+            # make_dp_array boundary structure, generalized).
+            dsteps = cmj[gid, tok_b_i]
+            D = jnp.cumsum(dsteps.at[:, 0].set(0), axis=1)
+            ics = cmj[tok_a_i, gid]  # (B, m1)
+            c0_base = (
+                go if col0y_top is None
+                else jnp.asarray(col0y_top, jnp.int32)[:, None]
+            )
+            s["c0y"] = c0_base + jnp.cumsum(
+                ics.at[:, 0].set(0), axis=1
+            )
+        if row0 is None:
+            if asel > 0:
+                zr = go + D[pairc[None, :], jc]
+                s["zrow"] = zr.reshape(w, R, LANES)
+                s["vrow"] = (zr + go).reshape(w, R, LANES)
+                s["zj0"] = jnp.where(
+                    q == 0, 0, go + D[pairc, j0c]
+                ).reshape(R, LANES)
+            else:
+                dd = jnp.asarray(dcost, jnp.int32)
+                s["zrow"] = (go + jloc * dd).reshape(w, R, LANES)
+                s["vrow"] = (2 * go + jloc * dd).reshape(w, R, LANES)
+                s["zj0"] = jnp.where(
+                    q == 0, 0, go + j0 * dd
+                ).reshape(R, LANES)
+            s["c0t"] = jnp.full((R, LANES), go, jnp.int32)
+            if moves:
+                # Row 0's min3 / gap-open argmin is Ix everywhere
+                # (triple (BIG, go + j*d, BIG), j >= 1); the corner
+                # (0,0,0) -> M.
+                one_t = jnp.ones((w, R, LANES), jnp.int32)
+                s["zcrow"] = one_t
+                s["vcrow"] = one_t
+                s["zcj0"] = jnp.where(q == 0, 0, 1).reshape(R, LANES)
+        else:
+            r0 = jnp.asarray(row0, jnp.int32)[:, :, : n_pad + 1]
+            z0 = jnp.min(r0, axis=1)  # (B, n_pad+1) min3 of row above
+            v0 = jnp.minimum(
+                jnp.minimum(r0[:, 0], r0[:, 1]) + go, r0[:, 2]
+            )
+            s["zrow"] = z0[pairc[None, :], jc].reshape(w, R, LANES)
+            s["vrow"] = v0[pairc[None, :], jc].reshape(w, R, LANES)
+            s["zj0"] = z0[pairc, j0c].reshape(R, LANES)
+            s["c0t"] = jnp.asarray(col0y_top, jnp.int32)[pairc] \
+                .reshape(R, LANES)
+            if moves:
+                # Argmin codes of the injected row, ties M > Ix > Iy.
+                cz0 = jnp.where(
+                    r0[:, 0] == z0, 0, jnp.where(r0[:, 1] == z0, 1, 2)
+                )
+                cv0 = jnp.where(
+                    r0[:, 0] + go == v0,
+                    0,
+                    jnp.where(r0[:, 1] + go == v0, 1, 2),
+                )
+                s["zcrow"] = cz0[pairc[None, :], jc] \
+                    .reshape(w, R, LANES)
+                s["vcrow"] = cv0[pairc[None, :], jc] \
+                    .reshape(w, R, LANES)
+                s["zcj0"] = cz0[pairc, j0c].reshape(R, LANES)
+        if asel > 0:
+            # ctab[p*asel+k] = cost(k, b_{s,p}); dtab[p] = dcost(b_{s,p});
+            # itab[k] = icost(k) = cost(k, gap) — SMEM scalars for the
+            # in-kernel per-row gap-cost chain.  With sub_bits,
+            # ctab/itab instead carry the packed per-bit masks
+            # (_sub_mask_planes): w*sub_bits planes instead of w*asel.
+            ct = cmj[jnp.arange(asel, dtype=jnp.int32)][:, s["btab"]]
+            if sub_bits:
+                ctab_t = _sub_mask_planes(ct, sub_bits)
+                s["ctab"] = ctab_t.transpose(1, 0, 2, 3).reshape(
+                    w * sub_bits, R, LANES
+                )
+            else:
+                s["ctab"] = ct.transpose(1, 0, 2, 3).reshape(
+                    w * asel, R, LANES
+                )
+            s["dtab"] = cmj[gid, s["btab"]]
+        # Both modes inject the seq_1 token stream only: general mode
+        # derives the per-row gap cost and column-0 Iy in-kernel
+        # (select chain + accumulator) — extra inject planes measured
+        # ~4x the per-wave budget on the batch axis (docs/PERF.md).
+        s["inj"] = _inj_plane(tok_a_i)  # (G_rows, nb, Rw, LANES)
+        per.append(s)
 
+    # Interleave sets per wave: row g*IPW + t*nb + b.
+    inj = jnp.stack([s["inj"] for s in per], axis=1).reshape(
+        G_rows * npar * nb, Rw, LANES
+    )
+    inj = inj + jnp.zeros((1, 1, 1), jnp.int32)  # materialize broadcast
+
+    m_min = functools.reduce(jnp.minimum, [jnp.min(mt) for mt in mts])
     params = jnp.stack(
         [
             G,
@@ -1397,26 +1536,42 @@ def _lanes_run(
             jnp.asarray(cmismatch, jnp.int32),
             jnp.asarray(dcost, jnp.int32),
             jnp.asarray(icost, jnp.int32),
-            jnp.min(m_true),
+            m_min,
         ]
     ).reshape(1, 7)
 
-    out_shapes = [jax.ShapeDtypeStruct((3, w, R, LANES), jnp.int32)]
+    def _cat(key):
+        return jnp.concatenate([s[key] for s in per], axis=0)
+
+    def _stk(key):
+        return jnp.stack([s[key] for s in per], axis=0)
+
+    btab = _cat("btab")  # (npar*w, R, LANES)
+    mtrue_tile = _stk("mtrue")  # (npar, R, LANES)
+    zrow = _cat("zrow")
+    vrow = _cat("vrow")
+    zj0 = _stk("zj0")
+    c0t = _stk("c0t")
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((3, npar * w, R, LANES), jnp.int32)
+    ]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    wb = max(w - 1, 1)
     scratch = [
-        pltpu.VMEM((2, R, LANES), jnp.int32),  # ah
-        pltpu.VMEM((2, R, LANES), jnp.int32),  # emh
-        pltpu.VMEM((2, R, LANES), jnp.int32),  # exh
-        pltpu.VMEM((2, R, LANES), jnp.int32),  # eyh
-        pltpu.VMEM((3, R, LANES), jnp.int32),  # zh
-        pltpu.VMEM((max(w - 1, 1), R, LANES), jnp.int32),  # zbuf
-        pltpu.VMEM((w, R, LANES), jnp.int32),  # vbuf
+        pltpu.VMEM((2 * npar, R, LANES), jnp.int32),  # ah
+        pltpu.VMEM((2 * npar, R, LANES), jnp.int32),  # emh
+        pltpu.VMEM((2 * npar, R, LANES), jnp.int32),  # exh
+        pltpu.VMEM((2 * npar, R, LANES), jnp.int32),  # eyh
+        pltpu.VMEM((3 * npar, R, LANES), jnp.int32),  # zh
+        pltpu.VMEM((npar * wb, R, LANES), jnp.int32),  # zbuf
+        pltpu.VMEM((npar * w, R, LANES), jnp.int32),  # vbuf
     ]
     if asel > 0:
-        scratch.append(pltpu.VMEM((R, LANES), jnp.int32))  # c0acc
-    ip = nb
+        scratch.append(pltpu.VMEM((npar, R, LANES), jnp.int32))  # c0acc
+    ip = nb * npar
     scratch += [
-        pltpu.VMEM((2, _STAGE * ip, Rw, LANES), jnp.int32),  # inject stage
+        pltpu.VMEM((2, _STAGE * ip, Rw, LANES), jnp.int32),  # inj stage
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if moves:
@@ -1439,34 +1594,24 @@ def _lanes_run(
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + [vmem] * 6
     args = [params, btab, mtrue_tile, zrow, vrow, zj0, c0t]
     if asel > 0:
-        # ctab[p*asel + k] = cost(k, b_{s, p}); dtab[p] = dcost(b_{s, p});
-        # itab[k] = icost(k) = cost(k, gap) — SMEM scalars for the
-        # in-kernel per-row gap-cost chain.  With sub_bits, ctab/itab
-        # instead carry the packed per-bit masks (_sub_mask_planes):
-        # w*sub_bits table planes instead of w*asel.
-        ct = cmj[jnp.arange(asel, dtype=jnp.int32)][:, btab]
         if sub_bits:
-            ctab = _sub_mask_planes(ct, sub_bits)
-            ctab = ctab.transpose(1, 0, 2, 3).reshape(
-                w * sub_bits, R, LANES)
             itab = _sub_mask_planes(
-                cmj[:, gid], sub_bits).reshape(1, sub_bits)
+                cmj[:, gid], sub_bits
+            ).reshape(1, sub_bits)
         else:
-            ctab = ct.transpose(1, 0, 2, 3).reshape(w * asel, R, LANES)
             itab = cmj[:, gid].reshape(1, asel)
-        dtab = cmj[gid, btab]
         in_specs += [vmem, vmem, pl.BlockSpec(memory_space=pltpu.SMEM)]
-        args += [ctab, dtab, itab]
+        args += [_cat("ctab"), _cat("dtab"), itab]
     if moves:
         in_specs += [vmem] * 3
-        args += [zcrow, vcrow, zcj0]
+        args += [per[0]["zcrow"], per[0]["vcrow"], per[0]["zcj0"]]
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     args.append(inj)
 
     res = pl.pallas_call(
         _make_lane_kernel(
             w, R, S_p, Rw, clamp, moves=moves, asel=asel, nb=nb,
-            sub_bits=sub_bits,
+            sub_bits=sub_bits, npar=npar,
         ),
         out_shape=out_shapes,
         in_specs=in_specs,
@@ -1478,34 +1623,45 @@ def _lanes_run(
     out = res[0]
     mv = res[1] if moves else None
 
-    # out[l, p, r, lane] -> per-pair flat columns: strip s covers pair
-    # columns q*w+1 .. q*w+w, phase p = in-strip offset.
-    flat = out.transpose(0, 2, 3, 1).reshape(3, R * LANES * w)
-    flat = flat[:, : B * S_p * w].reshape(3, B, S_p * w)
-    col = jnp.clip(n_true - 1, 0, S_p * w - 1)
-    final3 = jnp.take_along_axis(
-        flat, col[None, :, None], axis=2
-    )[:, :, 0].T  # (B, 3)
-    # n_true == 0 reduces to the column-0 boundary of row m_true:
-    # (BIG, BIG, col-0 Iy at m_true), or (0, 0, 0) when m_true == 0.
-    # (Global-boundary values — injected callers pass n_true >= 1.)
-    if asel > 0:
-        iy_m = jnp.take_along_axis(
-            c0y, jnp.minimum(m_true, m_pad)[:, None], axis=1
-        )[:, 0]
-    else:
-        iy_m = go + m_true * jnp.asarray(icost, jnp.int32)
-    m0 = m_true == 0
-    b0 = jnp.stack(
-        [
-            jnp.where(m0, 0, BIG),
-            jnp.where(m0, 0, BIG),
-            jnp.where(m0, 0, iy_m),
-        ],
-        axis=-1,
-    )
-    final3 = jnp.where((n_true == 0)[:, None], b0, final3)
-    return final3, flat, mv
+    # out[l, t*w+p, r, lane] -> per-pair flat columns per set: strip s
+    # covers pair columns q*w+1 .. q*w+w, phase p = in-strip offset.
+    finals = []
+    flat0 = None
+    for t in range(npar):
+        out_t = out[:, t * w : (t + 1) * w]
+        flat = out_t.transpose(0, 2, 3, 1).reshape(3, R * LANES * w)
+        flat = flat[:, : B * S_p * w].reshape(3, B, S_p * w)
+        if t == 0:
+            flat0 = flat
+        col = jnp.clip(nts[t] - 1, 0, S_p * w - 1)
+        final3 = jnp.take_along_axis(
+            flat, col[None, :, None], axis=2
+        )[:, :, 0].T  # (B, 3)
+        # n_true == 0 reduces to the column-0 boundary of row m_true:
+        # (BIG, BIG, col-0 Iy at m_true), or (0, 0, 0) when m_true == 0.
+        # (Global-boundary values — injected callers pass n_true >= 1.)
+        if asel > 0:
+            iy_m = jnp.take_along_axis(
+                per[t]["c0y"], jnp.minimum(mts[t], m_pad)[:, None],
+                axis=1,
+            )[:, 0]
+        else:
+            iy_m = go + mts[t] * jnp.asarray(icost, jnp.int32)
+        m0 = mts[t] == 0
+        b0 = jnp.stack(
+            [
+                jnp.where(m0, 0, BIG),
+                jnp.where(m0, 0, BIG),
+                jnp.where(m0, 0, iy_m),
+            ],
+            axis=-1,
+        )
+        finals.append(
+            jnp.where((nts[t] == 0)[:, None], b0, final3)
+        )
+    if npar == 1:
+        return finals[0], flat0, mv
+    return jnp.stack(finals, axis=0), None, None
 
 
 @functools.partial(
@@ -1643,6 +1799,73 @@ def lanes_batch_final3(
         jnp.asarray(tok_a_ext), jnp.asarray(tok_b_ext),
         cmatch, cmismatch, dcost, icost, gap_open,
         m_true, n_true, w, interpret, force_clamp, moves=False,
+    )
+    return final3
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cmatch", "cmismatch", "dcost", "icost", "gap_open", "w",
+        "interpret", "force_clamp",
+    ),
+)
+def lanes_batch_final3_dual(
+    tok_a2: jax.Array,
+    tok_b2: jax.Array,
+    cmatch,
+    cmismatch,
+    dcost,
+    icost,
+    gap_open,
+    m2: jax.Array,
+    n2: jax.Array,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+) -> jax.Array:
+    """(2, B, 3) final DP lanes for TWO same-shape tiles filled by ONE
+    dual-set kernel (npar=2): the sets' per-phase chains interleave, so
+    two full R=8 tiles cost ~1.13x one instead of 2x — ~1.77x batch
+    throughput where the single-call R=16 form LOST 1.4-1.75x
+    (scratch/micro_wavecost.py fullpair vs micro_tilecap8.py).  Inputs
+    carry a leading set axis: (2, B, m+1)/(2, B, n+1) tokens, (2, B)
+    lengths.  Bit-identical per set to :func:`lanes_batch_final3`."""
+    final3, _, _ = _lanes_run(
+        tok_a2, tok_b2,
+        cmatch, cmismatch, dcost, icost, gap_open,
+        m2, n2, w, interpret, force_clamp, moves=False, npar=2,
+    )
+    return final3
+
+
+@functools.partial(
+    jax.jit, static_argnames=("w", "interpret", "force_clamp", "sub_bits")
+)
+def lanes_general_final3_dual(
+    tok_a2: jax.Array,
+    tok_b2: jax.Array,
+    cost_mat: jax.Array,
+    gap_id,
+    gap_open,
+    m2: jax.Array,
+    n2: jax.Array,
+    *,
+    w: int = DEFAULT_W,
+    interpret: bool = False,
+    force_clamp: bool | None = None,
+    sub_bits: int = 0,
+) -> jax.Array:
+    """General-matrix :func:`lanes_batch_final3_dual` — (2, B, 3)
+    finals for two same-shape tiles under ONE dual-set kernel (same
+    matrix/scheme for both sets)."""
+    final3, _, _ = _lanes_run(
+        tok_a2, tok_b2,
+        0, 0, 0, 0, gap_open,
+        m2, n2, w, interpret, force_clamp, moves=False,
+        cost_mat=jnp.asarray(cost_mat, jnp.int32), gap_id=gap_id,
+        sub_bits=sub_bits, npar=2,
     )
     return final3
 

@@ -43,20 +43,33 @@ def main():
     from globalign_tpu.ops.fill_pallas import LANES, _lane_ops
     from globalign_tpu.ops.fill_scan import BIG
 
-    R, w = 8, 20
-    G = 30_000  # long wave loop: the slope must clear ~35 ms tunnel noise
+    import sys
+
+    R = 8
+    w = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    # Long wave loop: the slope must clear ~35 ms tunnel noise.
+    G = int(sys.argv[2]) if len(sys.argv) > 2 else 30_000
     STAGE = 256  # inject planes per DMA block (mirrors fill_lanes)
 
     def make(variant):
-        shifts = variant in ("shift", "full", "full2", "fullpair")
-        rings = variant in ("ring", "full", "full2", "fullpair")
-        stage = variant in ("stage", "full", "full2", "fullpair")
+        shifts = variant in ("shift", "full", "full2", "fullpair",
+                             "fullpairseq")
+        rings = variant in ("ring", "full", "full2", "fullpair",
+                            "fullpairseq")
+        stage = variant in ("stage", "full", "full2", "fullpair",
+                            "fullpairseq")
         phases = variant != "loop"
-        nsets = 2 if variant in ("phases2", "full2", "fullpair") else 1
+        nsets = 2 if variant in ("phases2", "full2", "fullpair",
+                                 "fullpairseq") else 1
         # fullpair: EVERYTHING duplicated per set (shifts, rings, stage
         # reads, phase chains) — the honest model of one kernel
         # processing two independent R=8 tile sets per wave.
-        dup_fixed = variant == "fullpair"
+        # fullpairseq: same but sets run as SEQUENTIAL BLOCKS in the
+        # written order (set 0's whole phase loop, then set 1's) — if
+        # Mosaic's scheduler overlaps them anyway, the real kernel
+        # change can be a mechanical outer loop over sets.
+        dup_fixed = variant in ("fullpair", "fullpairseq")
+        seq_sets = variant == "fullpairseq"
 
         def kernel(inj_hbm, out_ref, ah, emh, exh, zh, vbuf, stage_s, sems):
             lane = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
@@ -126,18 +139,26 @@ def main():
                          ins[t % nfix][2], ins[t % nfix][1]]
                         for t in range(nsets)
                     ]
-                    for p in range(w):
+                    def one_phase(t, p):
+                        z, my_c, xp_c, _v = st[t]
+                        vprev = vbuf[t * w + p]
+                        m_new = z + 1
+                        y_new = vprev + 1
+                        x_new = jnp.minimum(my_c + 4, xp_c) + 3
+                        my = jnp.minimum(m_new, y_new)
+                        z = jnp.minimum(my, x_new)
+                        v = jnp.minimum(z + 4, y_new)
+                        vbuf[t * w + p] = v
+                        st[t] = [z, my, x_new, v]
+
+                    if seq_sets:
                         for t in range(nsets):
-                            z, my_c, xp_c, _v = st[t]
-                            vprev = vbuf[t * w + p]
-                            m_new = z + 1
-                            y_new = vprev + 1
-                            x_new = jnp.minimum(my_c + 4, xp_c) + 3
-                            my = jnp.minimum(m_new, y_new)
-                            z = jnp.minimum(my, x_new)
-                            v = jnp.minimum(z + 4, y_new)
-                            vbuf[t * w + p] = v
-                            st[t] = [z, my, x_new, v]
+                            for p in range(w):
+                                one_phase(t, p)
+                    else:
+                        for p in range(w):
+                            for t in range(nsets):
+                                one_phase(t, p)
                     z, myp, xp, v = st[0]
                 else:
                     z, v = ins[0][3], ins[0][1]
@@ -190,7 +211,7 @@ def main():
         return tot
 
     variants = ["loop", "phases", "shift", "ring", "stage", "full",
-                "phases2", "full2", "fullpair"]
+                "phases2", "full2", "fullpair", "fullpairseq"]
     LO, HI = 2, 22
     for v in variants:
         np.asarray(run_k(v, LO))  # warm
@@ -227,6 +248,11 @@ def main():
                       # per-wave cost ratio (throughput gain = 2/ratio).
                       "dual_tile_ratio": round(
                           summary["fullpair"] / max(summary["full"], 1e-9),
+                          2,
+                      ),
+                      "dual_tile_seq_ratio": round(
+                          summary["fullpairseq"]
+                          / max(summary["full"], 1e-9),
                           2,
                       ),
                       "samples": out}), flush=True)
