@@ -569,12 +569,24 @@ def _run_measurements(args, t_start: float) -> None:
         calib_ops_s = ccells / cper
         _state["calib_gops"] = round(calib_ops_s / 1e9, 1)
 
+    # Issue-efficiency normalization: the model counts (8, 128) VECTOR
+    # instructions (x1024 element-ops each); the bound is the v5e VPU's
+    # nominal ~3.9e12 int32 element-ops/s (docs/PERF.md roofline),
+    # scaled by this session's calibration rate relative to its nominal
+    # (~772 Gops/s, the repeatedly-measured near-nominal value) so a
+    # slow chip/tunnel session lowers the bound rather than the score.
+    VPU_NOMINAL_OPS = 3.9e12
+    CALIB_NOMINAL_GOPS = 772.0
+
     def arm_eff(name, per_s):
-        """% of the VPU issue bound sustained: modeled ops/s over the
-        in-run calibration rate (both through the same drift)."""
+        """Fraction of the session-adjusted VPU issue bound sustained:
+        modeled element-ops/s over nominal x (calib / calib-nominal)."""
         if calib_ops_s is None or name not in model_ops:
             return None
-        return round(model_ops[name] / per_s / calib_ops_s, 3)
+        bound = VPU_NOMINAL_OPS * (
+            calib_ops_s / (CALIB_NOMINAL_GOPS * 1e9)
+        )
+        return round(model_ops[name] * 1024.0 / per_s / bound, 3)
 
     per, cells = slope("single")
     gcups = cells / per / 1e9
