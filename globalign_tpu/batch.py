@@ -20,11 +20,13 @@ the single-pair API (bit-identical to the reference's values).
 
 from __future__ import annotations
 
+import functools
 import logging
 import math
 from dataclasses import dataclass
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +63,90 @@ WALK_GROUP_BYTES = 1536 * 1024 * 1024
 # General-matrix walk shape classes that survived their one blocking
 # probe (see _lanes_walk_fills).
 _GENERAL_WALK_PROBED: set = set()
+
+# Fuse every bucket's cost-only fill of one align_pairs call into ONE
+# jitted executable per chunk composition (the meta/shape signature):
+# a jittered 1 kb chunk splinters into ~40 buckets and each eager
+# dispatch costs ~6 ms through the dev tunnel — more than all the fill
+# compute (scratch/repro_bucket_serial.py economics, cost-mode flavor).
+# Toggleable for A/B.
+COST_CHUNK_JIT = True
+
+
+@functools.partial(jax.jit, static_argnames=("meta", "interpret"))
+def _chunk_costs_jit(cost_mat, gap_id, gap_open, *arrs, meta,
+                     interpret=False):
+    """Every bucket's (B, 3) finals in one executable.
+
+    ``meta`` is a static tuple with one entry per bucket:
+    ``(uniform, gap_open_static, general_plan, sub_bits)`` — uniform
+    scheme params (or None), and for general matrices the host-resolved
+    lane plan + substitution mode (mesh.py's shard-body pattern: the
+    matrix is a tracer here, so every dispatch decision must arrive
+    static).  ``arrs`` is the flat (tok_a, tok_b, m_true, n_true) per
+    bucket.  Returns the per-bucket finals concatenated in order."""
+    from .ops import fill_lanes
+    from .ops.fill_pallas import _tile_slice, batch_final3
+
+    outs = []
+    it = iter(arrs)
+    for uniform, go_static, gplan, sb in meta:
+        ta, tb, mt, nt = next(it), next(it), next(it), next(it)
+        if gplan is not None:
+            w, tile_l = gplan
+            Bl = ta.shape[0]
+            vs = []
+            for lo in range(0, Bl, tile_l):
+                hi = min(lo + tile_l, Bl)
+                tat, tbt, mtt, ntt = _tile_slice(
+                    (ta, tb, mt, nt), lo, hi, tile_l
+                )
+                vals = fill_lanes.lanes_general_final3(
+                    tat, tbt, cost_mat, gap_id, gap_open, mtt, ntt,
+                    w=w, sub_bits=sb, interpret=interpret,
+                )
+                vs.append(vals[: hi - lo])
+            outs.append(jnp.concatenate(vs, axis=0))
+        else:
+            outs.append(batch_final3(
+                ta, tb, cost_mat, gap_id, gap_open, mt, nt,
+                uniform=uniform, gap_open_static=go_static,
+                interpret=interpret,
+            ))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _cost_chunk_meta(B, M, N, scheme):
+    """Static chunk-jit descriptor for a cost-only bucket, or None when
+    the bucket must take the eager per-bucket path (general shape
+    classes keep their first call eager so the probe-and-latch
+    machinery sees any backend rejection; they join the chunk jit once
+    probed clean)."""
+    from .ops import fill_lanes
+    from .ops.fill_pallas import uniform_scheme_params
+
+    cost_np = np.asarray(scheme.costing.values)
+    uni = uniform_scheme_params(cost_np, scheme.alphabet.gap_id)
+    if uni is not None:
+        return (
+            tuple(int(v) for v in uni), int(scheme.gap_open_cost),
+            None, 0,
+        )
+    A = int(cost_np.shape[0])
+    if not fill_lanes.lanes_alphabet_ok(A, cost_np):
+        return None
+    plan = fill_lanes.lanes_plan(B, M, N, asel=A)
+    if plan is None:
+        return None
+    gkey = fill_lanes.general_lanes_key(plan[1], M, N, plan[0], A)
+    if not fill_lanes.general_lanes_ok(gkey) or (
+        fill_lanes.general_probe_needed(gkey)
+    ):
+        return None
+    sb = fill_lanes.dispatch_sub_bits(cost_np, gkey)
+    if A > fill_lanes.LANES_MAX_ALPHABET and sb == 0:
+        return None
+    return (None, None, plan, sb)
 
 
 def _use_pallas() -> bool:
@@ -504,6 +590,9 @@ def align_pairs(
     # Cost-only device finals awaiting the one coalesced end-of-call
     # fetch: (device (B, 3) final lanes, pair indices) per bucket.
     deferred: list[tuple[jnp.ndarray, list[int]]] = []
+    # Cost-only buckets accumulating into the per-chunk fused
+    # executable: (meta, tok_a, tok_b, m_true, n_true, indices).
+    cost_acc: list[tuple] = []
     # Device-walked traceback buckets awaiting the same treatment:
     # ((final3, tapes, counts, j_exits) device arrays, pair indices)
     # per mega-walk SEGMENT (tiles accumulate across buckets and walk
@@ -606,15 +695,26 @@ def align_pairs(
                 )
                 moves = None
             elif not with_traceback and _use_pallas():
+                # A ~1 kb stream splinters into dozens of (M, N)
+                # buckets per call; eager per-bucket dispatch costs
+                # ~6 ms each through the dev tunnel.  Buckets whose
+                # dispatch is fully host-resolvable accumulate into ONE
+                # jitted executable per chunk composition
+                # (_chunk_costs_jit); the rest (unprobed general shape
+                # classes) stay eager so probe-and-latch still works.
+                # All finals are coalesced below into ONE fetch.
+                meta = (
+                    _cost_chunk_meta(len(indices), M, N, scheme)
+                    if COST_CHUNK_JIT
+                    else None
+                )
+                if meta is not None:
+                    cost_acc.append((
+                        meta, tok_a, tok_b, m_true, n_true, indices,
+                    ))
+                    continue
                 from .ops.fill_pallas import batch_final3
 
-                # Dispatch only — JAX runs the bucket kernels async.  A
-                # ~1 kb stream splinters into dozens of (M, N) buckets
-                # per call, and a blocking np.asarray per bucket costs
-                # one full host<->device round trip each (~35 ms through
-                # the dev tunnel — measured 99% of serving wall-clock,
-                # scratch/measure_serving.py); all buckets' finals are
-                # coalesced below into ONE device concat + ONE fetch.
                 deferred.append(
                     (
                         batch_final3(
@@ -696,6 +796,29 @@ def align_pairs(
     # Walk whatever tiles remain accumulated (normally the whole call:
     # segments only split past WALK_GROUP_BYTES).
     _drain_walks()
+
+    if cost_acc:
+        # One fused dispatch for every accumulated cost bucket (meta is
+        # the static composition signature; recurring compositions hit
+        # the jit cache).
+        with _phase("fill"):
+            metas = tuple(b[0] for b in cost_acc)
+            flat_arrs: list = []
+            for _meta, ta, tb, mt, nt, _idx in cost_acc:
+                flat_arrs += [
+                    jnp.asarray(ta), jnp.asarray(tb),
+                    jnp.asarray(mt), jnp.asarray(nt),
+                ]
+            fused = _chunk_costs_jit(
+                cost_mat, gap_id, gap_open, *flat_arrs, meta=metas
+            )
+        # ONE deferred entry (per-bucket slices would re-pay the
+        # per-op dispatch overhead this path exists to remove); rows
+        # are already in accumulated-bucket order.
+        deferred.append((
+            fused,
+            [i for *_rest, idx in cost_acc for i in idx],
+        ))
 
     def _flush() -> list[PairResult]:
         _flush_pending()

@@ -169,6 +169,77 @@ def test_walked_traceback_flush_accounting(monkeypatch):
     assert want == got2
 
 
+def test_cost_chunk_jit_matches_eager(monkeypatch):
+    """The per-chunk fused cost executable (_chunk_costs_jit: every
+    bucket's fill in ONE jit, static meta signature) must reproduce the
+    eager path — uniform scheme over several distinct buckets, REAL
+    kernels in interpret mode on CPU."""
+    import functools
+
+    import globalign_tpu.batch as batch_mod
+
+    pairs = PAIRS + [("TTTTGGGGCCCCAAAA", "TTGGCCAA")]
+    want = batch_mod.align_pairs(pairs, with_traceback=False)
+    monkeypatch.setattr(batch_mod, "_use_pallas", lambda: True)
+    monkeypatch.setattr(
+        batch_mod, "_chunk_costs_jit",
+        functools.partial(batch_mod._chunk_costs_jit, interpret=True),
+    )
+    got = batch_mod.align_pairs(pairs, with_traceback=False)
+    assert want == got
+
+
+def test_cost_chunk_jit_general_bitmask(monkeypatch):
+    """General matrices join the fused chunk executable once their
+    shape class is probed (host-resolved static plan + bitmask
+    sub_bits, mesh.py's pattern): REAL lanes_general_final3 kernels in
+    interpret mode under ONE jit, pinned against the CPU path."""
+    import functools
+
+    import numpy as np
+
+    import globalign_tpu.batch as batch_mod
+    from globalign_tpu.ops import fill_lanes
+
+    rng = np.random.default_rng(3)
+    prot = list("ARNDCQEGHILKMFPSTWYV")
+    pairs = [
+        (
+            "".join(rng.choice(prot, int(rng.integers(5, 40)))),
+            "".join(rng.choice(prot, int(rng.integers(5, 40)))),
+        )
+        for _ in range(8)
+    ]
+    want = batch_mod.align_pairs(
+        pairs, scoring_mat_name="BLOSUM62", with_traceback=False
+    )
+
+    real_plan = fill_lanes.lanes_plan
+
+    def small_w_plan(*a, **k):
+        plan = real_plan(*a, **k)
+        return None if plan is None else (min(plan[0], 4), plan[1])
+
+    monkeypatch.setattr(fill_lanes, "lanes_plan", small_w_plan)
+    monkeypatch.setattr(batch_mod, "_use_pallas", lambda: True)
+    monkeypatch.setattr(
+        batch_mod, "_chunk_costs_jit",
+        functools.partial(batch_mod._chunk_costs_jit, interpret=True),
+    )
+    # Treat every shape class as probed: the probe's purpose (latching
+    # backend rejections on FIRST eager use) is covered elsewhere; here
+    # the fused path itself is under test.
+    monkeypatch.setattr(
+        fill_lanes, "general_probe_needed", lambda k: False
+    )
+    got = batch_mod.align_pairs(
+        pairs, scoring_mat_name="BLOSUM62", with_traceback=False
+    )
+    assert [(r.cost, r.score) for r in want] == [
+        (r.cost, r.score) for r in got
+    ]
+
+
 def test_deferred_cost_flush_accounting(monkeypatch):
     """Cost-only mode's coalesced finals flush across 2+ buckets, driven
     on CPU by forcing the accelerator branch with a stubbed batch_final3
