@@ -69,8 +69,158 @@ _GENERAL_WALK_PROBED: set = set()
 # a jittered 1 kb chunk splinters into ~40 buckets and each eager
 # dispatch costs ~6 ms through the dev tunnel — more than all the fill
 # compute (scratch/repro_bucket_serial.py economics, cost-mode flavor).
-# Toggleable for A/B.
+# Toggleable for A/B.  Measured: 1 kb cost serving 535 -> 734 pairs/s
+# (scratch/measure_serving.py, within-session).
 COST_CHUNK_JIT = True
+
+# Same fusion for TRACEBACK mode: every bucket's moves fills AND the
+# chunk-wide mega-walk run in one executable; only the four result
+# arrays (finals, tapes, counts, j_exits) leave it — the move buffers
+# never even materialize as separate XLA values.
+TB_CHUNK_JIT = True
+
+
+@functools.partial(
+    jax.jit, static_argnames=("meta", "tape_len", "interpret")
+)
+def _chunk_tb_jit(
+    cost_mat, gap_id, gap_open, sel, meta_vec, *arrs, meta, tape_len,
+    interpret=False,
+):
+    """Every bucket's MOVES fills plus the mega-walk in one executable.
+
+    ``meta``: one static entry per bucket —
+    ``(uniform, gap_open_static, general_plan_or_None, sub_bits, w,
+    tile_l)``; ``arrs`` is the flat (tok_a, tok_b, m_true, n_true) per
+    bucket; ``sel``/``meta_vec`` are the per-PAIR mega-walk vectors the
+    host precomputed from the static tile geometry
+    (linear_tb.lanes_mega_walk contract).  Returns (vals (P, 3), tapes
+    (P, tape_len), counts, j_exits)."""
+    from .ops import fill_lanes
+    from .ops.fill_pallas import _tile_slice
+    from .ops.linear_tb import lanes_mega_walk
+
+    vals_parts = []
+    blob_parts = []
+    it = iter(arrs)
+    for uniform, go_static, gplan, sb, w, tile_l in meta:
+        ta, tb, mt, nt = next(it), next(it), next(it), next(it)
+        Bl = ta.shape[0]
+        for lo in range(0, Bl, tile_l):
+            hi = min(lo + tile_l, Bl)
+            tat, tbt, mtt, ntt = _tile_slice(
+                (ta, tb, mt, nt), lo, hi, tile_l
+            )
+            if gplan is None:
+                cma, cmm, dco, ico = uniform
+                vals, mv = fill_lanes.lanes_batch_moves(
+                    tat, tbt, cma, cmm, dco, ico, go_static, mtt, ntt,
+                    w=w, interpret=interpret,
+                )
+            else:
+                vals, mv = fill_lanes.lanes_general_moves(
+                    tat, tbt, cost_mat, gap_id, gap_open, mtt, ntt,
+                    w=w, sub_bits=sb, interpret=interpret,
+                )
+            vals_parts.append(vals)
+            blob_parts.append(mv.reshape(-1))
+    mv_blob = jnp.concatenate(blob_parts)
+    vals_full = jnp.concatenate(vals_parts, axis=0)
+    return lanes_mega_walk(mv_blob, vals_full, sel, meta_vec, tape_len)
+
+
+def _tb_chunk_meta(B, M, N, scheme):
+    """Static chunk-jit descriptor for a traceback bucket
+    ``(uniform, gap_open_static, general_plan, sub_bits, w, tile_l)``,
+    or None for the eager path (kernel-less shapes; general classes
+    not yet probed clean — their first call stays eager so
+    probe-and-latch sees backend rejections)."""
+    from .ops import fill_lanes
+    from .ops.fill_pallas import uniform_scheme_params
+
+    cost_np = np.asarray(scheme.costing.values)
+    uni = uniform_scheme_params(cost_np, scheme.alphabet.gap_id)
+    asel = 0 if uni is not None else int(cost_np.shape[0])
+    if not fill_lanes.lanes_alphabet_ok(asel, cost_np):
+        return None
+    sb = fill_lanes.sub_bits_for(cost_np) if asel else 0
+    plan = fill_lanes.lanes_plan(B, M, N, moves=True, asel=asel,
+                                 sub_bits=sb)
+    if plan is None:
+        return None
+    w, tile_l = plan
+    if asel > 0:
+        gkey = fill_lanes.general_lanes_key(
+            tile_l, M, N, w, asel, moves=True
+        )
+        sb2 = fill_lanes.dispatch_sub_bits(cost_np, gkey)
+        if sb2 != sb:
+            return None  # bitmask latched: take the eager re-plan path
+        if not fill_lanes.general_lanes_ok(gkey) or (
+            gkey not in _GENERAL_WALK_PROBED
+        ):
+            return None
+        if asel > fill_lanes.LANES_MAX_ALPHABET and sb == 0:
+            return None
+        return (None, None, plan, sb, w, tile_l)
+    return (
+        tuple(int(v) for v in uni), int(scheme.gap_open_cost),
+        None, 0, w, tile_l,
+    )
+
+
+def _drain_tb_fused(acc, pairs, cost_mat, gap_id, gap_open,
+                    interpret=False):
+    """Run one fused traceback segment (see _chunk_tb_jit) and return a
+    walked_pending entry.  All mega-walk geometry comes from the STATIC
+    tile shapes, so sel/meta build host-side with no device traffic."""
+    from .ops import fill_lanes
+
+    metas = tuple(b[0] for b in acc)
+    flat_arrs: list = []
+    sel: list[int] = []
+    meta_rows: list[tuple] = []
+    indices: list[int] = []
+    row0 = 0
+    off = 0
+    tape_need = 1
+    for (meta, ta, tb, mt, nt, idxs, M, N) in acc:
+        _u, _g, _gp, _sb, w, tile_l = meta
+        flat_arrs += [
+            jnp.asarray(ta), jnp.asarray(tb),
+            jnp.asarray(np.asarray(mt, np.int32)),
+            jnp.asarray(np.asarray(nt, np.int32)),
+        ]
+        B = ta.shape[0]
+        S_p, R = fill_lanes._lanes_geometry(tile_l, N, w, moves=True)
+        elems = fill_lanes.lanes_moves_bytes(tile_l, M, N, w)
+        r128 = R * 128
+        maxrow = elems // r128 - 1
+        tape_need = max(tape_need, M + N + 1)
+        for lo in range(0, B, tile_l):
+            hi = min(lo + tile_l, B)
+            for slot, idx in enumerate(idxs[lo:hi]):
+                indices.append(idx)
+                sel.append(row0 + slot)
+                meta_rows.append((
+                    len(pairs[idx][0]), len(pairs[idx][1]), w, r128,
+                    maxrow, slot * S_p, off,
+                ))
+            row0 += tile_l
+            off += elems
+    P = len(indices)
+    P_pad = -(-P // _PAIRS_QUANTUM) * _PAIRS_QUANTUM
+    sel += [0] * (P_pad - P)
+    meta_rows += [(0, 0, 1, 1, 0, 0, 0)] * (P_pad - P)
+    tape_len = -(-tape_need // _TAPE_QUANTUM) * _TAPE_QUANTUM
+    out = _chunk_tb_jit(
+        cost_mat, gap_id, gap_open,
+        jnp.asarray(np.asarray(sel, np.int32)),
+        jnp.asarray(np.asarray(meta_rows, np.int32)),
+        *flat_arrs,
+        meta=metas, tape_len=tape_len, interpret=interpret,
+    )
+    return out, indices
 
 
 @functools.partial(jax.jit, static_argnames=("meta", "interpret"))
@@ -600,13 +750,28 @@ def align_pairs(
     walked_pending: list[tuple[tuple, list[int]]] = []
     walk_acc: list[_WalkTile] = []
     walk_acc_bytes = 0
+    # Fused-traceback accumulator: whole buckets awaiting the one
+    # fills+walk executable (_chunk_tb_jit) per segment.
+    tb_acc: list[tuple] = []
+    tb_acc_bytes = 0
 
     def _drain_walks() -> None:
         nonlocal walk_acc, walk_acc_bytes
         if walk_acc:
-            walked_pending.append(_mega_walk_flush(walk_acc))
+            with _phase("fill"):
+                walked_pending.append(_mega_walk_flush(walk_acc))
             walk_acc = []
             walk_acc_bytes = 0
+
+    def _drain_tb_acc() -> None:
+        nonlocal tb_acc, tb_acc_bytes
+        if tb_acc:
+            with _phase("fill"):
+                walked_pending.append(_drain_tb_fused(
+                    tb_acc, pairs, cost_mat, gap_id, gap_open
+                ))
+            tb_acc = []
+            tb_acc_bytes = 0
     grouped: list[tuple[tuple[int, int], list[int]]] = []
     for (M, N), indices in buckets.items():
         if not with_traceback:
@@ -733,6 +898,33 @@ def align_pairs(
             elif (
                 with_traceback
                 and _use_pallas()
+                and (tbm := (
+                    _tb_chunk_meta(len(indices), M, N, scheme)
+                    if TB_CHUNK_JIT
+                    else None
+                ))
+                is not None
+            ):
+                # Fused path: the bucket's moves fills AND its share of
+                # the chunk walk run inside one per-composition
+                # executable; segments bounded like the mega-walk.
+                _u, _g, _gp, _sb, w_b, tile_b = tbm
+                ntiles = -(-len(indices) // tile_b)
+                from .ops import fill_lanes as _fl
+
+                tb_acc.append((
+                    tbm, tok_a, tok_b, m_true, n_true, list(indices),
+                    M, N,
+                ))
+                tb_acc_bytes += ntiles * _fl.lanes_moves_bytes(
+                    tile_b, M, N, w_b
+                )
+                if tb_acc_bytes >= WALK_GROUP_BYTES:
+                    _drain_tb_acc()
+                continue
+            elif (
+                with_traceback
+                and _use_pallas()
                 and (tiles := _lanes_walk_fills(
                     tok_a, tok_b, cost_mat, gap_id, gap_open, m_true,
                     n_true, indices, pairs,
@@ -793,8 +985,9 @@ def align_pairs(
             else:
                 results[idx] = PairResult(cost=cost, score=score)
 
-    # Walk whatever tiles remain accumulated (normally the whole call:
+    # Walk whatever remains accumulated (normally the whole call:
     # segments only split past WALK_GROUP_BYTES).
+    _drain_tb_acc()
     _drain_walks()
 
     if cost_acc:

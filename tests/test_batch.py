@@ -159,14 +159,29 @@ def test_walked_traceback_flush_accounting(monkeypatch):
         functools.partial(fill_lanes.lanes_batch_moves, interpret=True),
     )
     monkeypatch.setattr(batch_mod, "_use_pallas", lambda: True)
+    monkeypatch.setattr(
+        batch_mod, "_drain_tb_fused",
+        functools.partial(batch_mod._drain_tb_fused, interpret=True),
+    )
+    # FUSED path (TB_CHUNK_JIT): every bucket's fills + the walk in one
+    # executable.
     got = batch_mod.align_pairs(pairs, with_traceback=True)
     assert want == got
 
-    # Segment split: a tiny WALK_GROUP_BYTES forces one mega-walk
-    # segment per bucket — multi-segment row/off bookkeeping.
+    # Eager path (_lanes_walk_fills + _mega_walk_flush): per-bucket
+    # fills, chunk-wide mega walk.
+    monkeypatch.setattr(batch_mod, "TB_CHUNK_JIT", False)
+    got_eager = batch_mod.align_pairs(pairs, with_traceback=True)
+    assert want == got_eager
+
+    # Segment split: a tiny WALK_GROUP_BYTES forces one segment per
+    # bucket — multi-segment row/off bookkeeping, both paths.
     monkeypatch.setattr(batch_mod, "WALK_GROUP_BYTES", 1)
     got2 = batch_mod.align_pairs(pairs, with_traceback=True)
     assert want == got2
+    monkeypatch.setattr(batch_mod, "TB_CHUNK_JIT", True)
+    got3 = batch_mod.align_pairs(pairs, with_traceback=True)
+    assert want == got3
 
 
 def test_cost_chunk_jit_matches_eager(monkeypatch):
