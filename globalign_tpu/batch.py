@@ -64,20 +64,36 @@ WALK_GROUP_BYTES = 1536 * 1024 * 1024
 # probe (see _lanes_walk_fills).
 _GENERAL_WALK_PROBED: set = set()
 
-# Fuse every bucket's cost-only fill of one align_pairs call into ONE
-# jitted executable per chunk composition (the meta/shape signature):
-# a jittered 1 kb chunk splinters into ~40 buckets and each eager
+# Fuse every bucket's fill of one align_pairs call into ONE jitted
+# executable per chunk composition (the meta/shape signature): a
+# jittered 1 kb chunk splinters into ~40 buckets and each eager
 # dispatch costs ~6 ms through the dev tunnel — more than all the fill
-# compute (scratch/repro_bucket_serial.py economics, cost-mode flavor).
-# Toggleable for A/B.  Measured: 1 kb cost serving 535 -> 734 pairs/s
+# compute.  Measured with REPEATING chunk compositions: 1 kb cost
+# serving 535 -> 734 pairs/s and traceback 294 -> 452
 # (scratch/measure_serving.py, within-session).
-COST_CHUNK_JIT = True
+#
+# DEFAULT OFF: the executable is keyed by the chunk's bucket
+# composition, and a stream whose compositions VARY pays a full XLA
+# compile per novel composition — measured catastrophic on the remote
+# toolchain (BLOSUM 1 kb cost serving fell to 4.8 pairs/s, ~200 s of
+# compile per chunk).  Enable (`set_chunk_fusion(True)`, or
+# `--fuse_chunks` on the batch CLI) only for workloads whose chunk
+# compositions repeat — fixed-shape re-serving, quantized all-vs-all
+# sweeps — where the compile amortizes and the win is large.
+COST_CHUNK_JIT = False
 
 # Same fusion for TRACEBACK mode: every bucket's moves fills AND the
 # chunk-wide mega-walk run in one executable; only the four result
 # arrays (finals, tapes, counts, j_exits) leave it — the move buffers
-# never even materialize as separate XLA values.
-TB_CHUNK_JIT = True
+# never even materialize as separate XLA values.  Same default-off
+# rationale as COST_CHUNK_JIT.
+TB_CHUNK_JIT = False
+
+
+def set_chunk_fusion(enabled: bool) -> None:
+    """Opt in to per-chunk fused executables (see COST_CHUNK_JIT)."""
+    global COST_CHUNK_JIT, TB_CHUNK_JIT
+    COST_CHUNK_JIT = TB_CHUNK_JIT = bool(enabled)
 
 
 @functools.partial(

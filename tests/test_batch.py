@@ -163,13 +163,14 @@ def test_walked_traceback_flush_accounting(monkeypatch):
         batch_mod, "_drain_tb_fused",
         functools.partial(batch_mod._drain_tb_fused, interpret=True),
     )
-    # FUSED path (TB_CHUNK_JIT): every bucket's fills + the walk in one
-    # executable.
+    # FUSED path (TB_CHUNK_JIT opt-in): every bucket's fills + the walk
+    # in one executable.
+    monkeypatch.setattr(batch_mod, "TB_CHUNK_JIT", True)
     got = batch_mod.align_pairs(pairs, with_traceback=True)
     assert want == got
 
-    # Eager path (_lanes_walk_fills + _mega_walk_flush): per-bucket
-    # fills, chunk-wide mega walk.
+    # Eager path (_lanes_walk_fills + _mega_walk_flush, the default):
+    # per-bucket fills, chunk-wide mega walk.
     monkeypatch.setattr(batch_mod, "TB_CHUNK_JIT", False)
     got_eager = batch_mod.align_pairs(pairs, with_traceback=True)
     assert want == got_eager
@@ -196,6 +197,7 @@ def test_cost_chunk_jit_matches_eager(monkeypatch):
     pairs = PAIRS + [("TTTTGGGGCCCCAAAA", "TTGGCCAA")]
     want = batch_mod.align_pairs(pairs, with_traceback=False)
     monkeypatch.setattr(batch_mod, "_use_pallas", lambda: True)
+    monkeypatch.setattr(batch_mod, "COST_CHUNK_JIT", True)
     monkeypatch.setattr(
         batch_mod, "_chunk_costs_jit",
         functools.partial(batch_mod._chunk_costs_jit, interpret=True),
@@ -237,6 +239,7 @@ def test_cost_chunk_jit_general_bitmask(monkeypatch):
 
     monkeypatch.setattr(fill_lanes, "lanes_plan", small_w_plan)
     monkeypatch.setattr(batch_mod, "_use_pallas", lambda: True)
+    monkeypatch.setattr(batch_mod, "COST_CHUNK_JIT", True)
     monkeypatch.setattr(
         batch_mod, "_chunk_costs_jit",
         functools.partial(batch_mod._chunk_costs_jit, interpret=True),
