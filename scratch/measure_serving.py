@@ -10,11 +10,14 @@ over true cells, and the aggregated per-phase wall-clock decomposition
 the data behind docs/PERF.md's serving table (VERDICT r3 item 6).
 
 PYTHONPATH=/root/.axon_site:/root/repo python scratch/measure_serving.py \
-    [npairs] [len] [blosum]
+    [npairs] [len] [blosum] [fused]
 
 A third argument "blosum" serves PROTEIN pairs under BLOSUM62 (the
 general-matrix lane mode with bitmask substitution) instead of the
-default simple DNA scheme.
+default simple DNA scheme.  An argument "fused" (any position >= 3)
+opts into per-chunk fused executables (batch.set_chunk_fusion) — only
+meaningful for repeating chunk compositions, which this benchmark's
+fixed pair stream provides.
 """
 
 import io
@@ -57,13 +60,18 @@ def run_once(pairs, with_tb, chunk_pairs=128, scheme_kwargs=None):
 def main():
     npairs = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-    blosum = len(sys.argv) > 3 and sys.argv[3] == "blosum"
+    blosum = "blosum" in sys.argv[3:]
+    fused = "fused" in sys.argv[3:]
     letters = list("ARNDCQEGHILKMFPSTWYV" if blosum else "ACGT")
     scheme_kwargs = {"scoring_mat_name": "BLOSUM62"} if blosum else {}
 
     from globalign_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
+    if fused:
+        from globalign_tpu import batch as _batch
+
+        _batch.set_chunk_fusion(True)
 
     rng = np.random.default_rng(42)
     # Realistic length jitter inside one bucket quantum band plus a
@@ -96,6 +104,7 @@ def main():
                     "metric": (
                         ("serving_traceback" if with_tb else "serving_cost")
                         + ("_blosum62" if blosum else "")
+                        + ("_fused" if fused else "")
                     ),
                     "pairs": npairs,
                     "len": L,
