@@ -119,6 +119,20 @@ _MYCARRY = True
 # time).  Module-level toggle for within-run A/B.
 _ACTIVE_SPLIT = True
 
+# Per-strip-staged fills (Rw == R) can carry each strip's seq_1 token
+# PRE-SKEWED in the inject stream (plane[g][s] = tok_a[pair, g+1-2q])
+# instead of shifting it across lanes every wave: drops one of the 4
+# per-wave shift1 edge exchanges plus the ah ring traffic, for the
+# same stage read the kernel already performs.  MEASURED A WASH on
+# chip (scratch/micro_skew.py, slice-built inject, within-run A/B):
+# 64x1kb 59.5 vs 58.0, 32x4kb 161.6 vs 157.3, 512x1kb 63.3 vs 64.1,
+# general 16x4kb 79.0 vs 80.4 GCUPS — the dropped shift was hidden
+# under the other three's serialization, the same
+# not-actually-ALU-bound wall the dual-set kernel hit.  Kept as
+# chip-validated A/B infrastructure (bit-exact in every mode,
+# including the moves code stream's consumed cells); default OFF.
+_SKEW_INJECT = False
+
 
 # Bitmask substitution engages when the select chain is at least this
 # many times the per-bit extract cost: the chain costs ~1 select per
@@ -187,6 +201,7 @@ def _sub_mask_planes(ct, nbits):
 def _make_lane_kernel(
     w: int, R: int, S_p: int, Rw: int, clamp: bool, moves: bool = False,
     asel: int = 0, nb: int = 1, sub_bits: int = 0, npar: int = 1,
+    skew: bool = False,
 ):
     """Build the kernel for ``w``-wide strips, ``R`` lane-chunks of
     strips, ``S_p`` strips per pair, inject tile width ``Rw``.
@@ -441,9 +456,15 @@ def _make_lane_kernel(
                 yp0 = [None] * npar
                 zdiag0 = [None] * npar
                 for t in range(npar):
-                    a_cur[t] = jnp.where(
-                        q0, plane(t), shift1(ah[2 * t + g2], fill=0)
-                    )
+                    if skew:
+                        # Pre-skewed inject (_SKEW_INJECT): the stage
+                        # plane already carries tok_a[pair, i_t] per
+                        # strip — no cross-lane shift, no ah ring.
+                        a_cur[t] = plane(t)
+                    else:
+                        a_cur[t] = jnp.where(
+                            q0, plane(t), shift1(ah[2 * t + g2], fill=0)
+                        )
                     if not mycarry:
                         mp0[t] = jnp.where(
                             q0, big, shift1(emh[2 * t + g2])
@@ -674,7 +695,8 @@ def _make_lane_kernel(
                         emh[2 * t + g2] = mp[t]
                         exh[2 * t + g2] = xp[t]
                         eyh[2 * t + g2] = yp[t]
-                    ah[2 * t + g2] = a_cur[t]
+                    if not skew:
+                        ah[2 * t + g2] = a_cur[t]
                 if moves:
                     zch[g3] = cz_prev
 
@@ -1391,13 +1413,22 @@ def _lanes_run(
     nblocks = -(-max(1, G_cap) // _STAGE)
     G_rows = (nblocks + 2) * _STAGE
 
+    # Pre-skewed injection only exists for per-strip staging: broadcast
+    # rows (one per pair) cannot encode per-strip skew.
+    skew = _SKEW_INJECT and not (B == 1 or nb > 1)
+
     def _inj_plane(mat):
         """(B, >= G_rows+1) per-pair values -> (G_rows, nb, Rw, LANES)
         staged rows.  Broadcast staging (Rw == 1) carries one (1, 128)
         row per (wave, pair) — every strip-0 lane of a pair takes the
         same value, the kernel selecting its pair's row by pair id;
         per-strip staging (Rw == R) carries each strip's value in its
-        own lane."""
+        own lane — PRE-SKEWED when _SKEW_INJECT (plane[g][s] =
+        mat[pair, clip(g+1-2q, 0)]: exactly the value the in-kernel
+        shift pipeline would deliver at strip s on wave g, with the
+        row-0 boundary token standing in for the pipeline's fill=0;
+        early-wave reads at inactive strips previously saw
+        uninitialized ring scratch and were masked — they still are)."""
         padded = jnp.pad(
             mat, ((0, 0), (0, max(0, G_rows + 1 - mat.shape[1]))),
             mode="edge",
@@ -1412,6 +1443,31 @@ def _lanes_run(
                 ],
                 (G_rows, nb, 1, LANES),
             )
+        if skew:
+            # plane[g][s] = mat[pair, g+1-2q]: strips sharing q share a
+            # contiguous WINDOW of the token sequence, so build from
+            # S_p static slices over a zero-left-padded copy (zeros ==
+            # the boundary token) instead of a (G_rows x S) gather —
+            # XLA lowers big gathers poorly (a 512 x 1 kb A/B lost ~15%
+            # to the gather build; slices are memcpy-class).
+            lpad = 2 * (S_p - 1)
+            p2 = jnp.pad(padded, ((0, 0), (lpad, 0)))
+            wins = [
+                jax.lax.slice_in_dim(
+                    p2, lpad + 1 - 2 * qq, lpad + 1 - 2 * qq + G_rows,
+                    axis=1,
+                )
+                for qq in range(S_p)
+            ]
+            # (S_p, B, G_rows) -> (G_rows, B, S_p) -> strip-major rows
+            # (s = pair * S_p + q), padded to the (R, LANES) tile.
+            mat_s = jnp.stack(wins).transpose(2, 1, 0).reshape(
+                G_rows, B * S_p
+            )
+            mat_s = jnp.pad(
+                mat_s, ((0, 0), (0, R * LANES - B * S_p))
+            )
+            return mat_s.reshape(G_rows, R, LANES)[:, None]
         return padded[pairc.reshape(R, LANES)[:Rw], 1 : G_rows + 1] \
             .transpose(2, 0, 1)[:, None]
 
@@ -1611,7 +1667,7 @@ def _lanes_run(
     res = pl.pallas_call(
         _make_lane_kernel(
             w, R, S_p, Rw, clamp, moves=moves, asel=asel, nb=nb,
-            sub_bits=sub_bits, npar=npar,
+            sub_bits=sub_bits, npar=npar, skew=skew,
         ),
         out_shape=out_shapes,
         in_specs=in_specs,
