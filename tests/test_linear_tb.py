@@ -321,6 +321,81 @@ def test_lanes_group_walk_matches_per_tile():
             assert (tp[b, : ct[b]] == gt[b, : ct[b]]).all(), (g, b)
 
 
+def test_lanes_mega_walk_jagged_fuzz():
+    """Property fuzz for the chunk-wide mega walk: random jagged tiles
+    of DIFFERENT shapes and widths walked together via per-pair
+    geometry vectors must reproduce the host unskew + row walk pair for
+    pair (tapes, counts, j_exits, and the assembled strings)."""
+    from globalign_tpu.ops import fill_lanes
+
+    rng = np.random.default_rng(31)
+    letters = np.array(list("ACGT"))
+    go = 4
+    tiles = []
+    for (B, m_pad, n_pad, w) in ((2, 10, 12, 4), (3, 25, 17, 4),
+                                 (2, 8, 33, 8)):
+        ta = rng.integers(1, 5, (B, m_pad + 1)).astype(np.int32)
+        tb = rng.integers(1, 5, (B, n_pad + 1)).astype(np.int32)
+        ta[:, 0] = 0
+        tb[:, 0] = 0
+        mt = rng.integers(1, m_pad + 1, B).astype(np.int32)
+        nt = rng.integers(1, n_pad + 1, B).astype(np.int32)
+        final3, mv = fill_lanes.lanes_batch_moves(
+            jnp.asarray(ta), jnp.asarray(tb), 0, 5, 3, 2, go,
+            jnp.asarray(mt), jnp.asarray(nt), w=w, interpret=True,
+        )
+        S_p, R = fill_lanes._lanes_geometry(B, n_pad, w, moves=True)
+        tiles.append(dict(
+            ta=ta, tb=tb, mt=mt, nt=nt, w=w, S_p=S_p, R=R,
+            m_pad=m_pad, n_pad=n_pad, final3=np.asarray(final3), mv=mv,
+        ))
+
+    sel, meta, off, row0 = [], [], 0, 0
+    tape_need = max(t["m_pad"] + t["n_pad"] + 1 for t in tiles)
+    for t in tiles:
+        elems = int(np.prod(t["mv"].shape))
+        r128 = int(t["mv"].shape[-2]) * 128
+        maxrow = int(t["mv"].shape[-3]) - 1
+        for b in range(len(t["mt"])):
+            sel.append(row0 + b)
+            meta.append((
+                int(t["mt"][b]), int(t["nt"][b]), t["w"], r128, maxrow,
+                b * t["S_p"], off,
+            ))
+        row0 += len(t["mt"])
+        off += elems
+    blob = jnp.concatenate([t["mv"].reshape(-1) for t in tiles])
+    vals_full = jnp.concatenate(
+        [jnp.asarray(t["final3"]) for t in tiles], axis=0
+    )
+    vals, tapes, counts, jx = linear_tb.lanes_mega_walk(
+        blob, vals_full, jnp.asarray(np.asarray(sel, np.int32)),
+        jnp.asarray(np.asarray(meta, np.int32)), tape_need,
+    )
+    tapes, counts = np.asarray(tapes), np.asarray(counts)
+
+    k = 0
+    for t in tiles:
+        rows = fill_lanes.lanes_moves_to_row(
+            np.asarray(t["mv"]), len(t["mt"]), t["n_pad"], t["w"],
+            t["m_pad"],
+        )
+        for b in range(len(t["mt"])):
+            m, n = int(t["mt"][b]), int(t["nt"][b])
+            s1 = "".join(letters[t["ta"][b, 1 : m + 1] - 1])
+            s2 = "".join(letters[t["tb"][b, 1 : n + 1] - 1])
+            want = traceback_moves(
+                rows[b], s1, s2, t["final3"][b], layout="row"
+            )
+            got = linear_tb.assemble_from_tapes(
+                [tapes[k, : counts[k]]], s1, s2
+            )
+            assert got == (
+                want.seq_1_aligned, want.middle_part, want.seq_2_aligned
+            ), (k, s1, s2)
+            k += 1
+
+
 def test_lanes_tile_walk_matches_host_walk():
     """Batch traceback with the walk ON DEVICE (lanes_tile_walk over the
     skewed lanes moves buffer, one strip_base per pair) must reproduce
