@@ -43,8 +43,17 @@ DEFAULT_BUCKET_QUANTUM = 32
 
 # Above this many bytes of move codes for one bucket, traceback mode
 # processes that bucket pair-by-pair with the checkpointed linear-space
-# replay instead of materializing the whole bucket's moves.
-DEFAULT_BATCH_MOVES_BUDGET = 256 * 1024 * 1024
+# replay instead of materializing the whole bucket's moves.  Bounds the
+# HOST fetch on the fallback (non-device-walked) paths; overridable
+# process-wide via GLOBALIGN_BATCH_MOVES_BUDGET_BYTES for deployments
+# with more host RAM or local (non-tunnelled) devices.
+import os as _os
+
+DEFAULT_BATCH_MOVES_BUDGET = int(
+    _os.environ.get(
+        "GLOBALIGN_BATCH_MOVES_BUDGET_BYTES", 256 * 1024 * 1024
+    )
+)
 
 # Sub-batch budget when the DEVICE-WALKED lane path serves the bucket:
 # those move buffers never leave HBM (only O(m+n) op tapes cross to the

@@ -38,8 +38,16 @@ from ..ops.transforms import final_cost_to_score
 from ..utils.tokenize import encode_padded
 
 # Above this many bytes of move codes, align() switches to the blocked
-# linear-space traceback (64 MB ~ 8k x 8k pairs).
-DEFAULT_MOVES_BUDGET_BYTES = 64 * 1024 * 1024
+# linear-space traceback (64 MB ~ 8k x 8k pairs).  The default bounds
+# BOTH the device buffer and the host fetch of the move plane;
+# deployments with more host RAM / local (non-tunnelled) devices can
+# raise it per-aligner (moves_budget_bytes=...) or process-wide via
+# GLOBALIGN_MOVES_BUDGET_BYTES.
+import os as _os
+
+DEFAULT_MOVES_BUDGET_BYTES = int(
+    _os.environ.get("GLOBALIGN_MOVES_BUDGET_BYTES", 64 * 1024 * 1024)
+)
 
 
 @dataclass(frozen=True)
