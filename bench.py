@@ -598,6 +598,25 @@ def _run_measurements(args, t_start: float) -> None:
     eff = arm_eff("single", per)
     if eff is not None:
         _state["single_issue_efficiency"] = eff
+    # Self-diagnosis: the tunnel sometimes enters a state where wall
+    # times are pure latency noise and slopes carry no signal (sampled
+    # 2026-08-20: calib read 2.2x nominal and a batch chain's t24 MIN
+    # undercut its t2).  Flag rather than filter — the artifact stays
+    # honest and the reader knows to weigh the raw samples.
+    suspect = []
+    if calib_ops_s is not None and not (
+        0.6 * CALIB_NOMINAL_GOPS
+        <= calib_ops_s / 1e9
+        <= 1.4 * CALIB_NOMINAL_GOPS
+    ):
+        suspect.append("calib_off_nominal")
+    if gcups > 400.0:  # past any credible v5e roofline for this fill
+        suspect.append("single_slope_implausible")
+    for name, (_rk, _t, lo, hi, _c) in ready.items():
+        if min(samples[name][str(hi)]) <= min(samples[name][str(lo)]):
+            suspect.append(f"{name}_nonpositive_slope")
+    if suspect:
+        _state["timing_suspect"] = suspect
     if "batch" in ready:
         per, cells = slope("batch")
         _state["batch_gcups"] = round(cells / per / 1e9, 4)
