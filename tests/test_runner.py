@@ -145,6 +145,25 @@ def test_batch_cli_end_to_end(tmp_path):
     assert len(out.read_text().splitlines()) == 2
 
 
+def test_batch_cli_fuse_chunks_flag(tmp_path, monkeypatch):
+    """--fuse_chunks flips the opt-in chunk-fusion toggles for the
+    process and produces identical results (on CPU the fused branches
+    are not reachable — this pins the FLAG plumbing and that defaults
+    stay off otherwise)."""
+    import globalign_tpu.batch as batch_mod
+    from globalign_tpu.batch_cli import main
+
+    monkeypatch.setattr(batch_mod, "COST_CHUNK_JIT", False)
+    monkeypatch.setattr(batch_mod, "TB_CHUNK_JIT", False)
+    tsv = tmp_path / "p.tsv"
+    tsv.write_text("ACGT\tAGT\nGATTACA\tGCATGCT\n")
+    out = tmp_path / "out.tsv"
+    rc = main(["--pairs_tsv", str(tsv), "-o", str(out), "--fuse_chunks"])
+    assert rc == 0
+    assert batch_mod.COST_CHUNK_JIT and batch_mod.TB_CHUNK_JIT
+    assert _read_results(out)[0] == (7, 0)
+
+
 def test_stats_dict_sane():
     s = RunStats(pairs=10, chunks=2, true_cells=1000, padded_cells=2000,
                  seconds=0.5)
