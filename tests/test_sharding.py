@@ -226,6 +226,99 @@ def test_sharded_general_lanes_unstubbed_interpret(cpu_mesh, monkeypatch):
         assert tb.cost == int(ref[k].min())
 
 
+def test_sharded_bitmask_failure_retries_chain(cpu_mesh, monkeypatch):
+    """A bitmask-kernel rejection on the sharded path must (1) latch
+    only the BITMASK mode for the shape class, (2) retry the select
+    chain IN-CALL, and (3) leave later dispatches of the class on the
+    chain (ADVICE r4: a toolchain without variable-amount vector
+    shifts must not lose the lane path outright)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from globalign_tpu.config import resolve_scheme
+    from globalign_tpu.ops import fill_lanes, fill_rows
+    from globalign_tpu.parallel import mesh as mesh_mod
+
+    scheme = resolve_scheme("ARND", "NDRA", scoring_mat_name="BLOSUM62")
+    A = scheme.alphabet.size
+    # Distinct shapes from the other sharding tests: same-signature jit
+    # cache hits would skip tracing and starve the spy.
+    B, m_pad, n_pad = 10, 14, 10
+    rng = np.random.default_rng(13)
+    tok_a = np.zeros((B, m_pad + 1), np.int32)
+    tok_b = np.zeros((B, n_pad + 1), np.int32)
+    tok_a[:, 1:] = rng.integers(0, A - 1, (B, m_pad))
+    tok_b[:, 1:] = rng.integers(0, A - 1, (B, n_pad))
+    m_true = np.full(B, m_pad, np.int32)
+    n_true = np.full(B, n_pad, np.int32)
+
+    real_plan = fill_lanes.lanes_plan
+
+    def small_w_plan(*a, **k):
+        plan = real_plan(*a, **k)
+        return None if plan is None else (min(plan[0], 8), plan[1])
+
+    monkeypatch.setattr(fill_lanes, "lanes_plan", small_w_plan)
+    # The latch normally refuses to record failures on CPU (platform
+    # limitation, not kernel defect); pretend we're an accelerator so
+    # the bitmask-vs-chain bookkeeping is exercised for real.
+    monkeypatch.setattr(
+        fill_lanes.jax, "default_backend", lambda: "tpu"
+    )
+    monkeypatch.setattr(fill_lanes, "_bitmask_failed", set())
+    monkeypatch.setattr(fill_lanes, "_general_failed", set())
+
+    calls = []
+    real_final3 = functools.partial(
+        fill_lanes.lanes_general_final3, interpret=True
+    )
+
+    def flaky_final3(*a, **k):
+        calls.append(k.get("sub_bits", 0))
+        if k.get("sub_bits", 0) > 0:
+            raise RuntimeError("synthetic Mosaic bitmask rejection")
+        k.pop("interpret", None)
+        return real_final3(*a, **k)
+
+    monkeypatch.setattr(fill_lanes, "lanes_general_final3", flaky_final3)
+
+    ref = np.asarray(
+        fill_rows.row_fill_batch(
+            jnp.asarray(tok_a), jnp.asarray(tok_b),
+            jnp.asarray(scheme.costing.values),
+            jnp.int32(scheme.alphabet.gap_id),
+            jnp.int32(scheme.gap_open_cost),
+            jnp.asarray(m_true), jnp.asarray(n_true), want_moves=False,
+        ).final3
+    )
+    f3 = mesh_mod.sharded_fill_costs(
+        cpu_mesh, tok_a, tok_b, scheme.costing.values,
+        scheme.alphabet.gap_id, scheme.gap_open_cost, m_true, n_true,
+        use_pallas=True, interpret=True,
+    )
+    # First attempt ran bitmask (>0), the in-call retry ran the chain.
+    assert any(sb > 0 for sb in calls) and calls[-1] == 0
+    assert (f3 == ref).all()
+    assert fill_lanes._bitmask_failed and not fill_lanes._general_failed
+
+    # A later dispatch of the class resolves the chain mode up front
+    # (dispatch_sub_bits consults the bitmask latch) and reuses the
+    # already-compiled chain executable — results stay lane-correct.
+    gkey = next(iter(fill_lanes._bitmask_failed))
+    assert fill_lanes.dispatch_sub_bits(
+        np.asarray(scheme.costing.values), gkey
+    ) == 0
+    calls.clear()
+    f3b = mesh_mod.sharded_fill_costs(
+        cpu_mesh, tok_a, tok_b, scheme.costing.values,
+        scheme.alphabet.gap_id, scheme.gap_open_cost, m_true, n_true,
+        use_pallas=True, interpret=True,
+    )
+    assert all(sb == 0 for sb in calls)  # no bitmask re-attempt
+    assert (f3b == ref).all()
+
+
 def test_sharded_general_lanes_dispatch(cpu_mesh, monkeypatch):
     """GENERAL costing matrices dispatch the lane kernel inside the
     shard_map body too (host-resolved static plan — round-2 left them
