@@ -319,6 +319,85 @@ def test_sharded_bitmask_failure_retries_chain(cpu_mesh, monkeypatch):
     assert (f3b == ref).all()
 
 
+def test_sharded_moves_bitmask_failure_retries_chain(cpu_mesh, monkeypatch):
+    """The MOVES twin of the bitmask-retry test: sharded_fill_moves
+    must latch only the bitmask mode and retry the chain in-call, with
+    the unskewed move planes still walking to the local alignments."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from globalign_tpu.config import resolve_scheme
+    from globalign_tpu.ops import fill_lanes, fill_rows
+    from globalign_tpu.ops.traceback import traceback_moves
+    from globalign_tpu.parallel import mesh as mesh_mod
+
+    scheme = resolve_scheme("ARND", "NDRA", scoring_mat_name="BLOSUM62")
+    A = scheme.alphabet.size
+    B, m_pad, n_pad = 10, 16, 12  # distinct shapes: avoid cache hits
+    rng = np.random.default_rng(17)
+    tok_a = np.zeros((B, m_pad + 1), np.int32)
+    tok_b = np.zeros((B, n_pad + 1), np.int32)
+    tok_a[:, 1:] = rng.integers(0, A - 1, (B, m_pad))
+    tok_b[:, 1:] = rng.integers(0, A - 1, (B, n_pad))
+    m_true = np.full(B, m_pad, np.int32)
+    n_true = np.full(B, n_pad, np.int32)
+
+    real_plan = fill_lanes.lanes_plan
+
+    def small_w_plan(*a, **k):
+        plan = real_plan(*a, **k)
+        return None if plan is None else (min(plan[0], 8), plan[1])
+
+    monkeypatch.setattr(fill_lanes, "lanes_plan", small_w_plan)
+    monkeypatch.setattr(
+        fill_lanes.jax, "default_backend", lambda: "tpu"
+    )
+    monkeypatch.setattr(fill_lanes, "_bitmask_failed", set())
+    monkeypatch.setattr(fill_lanes, "_general_failed", set())
+
+    calls = []
+    real_moves = functools.partial(
+        fill_lanes.lanes_general_moves, interpret=True
+    )
+
+    def flaky_moves(*a, **k):
+        calls.append(k.get("sub_bits", 0))
+        if k.get("sub_bits", 0) > 0:
+            raise RuntimeError("synthetic Mosaic bitmask rejection")
+        k.pop("interpret", None)
+        return real_moves(*a, **k)
+
+    monkeypatch.setattr(fill_lanes, "lanes_general_moves", flaky_moves)
+
+    ref = fill_rows.row_fill_batch(
+        jnp.asarray(tok_a), jnp.asarray(tok_b),
+        jnp.asarray(scheme.costing.values),
+        jnp.int32(scheme.alphabet.gap_id),
+        jnp.int32(scheme.gap_open_cost),
+        jnp.asarray(m_true), jnp.asarray(n_true), want_moves=True,
+    )
+    ref_f3 = np.asarray(ref.final3)
+    f3, moves = mesh_mod.sharded_fill_moves(
+        cpu_mesh, tok_a, tok_b, scheme.costing.values,
+        scheme.alphabet.gap_id, scheme.gap_open_cost, m_true, n_true,
+        use_pallas=True, interpret=True,
+    )
+    assert any(sb > 0 for sb in calls) and calls[-1] == 0
+    assert (f3 == ref_f3).all()
+    assert fill_lanes._bitmask_failed and not fill_lanes._general_failed
+    letters = np.array(scheme.alphabet.letters[:-1])
+    ref_moves = np.asarray(ref.moves)
+    for k in range(0, B, 3):
+        s1 = "".join(letters[tok_a[k, 1:]])
+        s2 = "".join(letters[tok_b[k, 1:]])
+        got = traceback_moves(moves[k], s1, s2, f3[k], layout="row")
+        want = traceback_moves(
+            ref_moves[k], s1, s2, ref_f3[k], layout="row"
+        )
+        assert got == want, k
+
+
 def test_sharded_general_lanes_dispatch(cpu_mesh, monkeypatch):
     """GENERAL costing matrices dispatch the lane kernel inside the
     shard_map body too (host-resolved static plan — round-2 left them
